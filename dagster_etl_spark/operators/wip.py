@@ -1,0 +1,119 @@
+"""WIP (work-in-progress) aggregation operators — SURVEY.md §2 A1/A2/A7/J1.
+
+Reference semantics (reference: etl/common/assets/transfer.py:14-65 and
+etl/tenants/project_01/assets/transfer.py:14-91): filter active statuses,
+group by (process_step, product_code), aggregate qty sum / distinct lot
+count / mean qty, optionally graft a HIGH-priority conditional count.
+
+Spark-first notes
+-----------------
+* One shuffle total: the conditional count is folded into the same
+  ``groupBy`` as a ``sum(when(...))`` instead of the reference's
+  aggregate-then-left-join (the join variant is kept for J1 parity and
+  as a broadcast-join test bed).
+* pandas ``groupby`` drops null group keys; Spark keeps them. We filter
+  null keys to mirror the reference (SURVEY §7.2).
+* All aggregates stay in built-in Catalyst expressions: partial (map-side)
+  aggregation + whole-stage codegen for free; ``countDistinct`` expands
+  to the standard two-phase distinct aggregate. At 100 TB swap in
+  ``approx_count_distinct`` via the ``approx_distinct`` knob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dagster_etl_spark.functions import count_if, exact_avg, money_sum
+
+
+def wip_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("process_step", "product_code"),
+    qty_col: str = "quantity",
+    lot_col: str = "lot_id",
+    status_col: str | None = "status",
+    active_statuses: Sequence[str] = ("IN_PROGRESS", "COMPLETED"),
+    snapshot_date: str | None = None,
+    approx_distinct: bool = False,
+    extra_aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """A1/A2: status filter -> group -> {sum, distinct count, mean}."""
+    if status_col is not None:
+        df = df.filter(F.col(status_col).isin(list(active_statuses)))
+    for k in group_cols:  # pandas groupby drops null keys
+        df = df.filter(F.col(k).isNotNull())
+
+    lot_count = (
+        F.approx_count_distinct(lot_col) if approx_distinct else F.countDistinct(lot_col)
+    ).alias("lot_count")
+
+    out = df.groupBy(*group_cols).agg(
+        money_sum(qty_col, "wip_qty"),
+        lot_count,
+        exact_avg(qty_col, "avg_qty_per_lot"),
+        *extra_aggs,
+    )
+    if snapshot_date is not None:
+        out = out.withColumn("snapshot_date", F.lit(snapshot_date))
+    return out
+
+
+def priority_wip_aggregate(
+    df: DataFrame,
+    priority_col: str = "priority",
+    high_value: str = "HIGH",
+    **kwargs,
+) -> DataFrame:
+    """A7 single-pass: WIP aggregate + HIGH-priority conditional count.
+
+    The reference computes the priority count as a separate groupby and
+    left-joins it back (reference: project_01/assets/transfer.py:44-64);
+    folding it into one ``agg`` removes a whole shuffle+join. If the
+    optional priority column is absent the count is constant 0 — the
+    schema-flex pattern from SURVEY §1.3.
+    """
+    if priority_col in df.columns:
+        extra = (count_if(F.col(priority_col) == high_value, "high_priority_count"),)
+    else:
+        extra = (F.lit(0).cast("long").alias("high_priority_count"),)
+    return wip_aggregate(df, extra_aggs=extra, **kwargs)
+
+
+def priority_wip_join(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("process_step", "product_code"),
+    priority_col: str = "priority",
+    high_value: str = "HIGH",
+    broadcast_priority: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """A7/J1 join variant — faithful to the reference's two-step shape:
+    aggregate HIGH-priority rows separately, left-join onto the WIP
+    aggregate, fill missing counts with 0 (P10).
+
+    The priority side aggregates a filtered subset (small), so it is
+    broadcast by default — at cluster scale this keeps the graft from
+    shuffling the large aggregate a second time.
+    """
+    # status-filter once, up front: both the WIP aggregate and the priority
+    # count read the filtered frame (reference computes the count from
+    # df_active, project_01/assets/transfer.py:37-44)
+    status_col = kwargs.pop("status_col", "status")
+    active_statuses = kwargs.pop("active_statuses", ("IN_PROGRESS", "COMPLETED"))
+    if status_col is not None:
+        df = df.filter(F.col(status_col).isin(list(active_statuses)))
+    base = wip_aggregate(df, group_cols=group_cols, status_col=None, **kwargs)
+    pri = (
+        df.filter(F.col(priority_col) == high_value)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("high_priority_count"))
+    )
+    if broadcast_priority:
+        pri = F.broadcast(pri)
+    joined = base.join(pri, on=list(group_cols), how="left")
+    return joined.withColumn(
+        "high_priority_count", F.coalesce(F.col("high_priority_count"), F.lit(0)).cast("long")
+    )

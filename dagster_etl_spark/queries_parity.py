@@ -1,0 +1,250 @@
+"""Parity queries — the reference's transform suite re-expressed on the
+driver fixture tables (mapping per FIXTURES.md: lineitem ≈ lot_history,
+events ≈ equipment_event, part ≈ cfg_item_master, orders carries the
+priority/date attributes).
+
+Each query has a DuckDB oracle producing the identical frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dagster_etl_spark.operators.cycle_time import cycle_time_stats
+from dagster_etl_spark.operators.equipment import equipment_utilization
+from dagster_etl_spark.operators.item_master import enrich_item_master, stage_item_master
+from dagster_etl_spark.operators.wip import (
+    priority_wip_aggregate,
+    priority_wip_join,
+    wip_aggregate,
+)
+from dagster_etl_spark.registry import register
+from dagster_etl_spark.sources.fixtures import load_table
+
+# ---------------------------------------------------------------------------
+# A1/A2 — WIP aggregation (reference: etl/common/assets/transfer.py:14-65)
+
+_WIP_ORACLE = """
+SELECT
+  l_linestatus,
+  l_suppkey,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wip_qty,
+  COUNT(DISTINCT l_orderkey) AS lot_count,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+    AS avg_qty_per_lot
+FROM lineitem
+WHERE l_returnflag IN ('N', 'A')
+GROUP BY l_linestatus, l_suppkey
+"""
+
+
+@register(
+    "wip_aggregate",
+    oracle=_WIP_ORACLE,
+    tags=("parity", "agg", "bench"),
+    doc="A1/A2: status filter -> groupBy -> sum/countDistinct/avg.",
+)
+def q_wip_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return wip_aggregate(
+        li,
+        group_cols=("l_linestatus", "l_suppkey"),
+        qty_col="l_quantity",
+        lot_col="l_orderkey",
+        status_col="l_returnflag",
+        active_statuses=("N", "A"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — single-pass priority WIP (reference: project_01/assets/transfer.py:14-91)
+
+_PRIORITY_WIP_ORACLE = """
+SELECT
+  l.l_linestatus,
+  l.l_suppkey,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wip_qty,
+  COUNT(DISTINCT l.l_orderkey) AS lot_count,
+  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_quantity)
+    AS avg_qty_per_lot,
+  CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_priority_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag IN ('N', 'A')
+GROUP BY l.l_linestatus, l.l_suppkey
+"""
+
+
+def _lineitem_with_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+
+@register(
+    "priority_wip",
+    oracle=_PRIORITY_WIP_ORACLE,
+    tags=("parity", "agg", "join", "bench"),
+    doc="A7 single-pass: WIP aggregate + HIGH-priority conditional count in one shuffle.",
+)
+def q_priority_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_wip_aggregate(
+        _lineitem_with_priority(spark, sf_dir),
+        priority_col="o_orderpriority",
+        high_value="1-URGENT",
+        group_cols=("l_linestatus", "l_suppkey"),
+        qty_col="l_quantity",
+        lot_col="l_orderkey",
+        status_col="l_returnflag",
+        active_statuses=("N", "A"),
+    )
+
+
+@register(
+    "priority_wip_join",
+    oracle=_PRIORITY_WIP_ORACLE,
+    tags=("parity", "agg", "join"),
+    doc="A7/J1 reference-shaped variant: separate priority agg left-joined "
+    "(broadcast) onto the WIP aggregate; same result as priority_wip.",
+)
+def q_priority_wip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_wip_join(
+        _lineitem_with_priority(spark, sf_dir),
+        priority_col="o_orderpriority",
+        high_value="1-URGENT",
+        group_cols=("l_linestatus", "l_suppkey"),
+        qty_col="l_quantity",
+        lot_col="l_orderkey",
+        status_col="l_returnflag",
+        active_statuses=("N", "A"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 + F1/F2 — cycle time (reference: etl/common/assets/transfer.py:68-126)
+
+_CYCLE_ORACLE = """
+SELECT
+  o.o_orderpriority,
+  CAST(SUM(date_diff('second', o.o_orderdate, l.l_shipdate)) AS DOUBLE)
+    / COUNT(*) / 60.0 AS avg_cycle_time,
+  MIN(date_diff('second', o.o_orderdate, l.l_shipdate)) / 60.0 AS min_cycle_time,
+  MAX(date_diff('second', o.o_orderdate, l.l_shipdate)) / 60.0 AS max_cycle_time,
+  COUNT(*) AS lot_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_linestatus = 'F'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "cycle_time_stats",
+    oracle=_CYCLE_ORACLE,
+    tags=("parity", "agg", "join", "bench"),
+    doc="A3: avg/min/max cycle minutes per group; aggregates exact integer "
+    "seconds so the result is order-independent under partial aggregation.",
+)
+def q_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    df = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    return cycle_time_stats(
+        df,
+        group_cols=("o_orderpriority",),
+        start_col="o_orderdate",
+        end_col="l_shipdate",
+        lot_col="l_orderkey",
+        status_col="l_linestatus",
+        completed_value="F",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4/A5/A6 — equipment pivot (reference: etl/common/assets/transfer.py:129-174)
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_ORACLE = """
+SELECT
+  user_id % 50 AS equipment_id,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS click,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS error,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS purchase,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS signup,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS view,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+    / 1440.0 * 100.0 AS utilization_rate
+FROM events
+GROUP BY user_id % 50
+"""
+
+
+@register(
+    "equipment_pivot",
+    oracle=_PIVOT_ORACLE,
+    tags=("parity", "pivot", "bench"),
+    doc="A4+A5+A6: sum-per-type pivoted wide with a fixed value list "
+    "(deterministic columns, no distinct-collection job) + derived rate.",
+)
+def q_equipment_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "equipment_id", F.col("user_id") % 50
+    )
+    return equipment_utilization(
+        ev,
+        equipment_col="equipment_id",
+        type_col="event_type",
+        duration_col="value",
+        event_types=_EVENT_TYPES,
+        rate_numerator="purchase",
+        rate_denominator_minutes=1440.0,
+        rate_round=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4/P6-P9 — item master staging + enrichment (reference dbt models:
+# stg_cfg_item_master.sql, tfm_item_master_enriched.sql)
+
+_ITEM_ORACLE = """
+SELECT
+  CAST(p_partkey AS VARCHAR) AS item_id,
+  COALESCE(p_type, 'UNKNOWN') AS item_type,
+  COALESCE(p_name, '') AS item_name,
+  CAST(COALESCE(p_size, 0) AS INTEGER) AS item_priority,
+  p_brand,
+  p_retailprice,
+  CASE
+    WHEN COALESCE(p_size, 0) >= 40 THEN 'HIGH'
+    WHEN COALESCE(p_size, 0) >= 20 THEN 'MEDIUM'
+    ELSE 'LOW'
+  END AS priority_category,
+  (p_type IS NOT NULL AND p_type <> '') AS is_manufactured
+FROM part
+"""
+
+
+@register(
+    "item_master_enrich",
+    oracle=_ITEM_ORACLE,
+    tags=("parity", "project"),
+    doc="P4/P6-P9: null-coalescing staging + CASE bucketing + boolean flag "
+    "(the reference's two dbt models as Catalyst expressions).",
+)
+def q_item_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    staged = stage_item_master(
+        part,
+        item_id="p_partkey",
+        item_type="p_type",
+        item_name="p_name",
+        item_priority="p_size",
+    )
+    return enrich_item_master(
+        staged, prod_type_col="item_type", high_threshold=40, medium_threshold=20
+    )

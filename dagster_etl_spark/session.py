@@ -1,0 +1,64 @@
+"""SparkSession factory for the engine.
+
+The reference (bong2jjang/dagster-ETL) is single-process pandas with no
+session concept; here the session is the engine's execution context.
+Defaults are tuned for the driver harness (local[N]) but every knob is
+overridable so the same builder works on a 1000-executor cluster:
+
+* AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  replaces all of the reference's hand-tuned batch sizes
+  (reference: etl/resources/trino.py:110 batch_size=1000).
+* ``spark.sql.session.timeZone`` is explicit because the reference pins
+  partitions to a timezone (reference: etl/partitions/daily.py:11-16);
+  we default to UTC so arithmetic matches naive-timestamp oracles.
+* ``spark.sql.legacy.parquet.nanosAsLong`` — the driver fixtures are
+  pandas-written parquet with TIMESTAMP(NANOS); Spark reads those as
+  LongType and :mod:`dagster_etl_spark.sources.fixtures` restores proper
+  TimestampType columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_TZ = "UTC"
+
+
+def get_spark(
+    app_name: str = "dagster-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    timezone: str = DEFAULT_TZ,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master``/``shuffle_partitions`` default from ``SPARK_GRAFT_CPUS``
+    so tests, bench.py and the driver all agree on parallelism.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", timezone)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,75 @@
+"""Driver test-data (fixture) source.
+
+Loads the TPC-H-ish tables from ``/root/testdata/sf*/`` (TESTDATA.md).
+This is the engine's stand-in for the reference's JDBC extract layer
+(reference: etl/resources/rdb.py:64-103); the same partition-predicate
+composition applies on either source.
+
+The fixture parquet is pandas-written with TIMESTAMP(NANOS) columns,
+which Spark reads as LongType under
+``spark.sql.legacy.parquet.nanosAsLong``. We sniff the parquet footer
+with pyarrow (driver-side, one footer, cheap at any scale) and restore
+TimestampType — truncating ns→µs exactly like Spark's own reader would.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) in ``path``'s footer."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    return tuple(
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns" and f.type.tz is None
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, restoring ns-timestamp columns."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        # nanos-since-epoch long -> micros -> TimestampType (UTC session tz)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for n in TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

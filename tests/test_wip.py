@@ -1,0 +1,83 @@
+"""Unit tests for WIP operators (SURVEY A1/A2/A7/J1) on tiny frames,
+covering the pandas-parity edges from FIXTURES.md §6."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from dagster_etl_spark.operators.wip import (
+    priority_wip_aggregate,
+    priority_wip_join,
+    wip_aggregate,
+)
+
+
+def lots(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                lot_id=r[0],
+                product_code=r[1],
+                process_step=r[2],
+                quantity=float(r[3]),
+                status=r[4],
+                priority=r[5] if len(r) > 5 else None,
+            )
+            for r in rows
+        ]
+    )
+
+
+BASE = [
+    ("L1", "P1", "S1", 10, "IN_PROGRESS", "HIGH"),
+    ("L2", "P1", "S1", 20, "COMPLETED", "LOW"),
+    ("L2", "P1", "S1", 5, "COMPLETED", "HIGH"),  # same lot twice
+    ("L3", "P1", "S1", 7, "HOLD", "HIGH"),  # filtered out
+    ("L4", "P2", "S1", 40, "IN_PROGRESS", None),
+    ("L5", None, "S1", 99, "COMPLETED", "HIGH"),  # null group key -> dropped
+]
+
+
+def test_wip_aggregate_matches_pandas_semantics(spark):
+    out = wip_aggregate(lots(spark, BASE)).orderBy("process_step", "product_code")
+    rows = {(r.process_step, r.product_code): r for r in out.collect()}
+    assert set(rows) == {("S1", "P1"), ("S1", "P2")}  # null key dropped, HOLD filtered
+    r = rows[("S1", "P1")]
+    assert r.wip_qty == 35.0
+    assert r.lot_count == 2  # distinct lots L1, L2
+    assert abs(r.avg_qty_per_lot - 35.0 / 3) < 1e-12
+    assert rows[("S1", "P2")].lot_count == 1
+
+
+def test_priority_wip_single_pass_equals_join_variant(spark):
+    df = lots(spark, BASE)
+    kw = dict(
+        group_cols=("process_step", "product_code"),
+        qty_col="quantity",
+        lot_col="lot_id",
+        status_col="status",
+        active_statuses=("IN_PROGRESS", "COMPLETED"),
+    )
+    a = priority_wip_aggregate(df, priority_col="priority", **kw)
+    b = priority_wip_join(df, group_cols=kw.pop("group_cols"), priority_col="priority", **kw)
+    ka = {tuple(r) for r in a.collect()}
+    kb = {tuple(r) for r in b.collect()}
+    assert ka == kb
+    r = {(x.process_step, x.product_code): x for x in a.collect()}[("S1", "P1")]
+    assert r.high_priority_count == 2  # HOLD row excluded
+
+
+def test_priority_wip_missing_priority_column(spark):
+    df = lots(spark, BASE).drop("priority")
+    out = priority_wip_aggregate(df, priority_col="priority")
+    assert all(r.high_priority_count == 0 for r in out.collect())
+
+
+def test_wip_aggregate_empty_input(spark):
+    df = lots(spark, BASE).filter("quantity < 0")
+    assert wip_aggregate(df).count() == 0
+
+
+def test_snapshot_date_literal(spark):
+    out = wip_aggregate(lots(spark, BASE), snapshot_date="2026-08-13")
+    assert out.select("snapshot_date").distinct().collect()[0][0] == "2026-08-13"
