@@ -1,2 +1,310 @@
-"""Scale/beyond-parity queries (dedup, similarity, windows) — filled in
-as operators land."""
+"""Beyond-parity engine queries: window functions, top-k, set ops,
+single-pass validation, and TPC-H-style bench heads — each with a
+bit-exact DuckDB oracle (see registry docstring for the determinism
+rules)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dagster_etl_spark.functions import money_sum
+from dagster_etl_spark.operators.windows import rank_topk, sessionize, with_lag_gap
+from dagster_etl_spark.registry import register
+from dagster_etl_spark.sources.fixtures import load_table
+from dagster_etl_spark.validation import DataValidator
+
+# ---------------------------------------------------------------------------
+# §2.6 — sorts / limits / top-k
+
+_TOP_ORACLE = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey
+LIMIT 10
+"""
+
+
+@register(
+    "top_customers",
+    oracle=_TOP_ORACLE,
+    tags=("scale", "topk"),
+    doc="Global top-k: exact decimal spend per customer, deterministic "
+    "tiebreak; Spark executes as partial TakeOrdered, no full sort.",
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(money_sum("o_totalprice", "total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("total_spent").desc(), F.col("o_custkey"))
+        .limit(10)
+    )
+
+
+_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "order_rank_window",
+    oracle=_RANK_ORACLE,
+    tags=("scale", "window", "bench"),
+    doc="Per-group top-k via row_number (rank-limit pushdown, no global sort).",
+)
+def q_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return rank_topk(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_cols=("o_custkey",),
+        order_cols=(F.col("o_totalprice").desc(), F.col("o_orderkey")),
+        k=3,
+    )
+
+
+_LAG_ORACLE = """
+SELECT event_id, user_id, event_type,
+       LAG(event_type) OVER w AS prev_event_type,
+       date_diff('second', LAG(ts) OVER w, ts) AS gap_seconds
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register(
+    "events_lag",
+    oracle=_LAG_ORACLE,
+    tags=("scale", "window"),
+    doc="lead/lag with integer-second gaps, unique tiebreak on event_id.",
+)
+def q_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    return with_lag_gap(
+        ev, partition_col="user_id", ts_col="ts", tiebreak_col="event_id",
+        lag_cols=("event_type",),
+    ).select("event_id", "user_id", "event_type", "prev_event_type", "gap_seconds")
+
+
+_SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         date_diff('second', LAG(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM gaps
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM flagged
+GROUP BY user_id, session_seq
+"""
+
+
+@register(
+    "sessionize",
+    oracle=_SESSION_ORACLE,
+    tags=("scale", "window", "bench"),
+    doc="Batch sessionization (30-min gap), twin of streaming session window.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, user_col="user_id", ts_col="ts", tiebreak_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set ops — anti join
+
+_NO_ORDERS_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register(
+    "customers_without_urgent_orders",
+    oracle=_NO_ORDERS_ORACLE,
+    tags=("scale", "join"),
+    doc="Left-anti join (the upsert writer's core primitive, standalone).",
+)
+def q_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — validation suite as a single-pass report
+
+_VALIDATION_ORACLE = """
+SELECT 'not_null' AS rule, 'l_orderkey' AS "column",
+       COUNT(*) FILTER (l_orderkey IS NULL) = 0 AS passed,
+       CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS failed_count,
+       '' AS message
+FROM lineitem
+UNION ALL
+SELECT 'range', 'l_quantity',
+       COUNT(*) FILTER (l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) = 0,
+       CAST(COUNT(*) FILTER (l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)) AS BIGINT),
+       '[1, 30]'
+FROM lineitem
+UNION ALL
+SELECT 'values_in', 'l_returnflag',
+       COUNT(*) FILTER (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('N','A')) = 0,
+       CAST(COUNT(*) FILTER (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('N','A')) AS BIGINT),
+       ''
+FROM lineitem
+UNION ALL
+SELECT 'regex', 'l_linestatus',
+       COUNT(*) FILTER (l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$')) = 0,
+       CAST(COUNT(*) FILTER (l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$')) AS BIGINT),
+       '^[OF]$'
+FROM lineitem
+UNION ALL
+SELECT 'unique', 'l_orderkey',
+       (COUNT(*) - (COUNT(DISTINCT l_orderkey)
+         + CASE WHEN COUNT(*) FILTER (l_orderkey IS NULL) > 0 THEN 1 ELSE 0 END)) = 0,
+       CAST(COUNT(*) - (COUNT(DISTINCT l_orderkey)
+         + CASE WHEN COUNT(*) FILTER (l_orderkey IS NULL) > 0 THEN 1 ELSE 0 END) AS BIGINT),
+       ''
+FROM lineitem
+"""
+
+
+@register(
+    "validation_report",
+    oracle=_VALIDATION_ORACLE,
+    tags=("scale", "validation"),
+    doc="DataValidator rule suite compiled to ONE aggregate scan "
+    "(reference runs one pandas scan per rule).",
+)
+def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        DataValidator(li)
+        .check_not_null("l_orderkey")
+        .check_range("l_quantity", 1, 30)
+        .check_values_in("l_returnflag", ["N", "A"])
+        .check_regex("l_linestatus", "[OF]$")
+        .check_unique("l_orderkey")
+        .report_df(spark, with_samples=False)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style bench heads (exercise scan+agg and the full join tree)
+
+_PRICING_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    oracle=_PRICING_ORACLE,
+    tags=("scale", "agg", "bench"),
+    doc="TPC-H Q1-shaped pricing summary; filter reaches the parquet scan "
+    "(PushedFilters), sums exact via decimal.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_sum("l_extendedprice", "sum_base_price"),
+            F.sum(disc.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_REGIONAL_ORACLE = """
+SELECT
+  n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "regional_revenue",
+    oracle=_REGIONAL_ORACLE,
+    tags=("scale", "join", "bench"),
+    doc="TPC-H Q5-shaped star join: dims broadcast, one shuffle for the "
+    "fact-fact join, exact decimal revenue.",
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    dims = F.broadcast(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        fact.join(dims, fact.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

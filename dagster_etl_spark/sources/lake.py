@@ -1,0 +1,88 @@
+"""Lake (Parquet) storage with the reference's path contract — SURVEY §2 S4-S7.
+
+Path scheme (reference: etl/resources/s3.py:139-151):
+``{base}/project_id={tenant}/{stage}/job_name={job}/date={YYYYMMDD}/``
+with non-partitioned master data under ``.../latest/``.
+
+Differences by design: the reference writes a single ``data.parquet``
+file per partition (single-process pandas); we keep the directory
+layout but let Spark write one file per task — at 100 TB a single file
+per partition is the bottleneck, and every reader here consumes paths,
+not file names. ``coalesce(1)`` is available via ``single_file=True``
+for byte-layout parity at tiny scale only.
+
+Works against any Hadoop-supported filesystem (local, s3a, hdfs) —
+the driver environment uses local paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def partition_path(
+    base: str, tenant_id: str, stage: str, job_name: str, date: str | None
+) -> str:
+    """date 'YYYY-MM-DD' or 'YYYYMMDD' -> date=YYYYMMDD dir; None -> latest/."""
+    leaf = f"date={date.replace('-', '')}" if date else "latest"
+    return f"{base.rstrip('/')}/project_id={tenant_id}/{stage}/job_name={job_name}/{leaf}"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def write_partition(
+    df: DataFrame,
+    base: str,
+    tenant_id: str,
+    stage: str,
+    job_name: str,
+    date: str | None,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> str:
+    path = partition_path(base, tenant_id, stage, job_name, date)
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).parquet(path)
+    return path
+
+
+def read_partition(
+    spark: SparkSession, base: str, tenant_id: str, stage: str, job_name: str, date: str | None
+) -> DataFrame:
+    return spark.read.parquet(partition_path(base, tenant_id, stage, job_name, date))
+
+
+def check_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe (reference: s3.py:305-318 HEAD/404)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    """Recursive delete (reference: s3.py:320-332)."""
+    fs, hpath, _ = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    return bool(fs.delete(hpath, True))
+
+
+def list_partitions(
+    spark: SparkSession, base: str, tenant_id: str, stage: str, job_name: str
+) -> list[str]:
+    """Sorted YYYYMMDD partition keys under a job prefix (reference:
+    s3.py:228-253 prefix walk for ``date=`` dirs)."""
+    prefix = f"{base.rstrip('/')}/project_id={tenant_id}/{stage}/job_name={job_name}"
+    fs, hpath, _ = _hadoop_fs(spark, prefix)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("date="):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)

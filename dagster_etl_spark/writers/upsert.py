@@ -1,0 +1,121 @@
+"""Warehouse writers — SURVEY §2 S8-S12.
+
+The reference loads into Trino with hand-built SQL: 1000-row INSERT
+VALUES batches and a per-row DELETE loop for upserts (reference:
+etl/resources/trino.py:104-225). Both anti-patterns disappear on
+Spark: appends are distributed file/JDBC writes; the keyed upsert is a
+null-safe anti-join rewrite (or Iceberg/Delta ``MERGE INTO`` where a
+transactional catalog is configured — the production path; this
+container has plain Parquet only).
+
+Faithful semantics reproduced from the reference:
+* delete-then-insert by composite key, so duplicate keys **within the
+  source batch** insert duplicates (not collapsed to one row) —
+  reference behavior, tested;
+* NULL key values match NULL target keys (``IS NULL`` branch at
+  trino.py:206-207) -> null-safe equality ``<=>`` in the join;
+* re-running the same batch is idempotent.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dagster_etl_spark.sources.lake import check_exists, delete_path
+
+
+def with_tenant(df: DataFrame, tenant_id: str, column: str = "project_id") -> DataFrame:
+    """S12: tenant-column injection before load (reference:
+    etl/factories/asset_factory.py:380-381)."""
+    return df.withColumn(column, F.lit(tenant_id))
+
+
+def null_safe_key_condition(left: DataFrame, right: DataFrame, keys: list[str]):
+    """``l.k <=> r.k`` conjunction — NULL keys match NULL keys."""
+    return reduce(
+        lambda a, b: a & b, [left[k].eqNullSafe(right[k]) for k in keys]
+    )
+
+
+def upsert_keys_plan(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Pure-plan upsert: target rows whose key is absent from source,
+    plus ALL source rows (delete-then-insert semantics, S9).
+
+    The anti-join's right side is the distinct key set only — tiny
+    relative to the batch, so Spark broadcasts it and the target scan
+    never shuffles. At cluster scale with Iceberg this becomes
+    ``MERGE INTO t USING s ON <null-safe keys> WHEN MATCHED THEN DELETE``
+    + append, with partition-level file pruning.
+    """
+    src_keys = source.select(*keys).distinct()
+    kept = target.join(
+        F.broadcast(src_keys), on=null_safe_key_condition(target, src_keys, keys), how="left_anti"
+    )
+    return kept.unionByName(source.select(*target.columns))
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    source: DataFrame,
+    path: str,
+    keys: list[str],
+) -> dict[str, int]:
+    """Keyed upsert into a Parquet path; returns {"deleted", "inserted"}
+    like the reference (trino.py:165-225).
+
+    Parquet is not transactional, so the merge materializes to a
+    staging dir and swaps via rename — readers never see a partial
+    state under the final path.
+    """
+    inserted = source.count()
+    if not check_exists(spark, path):
+        source.write.mode("overwrite").parquet(path)
+        return {"deleted": 0, "inserted": inserted}
+
+    target = spark.read.parquet(path)
+    before = target.count()
+    merged = upsert_keys_plan(target, source, keys)
+    staging = path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+
+    fs, final_p, jvm = _fs(spark, path)
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(final_p, True)
+    fs.rename(staging_p, final_p)
+
+    after = spark.read.parquet(path).count()
+    deleted = before + inserted - after
+    return {"deleted": int(deleted), "inserted": int(inserted)}
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def append_parquet(source: DataFrame, path: str) -> int:
+    """S8 batch insert -> distributed append (no literal rendering)."""
+    n = source.count()
+    source.write.mode("append").parquet(path)
+    return n
+
+
+def truncate_parquet(spark: SparkSession, path: str) -> None:
+    """S10: truncate = delete the path (next write recreates)."""
+    delete_path(spark, path)
+
+
+def merge_delete_sql(catalog_table: str, keys: list[str]) -> str:
+    """S9 production form, phase 1 of delete-then-insert: Iceberg/Delta
+    MERGE deleting target rows whose (null-safe) key appears in the
+    source batch; phase 2 is a plain distributed append of the batch.
+    A single MERGE with UPDATE+INSERT would collapse duplicate source
+    keys — the reference deliberately re-inserts them (trino.py:165-225).
+    Emitted as SQL text only; the test container has no transactional
+    catalog."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    return f"MERGE INTO {catalog_table} t USING __source s ON {on} WHEN MATCHED THEN DELETE"
