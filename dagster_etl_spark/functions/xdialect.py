@@ -1,0 +1,133 @@
+"""Cross-dialect (Spark SQL / DuckDB) expression builders.
+
+The dedup / text-analysis / similarity operators must produce results
+the driver can compare bit-for-bit against a DuckDB oracle. Hash-based
+operators (MinHash, SimHash, fingerprints) are only comparable if both
+engines compute the *same* hash — so everything is built on md5 (hex
+output is identical everywhere) and a 60-bit integer prefix of it
+(fits BIGINT in both engines), and the expression trees are generated
+from one spec per operator with only dialect-level syntax differences.
+
+Floating-point determinism: dot products and norms are emitted as
+explicit left-associated term chains, so both engines execute the
+identical IEEE operation sequence.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def tokens(col: str, d: str) -> str:
+    """Lower-cased whitespace tokenization. Empty tokens are filtered:
+    both engines split '' into [''], which would otherwise produce a
+    phantom token for empty/whitespace-only documents."""
+    if d == SPARK:
+        raw = f"split(trim(lower({col})), '\\\\s+')"
+        return f"filter({raw}, t -> t != '')"
+    raw = f"string_split_regex(trim(lower({col})), '\\s+')"
+    return f"list_filter({raw}, t -> t != '')"
+
+
+def h60(s: str, d: str) -> str:
+    """Deterministic 60-bit hash of a string expr (md5 prefix)."""
+    if d == SPARK:
+        return f"CAST(conv(substr(md5({s}),1,15),16,10) AS BIGINT)"
+    return f"(('0x'||substr(md5({s}),1,15)))::BIGINT"
+
+
+def xform(arr: str, var: str, body: str, d: str) -> str:
+    fn = "transform" if d == SPARK else "list_transform"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def xfilter(arr: str, var: str, body: str, d: str) -> str:
+    fn = "filter" if d == SPARK else "list_filter"
+    return f"{fn}({arr}, {var} -> {body})"
+
+
+def xsize(arr: str, d: str) -> str:
+    return f"size({arr})" if d == SPARK else f"len({arr})"
+
+
+def xmin(arr: str, d: str) -> str:
+    return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
+
+
+def xsum_int(arr: str, d: str) -> str:
+    """Exact integer sum of an int array -> BIGINT."""
+    if d == SPARK:
+        return f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    return f"CAST(list_sum({arr}) AS BIGINT)"
+
+
+def idx(arr: str, i: int, d: str) -> str:
+    """0-based element access (DuckDB lists are 1-based)."""
+    return f"{arr}[{i}]" if d == SPARK else f"{arr}[{i + 1}]"
+
+
+def idx_var(arr: str, ivar: str, d: str, offset: int = 0) -> str:
+    """Element access with a 0-based loop variable ``ivar``."""
+    off = f" + {offset}" if offset else ""
+    if d == SPARK:
+        return f"{arr}[{ivar}{off}]"
+    return f"{arr}[{ivar}{off} + 1]"
+
+
+def zero_range(n_expr: str, d: str) -> str:
+    """Array [0, 1, ..., n-1] (guarded empty when n <= 0)."""
+    if d == SPARK:
+        return f"CASE WHEN {n_expr} > 0 THEN sequence(0, {n_expr} - 1) ELSE array() END"
+    return f"CASE WHEN {n_expr} > 0 THEN range(0, {n_expr}) ELSE [] END"
+
+
+def distinct(arr: str, d: str) -> str:
+    return f"array_distinct({arr})" if d == SPARK else f"list_distinct({arr})"
+
+
+def concat_arrays(a: str, b: str, d: str) -> str:
+    return f"concat({a}, {b})" if d == SPARK else f"list_concat({a}, {b})"
+
+
+def intersect(a: str, b: str, d: str) -> str:
+    return f"array_intersect({a}, {b})" if d == SPARK else f"list_intersect({a}, {b})"
+
+
+def shingles(tok: str, k: int, d: str) -> str:
+    """Distinct k-word shingles of a token array (space-joined).
+
+    ``tok`` MUST be a simple column reference to a pre-materialized
+    token array, not an inline tokenize expression: this expression
+    references ``tok`` 2 + k*size times, and engines do not reliably
+    CSE inside array lambdas — an inlined tokenizer would re-split the
+    text thousands of times per row.
+    """
+    n = f"({xsize(tok, d)} - {k - 1})"
+    if d == SPARK:
+        parts = ", ".join(idx_var(tok, "i", d, j) for j in range(k))
+        body = f"concat_ws(' ', {parts})"
+    else:
+        body = " || ' ' || ".join(idx_var(tok, "i", d, j) for j in range(k))
+    return distinct(xform(zero_range(n, d), "i", body, d), d)
+
+
+def dot_chain(a: str, b: str, dim: int, d: str) -> str:
+    """Explicit left-associated dot product over float arrays -> double."""
+    terms = [
+        f"CAST({idx(a, i, d)} AS DOUBLE) * CAST({idx(b, i, d)} AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def norm_chain(a: str, dim: int, d: str) -> str:
+    terms = [
+        f"CAST({idx(a, i, d)} AS DOUBLE) * CAST({idx(a, i, d)} AS DOUBLE)"
+        for i in range(dim)
+    ]
+    return "sqrt(" + " + ".join(terms) + ")"
+
+
+def cosine(a: str, b: str, dim: int, d: str) -> str:
+    return f"({dot_chain(a, b, dim, d)} / ({norm_chain(a, dim, d)} * {norm_chain(b, dim, d)}))"

@@ -1,0 +1,291 @@
+"""Deduplication operators for training-data pipelines: exact dedup,
+n-gram Jaccard similarity join, MinHash+LSH near-dup, SimHash banding,
+and embedding-cosine near-dup.
+
+Scale design
+------------
+* **Exact** — one hash-groupBy; the canonical-row pick is a min
+  aggregate, no window needed.
+* **MinHash** — signatures are computed *per row* with array lambdas
+  (``array_min`` over shingle hashes): zero shuffles for signature
+  construction, unlike the classic explode→groupBy formulation which
+  shuffles every (doc, shingle) pair. Banding then joins only docs
+  sharing a band hash — the candidate set, not the cross product.
+* **SimHash** — banded the same way; Hamming distance via
+  ``bit_count(a ^ b)`` on the join output only.
+* **Embedding near-dup** — explicit-chain cosine (see xdialect) over a
+  banded or bounded candidate set; the all-pairs form is for oracle
+  parity and tests, LSH buckets are the 100 TB path (similarity.py).
+
+All hashing is md5-based so DuckDB oracles reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dagster_etl_spark.functions import xdialect as x
+
+
+# -- exact dedup -------------------------------------------------------------
+
+def exact_dedup_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical normalized texts: canonical id + copy count."""
+    fp = f"md5(trim(lower({text_col})))"
+    return (
+        df.selectExpr(f"{fp} AS fp", id_col)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per identical text (deterministic, no window:
+    semi-join on the canonical ids)."""
+    canon = exact_dedup_stats(df, text_col, id_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(canon, on=id_col, how="left_semi")
+
+
+# -- shingle / MinHash machinery ---------------------------------------------
+
+def shingled(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Two-stage: materialize the token array, then shingle it — the
+    shingle expression indexes the token column many times and must not
+    re-tokenize per access."""
+    staged = df.selectExpr(id_col, f"{x.tokens(text_col, x.SPARK)} AS _tok")
+    return staged.selectExpr(id_col, f"{x.shingles('_tok', k, x.SPARK)} AS shingles")
+
+
+def _affine_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing, derived from
+    md5 so every engine/run agrees. a odd, a,b < 2^30 so
+    a*h32 + b < 2^63 never overflows signed 64-bit (ANSI-safe)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"minhash:{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) % (1 << 30)) | 1
+        b = int(h[8:16], 16) % (1 << 30)
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes_expr(shingle_col: str, d: str) -> str:
+    """One 60-bit md5 hash per shingle — the ONLY md5 pass; signatures
+    derive from it with integer arithmetic."""
+    return x.xform(shingle_col, "s", x.h60("s", d), d)
+
+
+def minhash_signature_exprs(
+    hash_col: str, d: str, num_hashes: int = 16
+) -> list[str]:
+    """sig_i = min over shingle hashes of the i-th affine transform
+    (a_i*h32 + b_i) & 0xFFFFFFFF. One md5 pass total instead of
+    ``num_hashes`` — at 5k docs x 52 shingles this is the difference
+    between 0.3M and 4M md5 evaluations per side."""
+    out = []
+    for i, (a, b) in enumerate(_affine_constants(num_hashes)):
+        body = f"(({a} * (h & 4294967295) + {b}) & 4294967295)"
+        out.append(f"{x.xmin(x.xform(hash_col, 'h', body, d), d)} AS sig{i}")
+    return out
+
+
+def band_exprs(d: str, num_hashes: int = 16, bands: int = 4) -> list[str]:
+    rows = num_hashes // bands
+    out = []
+    for b in range(bands):
+        cols = [f"sig{b * rows + r}" for r in range(rows)]
+        if d == x.SPARK:
+            joined = "concat_ws(',', " + ", ".join(cols) + ")"
+        else:
+            joined = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        out.append(f"md5({joined}) AS band{b}")
+    return out
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash+LSH candidate generation, verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >=
+    threshold. Candidates are pairs agreeing on >= 1 of ``bands`` band
+    hashes; the exact Jaccard pass removes false positives (false
+    negatives are the documented LSH trade-off).
+    """
+    sh = shingled(df, text_col, id_col, k).filter(F.expr("size(shingles) > 0"))
+    # hs: distinct shingle-hash sets — one md5 pass; reused for both the
+    # signatures and the exact-Jaccard verify (set semantics unchanged,
+    # md5 collisions at 60 bits are negligible)
+    hashed = sh.selectExpr(
+        id_col, f"{shingle_hashes_expr('shingles', x.SPARK)} AS hs"
+    )
+    sigs = hashed.selectExpr(
+        id_col, "hs", *minhash_signature_exprs("hs", x.SPARK, num_hashes)
+    )
+    banded = sigs.selectExpr(id_col, *band_exprs(x.SPARK, num_hashes, bands))
+
+    # slim candidate join: one row per (doc, band), ids only — shingle
+    # arrays are NOT shuffled through the pair join/dedup
+    band_arr = "array(" + ", ".join(f"band{b}" for b in range(bands)) + ")"
+    melted = banded.selectExpr(
+        id_col, f"posexplode({band_arr}) AS (band_idx, bh)"
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # verify: re-attach hash sets for the (few) candidates only
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    jac = (
+        "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) / "
+        "size(array_distinct(concat(hs_a, hs_b)))"
+    )
+    return (
+        cands.join(ha, on="id_a")
+        .join(hb, on="id_b")
+        .selectExpr("id_a", "id_b", f"{jac} AS jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exhaustive n-gram Jaccard similarity join (ground truth for the
+    LSH variant): explode shingles, join on shingle, count
+    intersections, compute |A∩B| / (|A| + |B| - |A∩B|)."""
+    sh = shingled(df, text_col, id_col, k).filter(F.expr("size(shingles) > 0"))
+    sized = sh.selectExpr(id_col, "shingles", "size(shingles) AS n_sh")
+    ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("s"))
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.selectExpr(
+            "id_a",
+            "id_b",
+            "CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash near-dup ---------------------------------------------------------
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash banding: pairs sharing any of ``bands`` byte-bands of the
+    simhash, kept when Hamming distance <= max_hamming."""
+    from dagster_etl_spark.operators.text import (
+        simhash_from_hashes_expr,
+        token_hashes_expr,
+    )
+
+    # two-stage: token-hash array once, simhash bit votes over it
+    staged = df.selectExpr(id_col, f"{token_hashes_expr(text_col, x.SPARK)} AS _ht")
+    hashed = staged.selectExpr(
+        id_col, f"{simhash_from_hashes_expr('_ht', x.SPARK, bits)} AS simhash"
+    )
+    width = bits // bands
+    mask = (1 << width) - 1
+    # shiftright(): the multi-alias `AS (band_idx, bh)` parser path
+    # rejects the `>>` operator
+    band_arr = "array(" + ", ".join(
+        f"shiftright(simhash, {b * width}) & {mask}" for b in range(bands)
+    ) + ")"
+    melted = hashed.selectExpr(
+        id_col, "simhash", f"posexplode({band_arr}) AS (band_idx, bh)"
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cands.selectExpr(
+        "id_a", "id_b", "CAST(bit_count(h_a ^ h_b) AS INT) AS hamming"
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# -- embedding near-dup --------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.9,
+    max_id: int | None = None,
+) -> DataFrame:
+    """All-pairs cosine near-dup over a bounded id range (oracle-exact
+    explicit-chain cosine). For unbounded corpora use the LSH-bucketed
+    path in similarity.py — this quadratic form is the verifier."""
+    if max_id is not None:
+        df = df.filter(F.col(id_col) < max_id)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = x.cosine("va", "vb", dim, x.SPARK)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .selectExpr("id_a", "id_b", f"{cos} AS cosine")
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+quality scoring, token statistics, language-ID scoring, and document
+fingerprinting (md5 + SimHash).
+
+Everything compiles to built-in JVM expressions (no Python UDFs): token
+arrays via ``split``, per-token hashing via md5-prefix integers, SimHash
+bit votes via array-lambda integer sums. Per-row cost is O(tokens ×
+simhash_bits) with zero shuffles — embarrassingly parallel at 100 TB.
+
+Expressions are emitted via :mod:`dagster_etl_spark.functions.xdialect`
+so the DuckDB oracles run the *identical* computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dagster_etl_spark.functions import xdialect as x
+
+# Tiny built-in stopword list (English function words); real deployments
+# pass their own.
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
+
+LANGS = ("en", "es", "de", "fr", "zh")
+
+
+def _stopword_pred(var: str) -> str:
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"{var} IN ({quoted})"
+
+
+def doc_stats_exprs(text_col: str, d: str, tok: str | None = None) -> dict[str, str]:
+    """Named expressions for token/char/punctuation/stopword statistics
+    and a composite quality score. All ratios are double divisions of
+    exact integer counts -> engine-identical.
+
+    Pass ``tok`` (a pre-materialized token-array column) to avoid
+    re-tokenizing per sub-expression — engines don't reliably CSE the
+    inline form.
+    """
+    tok = tok or x.tokens(text_col, d)
+    n_tok = x.xsize(tok, d)
+    tok_lens = x.xform(tok, "t", "length(t)", d)
+    sum_len = x.xsum_int(tok_lens, d)
+    n_stop = x.xsize(x.xfilter(tok, "t", _stopword_pred("t"), d), d)
+    n_chars = f"length({text_col})"
+    if d == x.SPARK:
+        stripped = f"regexp_replace({text_col}, '[a-z0-9 ]', '')"
+    else:
+        stripped = f"regexp_replace({text_col}, '[a-z0-9 ]', '', 'g')"
+    n_punct = f"length({stripped})"  # stripped keeps only non-[a-z0-9 ] chars
+    # NULLIF guards: empty documents yield NULL ratios (not a crash under
+    # ANSI mode, not a div-by-zero Inf) — identical in DuckDB.
+    tok_den = f"NULLIF({n_tok}, 0)"
+    chr_den = f"NULLIF({n_chars}, 0)"
+    return {
+        "n_tokens": f"CAST({n_tok} AS BIGINT)",
+        "n_chars": f"CAST({n_chars} AS BIGINT)",
+        "avg_token_len": f"CAST({sum_len} AS DOUBLE) / {tok_den}",
+        "punct_ratio": f"CAST({n_punct} AS DOUBLE) / {chr_den}",
+        "stopword_ratio": f"CAST({n_stop} AS DOUBLE) / {tok_den}",
+        "quality_score": (
+            f"0.4 * LEAST(1.0, CAST({n_tok} AS DOUBLE) / 100.0)"
+            f" + 0.3 * (CAST({n_stop} AS DOUBLE) / {tok_den})"
+            f" + 0.3 * (1.0 - CAST({n_punct} AS DOUBLE) / {chr_den})"
+        ),
+    }
+
+
+def lang_score_exprs(text_col: str, d: str, tok: str | None = None) -> dict[str, str]:
+    """Language-ID by profile-overlap scoring with a deterministic
+    argmax. Profiles here are synthetic (token-hash buckets) because the
+    driver fixtures share one vocabulary across language labels; swap
+    ``_profile_pred`` for real per-language lexicons in production —
+    the scoring/argmax machinery is identical."""
+    tok = tok or x.tokens(text_col, d)
+    exprs: dict[str, str] = {}
+    for i, lang in enumerate(LANGS):
+        pred = f"({x.h60('t', d)} % 5) = {i}"
+        exprs[f"score_{lang}"] = f"CAST({x.xsize(x.xfilter(tok, 't', pred, d), d)} AS BIGINT)"
+    # deterministic argmax with fixed precedence order
+    cases = []
+    for i, lang in enumerate(LANGS):
+        others = [f"score_{l2}" for l2 in LANGS if l2 != lang]
+        cond = " AND ".join(f"score_{lang} >= {o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    exprs["predicted_lang"] = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return exprs
+
+
+def token_hashes_expr(text_col: str, d: str) -> str:
+    """Array of per-token 60-bit hashes — compute ONCE and feed
+    :func:`simhash_from_hashes_expr`; inlining it per bit would md5
+    every token ``bits`` times over."""
+    return x.xform(x.tokens(text_col, d), "t", x.h60("t", d), d)
+
+
+def simhash_from_hashes_expr(ht_col: str, d: str, bits: int = 32) -> str:
+    """SimHash over a precomputed token-hash array: per-bit ±1 votes
+    summed with exact integer arithmetic, positive votes set the bit."""
+    parts = []
+    for j in range(bits):
+        vote = x.xsum_int(
+            x.xform(ht_col, "h", f"CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END", d), d
+        )
+        parts.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def simhash_expr(text_col: str, d: str, bits: int = 32) -> str:
+    """SimHash straight from a text column (use only where the engine
+    evaluates the expression once, e.g. inside a CTE)."""
+    return simhash_from_hashes_expr(token_hashes_expr(text_col, d), d, bits)
+
+
+def norm_md5_expr(text_col: str, d: str) -> str:
+    norm = f"trim(lower({text_col}))"
+    if d == x.SPARK:
+        collapsed = f"regexp_replace({norm}, '\\\\s+', ' ')"
+    else:
+        collapsed = f"regexp_replace({norm}, '\\s+', ' ', 'g')"
+    return f"md5({collapsed})"
+
+
+def fingerprints_oracle_sql(table: str = "documents", bits: int = 32) -> str:
+    """DuckDB twin of :func:`fingerprints`: identical two-stage shape
+    (token hashes materialized once in a subquery)."""
+    return (
+        f"SELECT doc_id, {norm_md5_expr('text', x.DUCK)} AS fp_md5,\n"
+        f"  {simhash_from_hashes_expr('_ht', x.DUCK, bits)} AS simhash\n"
+        f"FROM (SELECT doc_id, text, {token_hashes_expr('text', x.DUCK)} AS _ht FROM {table})"
+    )
+
+
+# -- DataFrame-facing operators ---------------------------------------------
+
+def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.selectExpr(id_col, text_col, f"{x.tokens(text_col, x.SPARK)} AS _tok")
+
+
+def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    e = doc_stats_exprs(text_col, x.SPARK, tok="_tok")
+    return _with_tokens(df, text_col, id_col).selectExpr(
+        id_col, *[f"{expr} AS {name}" for name, expr in e.items()]
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    e = lang_score_exprs(text_col, x.SPARK, tok="_tok")
+    return _with_tokens(df, text_col, id_col).selectExpr(
+        id_col, *[f"{expr} AS {name}" for name, expr in e.items()]
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """md5 content fingerprint + SimHash. Two-stage projection so the
+    token-hash array is computed once, not once per simhash bit."""
+    staged = df.selectExpr(
+        id_col,
+        text_col,
+        f"{token_hashes_expr(text_col, x.SPARK)} AS _ht",
+    )
+    return staged.selectExpr(
+        id_col,
+        f"{norm_md5_expr(text_col, x.SPARK)} AS fp_md5",
+        f"{simhash_from_hashes_expr('_ht', x.SPARK, bits)} AS simhash",
+    )

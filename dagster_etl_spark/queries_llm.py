@@ -1,0 +1,224 @@
+"""Near-dup and similarity-search queries (the 100 TB training-data
+operators). DuckDB oracles are generated from the same cross-dialect
+spec as the Spark plans, so LSH candidate sets and cosine chains match
+bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dagster_etl_spark.functions import xdialect as x
+from dagster_etl_spark.operators.dedup import (
+    band_exprs,
+    embedding_neardup_pairs,
+    minhash_neardup_pairs,
+    minhash_signature_exprs,
+    ngram_jaccard_pairs,
+    shingle_hashes_expr,
+    simhash_neardup_pairs,
+)
+from dagster_etl_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from dagster_etl_spark.operators.text import simhash_expr
+from dagster_etl_spark.registry import register
+from dagster_etl_spark.sources.fixtures import load_table
+
+JACCARD_T = 0.2
+EMB_DIM = 64
+NEARDUP_COS_T = 0.35  # fixture embeddings are near-random (max pair 0.51)
+NEARDUP_MAX_ID = 300
+
+
+def _duck_shingle_rel(k: int = 3) -> str:
+    """Staged-token shingle relation (doc_id, shingles) — same two-stage
+    shape as operators.dedup.shingled."""
+    staged = f"SELECT doc_id, {x.tokens('text', x.DUCK)} AS _tok FROM documents"
+    return (
+        f"(SELECT doc_id, {x.shingles('_tok', k, x.DUCK)} AS shingles FROM ({staged}))"
+    )
+
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT * FROM {_duck_shingle_rel()}
+), sized AS (
+  SELECT doc_id, len(shingles) AS n_sh, shingles FROM sh WHERE len(shingles) > 0
+), ex AS (
+  SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / (na + nb - n_inter) AS jaccard
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter) >= {JACCARD_T}
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_NGRAM_ORACLE,
+    tags=("llm", "dedup"),
+    doc="Exhaustive 3-gram Jaccard similarity join (ground truth for LSH).",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    sig_cols = ",\n         ".join(minhash_signature_exprs("hs", x.DUCK, num_hashes))
+    band_cols = ",\n         ".join(band_exprs(x.DUCK, num_hashes, bands))
+    unions = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+        f" FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT * FROM {_duck_shingle_rel()}
+), hashed AS (
+  SELECT doc_id, {shingle_hashes_expr('shingles', x.DUCK)} AS hs
+  FROM sh WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id, hs,
+         {sig_cols}
+  FROM hashed
+), banded AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM sigs
+), cands AS (
+{unions}
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+  FROM cands c
+  JOIN hashed a ON a.doc_id = c.id_a
+  JOIN hashed b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+
+@register(
+    "minhash_neardup",
+    oracle=_minhash_oracle(),
+    tags=("llm", "dedup", "bench"),
+    doc="MinHash(16)+LSH(4 bands) near-dup: per-row array-lambda "
+    "signatures (no shuffle), band-hash join for candidates, exact "
+    "Jaccard verification.",
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
+def _simhash_oracle(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    sim = simhash_expr("text", x.DUCK, bits)
+    band_cols = ",\n         ".join(
+        f"((simhash >> {b * width}) & {mask}) AS band{b}" for b in range(bands)
+    )
+    unions = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS h_a, b.simhash AS h_b"
+        f" FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {sim} AS simhash FROM documents
+), banded AS (
+  SELECT doc_id, simhash,
+         {band_cols}
+  FROM hashed
+), cands AS (
+{unions}
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
+
+
+@register(
+    "simhash_neardup",
+    oracle=_simhash_oracle(),
+    tags=("llm", "dedup"),
+    doc="SimHash(32-bit) banding near-dup with Hamming<=3 verification.",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {x.cosine('q.qv', 'c.embedding', EMB_DIM, x.DUCK)} AS cosine
+  FROM q, embeddings c
+  WHERE q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=_ANN_ORACLE,
+    tags=("llm", "similarity", "bench"),
+    doc="Brute-force cosine top-10 for 5 query vectors: broadcast query "
+    "side, explicit left-assoc dot chains (engine-identical doubles).",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+
+
+_EMB_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {x.cosine('a.embedding', 'b.embedding', EMB_DIM, x.DUCK)} AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < {NEARDUP_MAX_ID} AND b.vec_id < {NEARDUP_MAX_ID}
+  AND a.vec_id < b.vec_id
+  AND {x.cosine('a.embedding', 'b.embedding', EMB_DIM, x.DUCK)} >= {NEARDUP_COS_T}
+"""
+
+
+@register(
+    "embedding_neardup",
+    oracle=_EMB_NEARDUP_ORACLE,
+    tags=("llm", "dedup"),
+    doc="Embedding-cosine near-dup pairs over a bounded id range "
+    "(quadratic verifier; LSH buckets are the scale path).",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        threshold=NEARDUP_COS_T,
+        max_id=NEARDUP_MAX_ID,
+    )
+
+
+@register(
+    "lsh_ann_topk",
+    oracle=None,  # approximate by design; recall gate lives in tests
+    tags=("llm", "similarity"),
+    doc="Multi-table LSH approximate cosine top-10 (8 tables x 4 "
+    "hyperplanes); recall vs brute force asserted in tests.",
+)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)

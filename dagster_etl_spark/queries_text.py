@@ -1,2 +1,81 @@
-"""Text-analysis queries (lang-id, quality, tokens, fingerprints) —
-filled in as operators land."""
+"""Text-analysis queries over the ``documents`` fixture table, each with
+a DuckDB oracle generated from the same cross-dialect expression spec
+(functions/xdialect.py) — both engines compute the identical md5-based
+hashes and ratio arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dagster_etl_spark.functions import xdialect as x
+from dagster_etl_spark.operators.dedup import exact_dedup_stats
+from dagster_etl_spark.operators.text import (
+    doc_stats,
+    doc_stats_exprs,
+    fingerprints,
+    fingerprints_oracle_sql,
+    lang_id,
+    lang_score_exprs,
+)
+from dagster_etl_spark.registry import register
+from dagster_etl_spark.sources.fixtures import load_table
+
+
+def _oracle_select(exprs: dict[str, str], table: str = "documents", id_col: str = "doc_id") -> str:
+    """Mirror of the operators' two-stage shape: token array staged in a
+    subquery, stats computed over the ``_tok`` column."""
+    cols = ",\n  ".join(f"{e} AS {name}" for name, e in exprs.items())
+    staged = f"SELECT {id_col}, text, {x.tokens('text', x.DUCK)} AS _tok FROM {table}"
+    return f"SELECT {id_col},\n  {cols}\nFROM ({staged})"
+
+
+@register(
+    "doc_stats",
+    oracle=_oracle_select(doc_stats_exprs("text", x.DUCK, tok="_tok")),
+    tags=("llm", "text", "bench"),
+    doc="Token/char/punct/stopword statistics + composite quality score, "
+    "all built-in expressions (no UDF), per-row, shuffle-free.",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    oracle=_oracle_select(lang_score_exprs("text", x.DUCK, tok="_tok")),
+    tags=("llm", "text"),
+    doc="Language-ID profile scoring with deterministic argmax "
+    "(synthetic hash-bucket profiles; production swaps in lexicons).",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=fingerprints_oracle_sql(),
+    tags=("llm", "text", "bench"),
+    doc="md5 content fingerprint + 32-bit SimHash from per-token 60-bit "
+    "hash bit votes (exact integer arithmetic).",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(trim(lower(text))) AS fp,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(lower(text)))
+"""
+
+
+@register(
+    "exact_dedup",
+    oracle=_EXACT_DEDUP_ORACLE,
+    tags=("llm", "dedup"),
+    doc="Exact dedup: hash-groupBy with min-id canonical pick.",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    from dagster_etl_spark import queries_llm  # noqa: F401
     from dagster_etl_spark import queries_parity  # noqa: F401
     from dagster_etl_spark import queries_scale  # noqa: F401
     from dagster_etl_spark import queries_text  # noqa: F401
