@@ -59,11 +59,16 @@ def drop_exact_duplicates(
 # -- shingle / MinHash machinery ---------------------------------------------
 
 def shingled(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Two-stage: materialize the token array, then shingle it — the
-    shingle expression indexes the token column many times and must not
-    re-tokenize per access."""
-    staged = df.selectExpr(id_col, f"{x.tokens(text_col, x.SPARK)} AS _tok")
-    return staged.selectExpr(id_col, f"{x.shingles('_tok', k, x.SPARK)} AS shingles")
+    """Shingles in ONE let-bound expression: the token array is a lambda
+    argument, so it is materialized once per row no matter how many
+    times the shingle body indexes it. (A staged ``_tok`` projection
+    does NOT survive Catalyst — CollapseProject inlines it into every
+    access, re-running the regex split ~3x per shingle; measured 8x
+    slowdown on the MinHash chain at sf0.1.)"""
+    expr = x.let(
+        x.tokens(text_col, x.SPARK), "_t", x.shingles("_t", k, x.SPARK), x.SPARK
+    )
+    return df.selectExpr(id_col, f"{expr} AS shingles")
 
 
 def _affine_constants(num_hashes: int) -> list[tuple[int, int]]:
@@ -114,6 +119,34 @@ def band_exprs(d: str, num_hashes: int = 16, bands: int = 4) -> list[str]:
     return out
 
 
+def minhash_sig_array_expr(hash_var: str, d: str, num_hashes: int = 16) -> str:
+    """All ``num_hashes`` signatures as one array expression over a
+    let-bound hash-array variable (single evaluation of the md5 pass)."""
+    items = ", ".join(
+        x.xmin(
+            x.xform(hash_var, "h", f"(({a} * (h & 4294967295) + {b}) & 4294967295)", d), d
+        )
+        for a, b in _affine_constants(num_hashes)
+    )
+    return f"array({items})" if d == x.SPARK else f"[{items}]"
+
+
+def band_array_expr(sig_var: str, d: str, num_hashes: int = 16, bands: int = 4) -> str:
+    """Band hashes as one array expression over a let-bound signature
+    array variable."""
+    rows = num_hashes // bands
+    items = []
+    for b in range(bands):
+        cols = [x.idx(sig_var, b * rows + r, d) for r in range(rows)]
+        if d == x.SPARK:
+            joined = "concat_ws(',', " + ", ".join(cols) + ")"
+        else:
+            joined = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        items.append(f"md5({joined})")
+    body = ", ".join(items)
+    return f"array({body})" if d == x.SPARK else f"[{body}]"
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -130,23 +163,37 @@ def minhash_neardup_pairs(
     hashes; the exact Jaccard pass removes false positives (false
     negatives are the documented LSH trade-off).
     """
-    sh = shingled(df, text_col, id_col, k).filter(F.expr("size(shingles) > 0"))
+    # pre-filter on token count (cheap, no md5): equivalent to
+    # size(shingles) > 0 but avoids pushdown re-inlining the full
+    # shingle+md5 chain into the predicate
+    tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
+    sh = shingled(df.filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k)
     # hs: distinct shingle-hash sets — one md5 pass; reused for both the
     # signatures and the exact-Jaccard verify (set semantics unchanged,
     # md5 collisions at 60 bits are negligible)
     hashed = sh.selectExpr(
-        id_col, f"{shingle_hashes_expr('shingles', x.SPARK)} AS hs"
+        id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
     )
-    sigs = hashed.selectExpr(
-        id_col, "hs", *minhash_signature_exprs("hs", x.SPARK, num_hashes)
+    # signatures + bands in ONE nested-let expression: the token/shingle/
+    # md5 chain is evaluated exactly once per row even after Catalyst
+    # collapses the projections
+    bands_expr = x.let(
+        "hs",
+        "_h",
+        x.let(
+            minhash_sig_array_expr("_h", x.SPARK, num_hashes),
+            "_g",
+            band_array_expr("_g", x.SPARK, num_hashes, bands),
+            x.SPARK,
+        ),
+        x.SPARK,
     )
-    banded = sigs.selectExpr(id_col, *band_exprs(x.SPARK, num_hashes, bands))
+    banded = hashed.selectExpr(id_col, f"{bands_expr} AS bands")
 
     # slim candidate join: one row per (doc, band), ids only — shingle
     # arrays are NOT shuffled through the pair join/dedup
-    band_arr = "array(" + ", ".join(f"band{b}" for b in range(bands)) + ")"
     melted = banded.selectExpr(
-        id_col, f"posexplode({band_arr}) AS (band_idx, bh)"
+        id_col, "posexplode(bands) AS (band_idx, bh)"
     )
     a, b = melted.alias("a"), melted.alias("b")
     cands = (
@@ -187,7 +234,8 @@ def ngram_jaccard_pairs(
     """Exhaustive n-gram Jaccard similarity join (ground truth for the
     LSH variant): explode shingles, join on shingle, count
     intersections, compute |A∩B| / (|A| + |B| - |A∩B|)."""
-    sh = shingled(df, text_col, id_col, k).filter(F.expr("size(shingles) > 0"))
+    tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
+    sh = shingled(df.filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k)
     sized = sh.selectExpr(id_col, "shingles", "size(shingles) AS n_sh")
     ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("s"))
     a = ex.select(
@@ -229,11 +277,15 @@ def simhash_neardup_pairs(
         token_hashes_expr,
     )
 
-    # two-stage: token-hash array once, simhash bit votes over it
-    staged = df.selectExpr(id_col, f"{token_hashes_expr(text_col, x.SPARK)} AS _ht")
-    hashed = staged.selectExpr(
-        id_col, f"{simhash_from_hashes_expr('_ht', x.SPARK, bits)} AS simhash"
+    # let-bound token-hash array: md5'd once per row, referenced by all
+    # ``bits`` vote sums (a staged projection would be re-inlined per bit)
+    sim = x.let(
+        token_hashes_expr(text_col, x.SPARK),
+        "_ht",
+        simhash_from_hashes_expr("_ht", x.SPARK, bits),
+        x.SPARK,
     )
+    hashed = df.selectExpr(id_col, f"{sim} AS simhash")
     width = bits // bands
     mask = (1 << width) - 1
     # shiftright(): the multi-alias `AS (band_idx, bh)` parser path

@@ -72,10 +72,14 @@ def lsh_bucket_expr(vec_col: str, dim: int, planes: int, table: int = 0) -> str:
     parts = [f"{table * (1 << planes)}"]
     for p in range(planes):
         hp = _hyperplane(table * planes + p, dim)
-        terms = " + ".join(
-            f"CAST({vec_col}[{i}] AS DOUBLE) * ({hp[i]!r})" for i in range(dim)
+        arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in hp) + ")"
+        # fold form keeps the expression tree O(1) deep per plane so the
+        # 32-plane bucket array stays inside whole-stage codegen
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (e, w) -> "
+            f"CAST(e AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        parts.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << p} ELSE 0 END)")
+        parts.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
 
 

@@ -100,8 +100,11 @@ def simhash_from_hashes_expr(ht_col: str, d: str, bits: int = 32) -> str:
     summed with exact integer arithmetic, positive votes set the bit."""
     parts = []
     for j in range(bits):
+        # Spark's lambda-body parser rejects `>>`; shiftright() is the
+        # function form (DuckDB has no shiftright, keeps the operator)
+        bit = f"(shiftright(h, {j}) & 1)" if d == x.SPARK else f"((h >> {j}) & 1)"
         vote = x.xsum_int(
-            x.xform(ht_col, "h", f"CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END", d), d
+            x.xform(ht_col, "h", f"CASE WHEN {bit} = 1 THEN 1 ELSE -1 END", d), d
         )
         parts.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
     return "(" + " + ".join(parts) + ")"
@@ -133,37 +136,45 @@ def fingerprints_oracle_sql(table: str = "documents", bits: int = 32) -> str:
 
 
 # -- DataFrame-facing operators ---------------------------------------------
+#
+# Each output column that uses the token array let-binds it
+# (xdialect.let): Catalyst's CollapseProject re-inlines staged token
+# columns into every reference, so a staged ``_tok`` projection would
+# re-tokenize per access; the lambda argument is materialized once.
 
-def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.selectExpr(id_col, text_col, f"{x.tokens(text_col, x.SPARK)} AS _tok")
+def _let_cols(exprs: dict[str, str], text_col: str, var: str) -> list[str]:
+    bound = x.tokens(text_col, x.SPARK)
+    out = []
+    for name, expr in exprs.items():
+        if var in expr:
+            expr = x.let(bound, var, expr, x.SPARK)
+        out.append(f"{expr} AS {name}")
+    return out
 
 
 def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    e = doc_stats_exprs(text_col, x.SPARK, tok="_tok")
-    return _with_tokens(df, text_col, id_col).selectExpr(
-        id_col, *[f"{expr} AS {name}" for name, expr in e.items()]
-    )
+    e = doc_stats_exprs(text_col, x.SPARK, tok="_t")
+    return df.selectExpr(id_col, *_let_cols(e, text_col, "_t"))
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    e = lang_score_exprs(text_col, x.SPARK, tok="_tok")
-    return _with_tokens(df, text_col, id_col).selectExpr(
-        id_col, *[f"{expr} AS {name}" for name, expr in e.items()]
-    )
+    e = lang_score_exprs(text_col, x.SPARK, tok="_t")
+    return df.selectExpr(id_col, *_let_cols(e, text_col, "_t"))
 
 
 def fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    """md5 content fingerprint + SimHash. Two-stage projection so the
-    token-hash array is computed once, not once per simhash bit."""
-    staged = df.selectExpr(
-        id_col,
-        text_col,
-        f"{token_hashes_expr(text_col, x.SPARK)} AS _ht",
+    """md5 content fingerprint + SimHash; the token-hash array is
+    let-bound so it is md5'd once, not once per simhash bit."""
+    sim = x.let(
+        token_hashes_expr(text_col, x.SPARK),
+        "_ht",
+        simhash_from_hashes_expr("_ht", x.SPARK, bits),
+        x.SPARK,
     )
-    return staged.selectExpr(
+    return df.selectExpr(
         id_col,
         f"{norm_md5_expr(text_col, x.SPARK)} AS fp_md5",
-        f"{simhash_from_hashes_expr('_ht', x.SPARK, bits)} AS simhash",
+        f"{sim} AS simhash",
     )
