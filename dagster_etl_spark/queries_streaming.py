@@ -1,0 +1,64 @@
+"""Streaming queries — Structured Streaming plans executed to
+completion (availableNow) so the driver can compare them against batch
+DuckDB oracles. SURVEY §2.7: the reference is batch-only; these are the
+engine's streaming extension over the ``events`` fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dagster_etl_spark.registry import register
+from dagster_etl_spark.streaming.stateful import streaming_user_sessions
+from dagster_etl_spark.streaming.windowed import streaming_windowed_counts
+
+_WINDOWED_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_windowed_counts",
+    oracle=_WINDOWED_ORACLE,
+    tags=("streaming", "window"),
+    doc="5-minute tumbling-window event stats as a real Structured "
+    "Streaming query (file source, watermark, memory sink, availableNow) "
+    "verified against the batch oracle.",
+)
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_windowed_counts(spark, sf_dir)
+
+
+_SESSIONS_ORACLE = """
+WITH e AS (
+  -- floor() matches Spark's unix_timestamp() truncation; DuckDB's
+  -- epoch() keeps microseconds, which would flip gaps at the 1800s edge
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events
+), deltas AS (
+  SELECT user_id, ts_sec,
+         ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec) AS gap
+  FROM e
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       COUNT(*) AS n_events
+FROM deltas
+GROUP BY user_id
+"""
+
+
+@register(
+    "streaming_user_sessions",
+    oracle=_SESSIONS_ORACLE,
+    tags=("streaming", "stateful"),
+    doc="Custom stateful streaming operator: per-user 30-min-gap "
+    "sessionization via applyInPandasWithState; state stitches sessions "
+    "across micro-batches (cross-batch test in tests/test_streaming.py).",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_user_sessions(spark, sf_dir)

@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
     from dagster_etl_spark import queries_llm  # noqa: F401
     from dagster_etl_spark import queries_parity  # noqa: F401
     from dagster_etl_spark import queries_scale  # noqa: F401
+    from dagster_etl_spark import queries_streaming  # noqa: F401
     from dagster_etl_spark import queries_text  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,120 @@
+"""Structured Streaming tests: windowed aggregation equivalence to the
+batch plan, append-mode watermark emission, and cross-micro-batch state
+in the stateful sessionizer."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def test_streaming_windowed_matches_batch(spark):
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.windowed import streaming_windowed_counts
+
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in streaming_windowed_counts(spark, SF_SMALL).collect()
+    }
+    batch = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy(
+            F.window("ts", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    )
+    assert len(batch) == len(got) > 0
+    for r in batch:
+        assert got[(r.ws, r.event_type)] == (r.n, r.s)
+
+
+def test_streaming_sessions_cross_batch_state(spark, tmp_path):
+    """Feeding the same events in 1 batch vs 2 must give identical
+    session counts — state stitches sessions across the batch split."""
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.stateful import sessionize_stateful
+    from dagster_etl_spark.streaming.windowed import run_stream_to_batch
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, SF_SMALL, "events").filter("user_id < 20")
+    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0].c
+    split_dir = str(tmp_path / "events_split")
+    # two files, time-ordered so sessions genuinely span the boundary
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(split_dir)
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.mode("append").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    raw = run_stream_to_batch(sessionize_stateful(stream), mode="update")
+    assert raw.agg(F.max("n_batches")).collect()[0][0] >= 2, "expected multiple batches"
+    w = Window.partitionBy("user_id").orderBy(F.col("n_batches").desc())
+    final = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+    gaps = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lag("ts").over(
+             Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"))
+         ))).alias("gap"),
+    )
+    expected = gaps.groupBy("user_id").agg(
+        F.sum(F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0))
+        .alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in final.collect()}
+    for r in expected.collect():
+        assert got[r.user_id] == (r.n_sessions, r.n_events)
+
+
+def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
+    """Append mode + watermark: with two time-ordered batches, windows
+    closed by the advancing watermark are emitted after batch 2 while
+    the tail windows (still within the watermark) are withheld."""
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.windowed import (
+        run_stream_to_batch,
+        windowed_event_stats,
+    )
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMALL, "events")
+    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0].c
+    split_dir = str(tmp_path / "events_wm")
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(split_dir)
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.mode("append").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    appended = run_stream_to_batch(
+        windowed_event_stats(stream, window="5 minutes", watermark="10 minutes"),
+        mode="append",
+    )
+    total = (
+        ev.groupBy(F.window("ts", "5 minutes"), "event_type").count().count()
+    )
+    n_emitted = appended.count()
+    # some but not all windows emitted: watermark advanced past early
+    # windows after batch 1, final windows stay open at end-of-stream
+    assert 0 < n_emitted < total
