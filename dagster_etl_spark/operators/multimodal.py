@@ -1,0 +1,225 @@
+"""Multimodal (image/audio/video) column support for training-data
+pipelines: opaque ``binary`` payloads + a typed metadata struct, with
+decode / feature-extraction / resize / frame-sampling as Arrow-batched
+``mapInPandas`` operators.
+
+Spark-side design (all real and tested):
+* payloads are ``BinaryType`` columns — never strings — so Tungsten
+  stores them compactly and Arrow ships them zero-copy to Python;
+* metadata is a ``struct`` column (media_type, width, height,
+  duration_ms, codec) so pruning/pushdown work on it without touching
+  payload bytes (project the struct, Parquet never reads the blobs);
+* Python work happens in ``mapInPandas`` over Arrow record batches —
+  per-batch vectorized, never per-row UDF calls;
+* 1→N expansion (frame sampling) yields multiple output rows per input
+  row from the same iterator, no explode of materialized arrays.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the byte→pixels step is STUBBED: ``decode_stub`` derives a
+deterministic fake "decoded" array from the payload bytes, and
+``decode_real`` raises NotImplementedError with the production wiring
+documented. Everything around the stub — schemas, batch iteration,
+output shapes, row multiplicity — is the real 100 TB plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("meta", META_SCHEMA),
+    ]
+)
+
+_TYPES = ("image", "audio", "video")
+_CODECS = ("png", "opus", "av1")
+
+
+def synth_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic multimodal table from the documents fixture: the
+    text's UTF-8 bytes become the opaque payload (any bytes do — the
+    engine never interprets them outside decode), metadata derives from
+    doc_id. This is the fixture adapter, not a toy schema: the operators
+    below only see (asset_id, media, meta)."""
+    type_expr = (
+        f"CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '{_TYPES[0]}' "
+        f"WHEN 1 THEN '{_TYPES[1]}' ELSE '{_TYPES[2]}' END"
+    )
+    codec_expr = (
+        f"CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '{_CODECS[0]}' "
+        f"WHEN 1 THEN '{_CODECS[1]}' ELSE '{_CODECS[2]}' END"
+    )
+    return documents.selectExpr(
+        "doc_id AS asset_id",
+        "CAST(text AS BINARY) AS media",
+        f"""named_struct(
+            'media_type', {type_expr},
+            'width', CAST(64 + doc_id % 448 AS INT),
+            'height', CAST(64 + (doc_id * 7) % 448 AS INT),
+            'duration_ms', CAST(1000 + (doc_id * 37) % 59000 AS BIGINT),
+            'codec', {codec_expr}
+        ) AS meta""",
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Metadata + payload stats without decoding: struct projection and
+    JVM-side byte ops only. At 100 TB this plan reads the meta struct
+    and payload lengths from Parquet column chunks — decode cost zero."""
+    return df.select(
+        "asset_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.codec").alias("codec"),
+        F.length("media").alias("n_bytes"),
+        F.md5("media").alias("payload_md5"),
+    )
+
+
+# -- decode layer -------------------------------------------------------------
+
+def decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decoder: deterministic fake pixels from the payload bytes
+    (md5-seeded), shaped (height, width) uint8. Replace with
+    ``decode_real`` when a codec library is available."""
+    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def decode_real(payload: bytes, media_type: str) -> np.ndarray:
+    """Production decode — requires PIL (image), soundfile (audio) or
+    PyAV/ffmpeg (video), none of which ship in this container."""
+    raise NotImplementedError(
+        "codec libraries unavailable in this environment; production "
+        "wiring: PIL.Image.open(io.BytesIO(payload)) for images, "
+        "soundfile.read for audio, av.open for video. The mapInPandas "
+        "plumbing in this module is decoder-agnostic — pass decoder=."
+    )
+
+
+# -- feature extraction -------------------------------------------------------
+
+def extract_features(df: DataFrame, dim: int = 16, decoder=decode_stub) -> DataFrame:
+    """Fixed-dim float feature vector per asset from decoded content
+    (fake decode -> per-band pixel means). Arrow-batched; output schema
+    (asset_id, features array<float>) feeds the similarity operators."""
+    out_schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("features", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, meta in zip(pdf["media"], pdf["meta"]):
+                img = decoder(bytes(payload), int(meta["width"]) % 64 + 8, 8)
+                bands = np.array_split(img.ravel().astype(np.float32), dim)
+                feats.append([float(b.mean()) for b in bands])
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "features": feats})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32, decoder=decode_stub) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode (raw bytes).
+    Output payload is exactly out_w*out_h bytes; resize itself is pure
+    NumPy striding (no codec needed), so only decode is stubbed."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload, meta in zip(pdf["media"], pdf["meta"]):
+                w, h = int(meta["width"]), int(meta["height"])
+                img = decoder(bytes(payload), w, h)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                out.append(img[np.ix_(yi, xi)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media": out,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """1→N frame sampling for video assets: one output row per sampled
+    timestamp (frame payload = deterministic slice stub). Row
+    multiplicity — ceil(duration/every) for videos, 0 otherwise — is the
+    SQL-checkable contract; frame bytes go through the decode stub."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_ms", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, frames = [], [], [], []
+            for aid, payload, meta in zip(pdf["asset_id"], pdf["media"], pdf["meta"]):
+                if meta["media_type"] != "video":
+                    continue
+                dur = int(meta["duration_ms"])
+                n = -(-dur // every_ms)  # ceil
+                raw = bytes(payload)
+                for i in range(n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    mss.append(i * every_ms)
+                    # stub frame: deterministic rotating slice of payload
+                    off = (i * 17) % max(1, len(raw))
+                    frames.append(raw[off:] + raw[:off])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_ms": mss, "frame": frames}
+            )
+
+    return df.mapInPandas(run, schema=schema)

@@ -72,6 +72,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from dagster_etl_spark import queries_llm  # noqa: F401
+    from dagster_etl_spark import queries_multimodal  # noqa: F401
     from dagster_etl_spark import queries_parity  # noqa: F401
     from dagster_etl_spark import queries_scale  # noqa: F401
     from dagster_etl_spark import queries_streaming  # noqa: F401
