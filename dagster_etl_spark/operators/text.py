@@ -53,8 +53,16 @@ def doc_stats_exprs(text_col: str, d: str, tok: str | None = None) -> dict[str, 
     # ANSI mode, not a div-by-zero Inf) — identical in DuckDB.
     tok_den = f"NULLIF({n_tok}, 0)"
     chr_den = f"NULLIF({n_chars}, 0)"
+    # BPE-ish subword proxy: alnum runs and individual punctuation marks
+    # each count as one token (what a byte-level BPE pre-tokenizer splits
+    # on); whitespace tokens above are the word-level count
+    if d == x.SPARK:
+        bpe = f"size(regexp_extract_all(trim(lower({text_col})), '[a-z0-9]+|[^a-z0-9\\\\s]', 0))"
+    else:
+        bpe = f"len(regexp_extract_all(trim(lower({text_col})), '[a-z0-9]+|[^a-z0-9\\s]'))"
     return {
         "n_tokens": f"CAST({n_tok} AS BIGINT)",
+        "n_bpe_tokens": f"CAST({bpe} AS BIGINT)",
         "n_chars": f"CAST({n_chars} AS BIGINT)",
         "avg_token_len": f"CAST({sum_len} AS DOUBLE) / {tok_den}",
         "punct_ratio": f"CAST({n_punct} AS DOUBLE) / {chr_den}",

@@ -79,3 +79,28 @@ GROUP BY md5(trim(lower(text)))
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+_ORDER_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+_NULL_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, COUNT(*) - COUNT({c}) AS n_nulls, "
+    f"COUNT(*) AS n_rows FROM orders"
+    for c in _ORDER_COLS
+)
+
+
+@register(
+    "null_profile_orders",
+    oracle=_NULL_PROFILE_ORACLE,
+    tags=("parity", "profile"),
+    doc="P12 null profiling: single-pass all-column null counts, "
+    "unpivoted to long form (reference: asset_factory.py:188-192).",
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.profile import null_profile
+
+    return null_profile(load_table(spark, sf_dir, "orders"))
