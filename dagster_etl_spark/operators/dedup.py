@@ -119,34 +119,6 @@ def band_exprs(d: str, num_hashes: int = 16, bands: int = 4) -> list[str]:
     return out
 
 
-def minhash_sig_array_expr(hash_var: str, d: str, num_hashes: int = 16) -> str:
-    """All ``num_hashes`` signatures as one array expression over a
-    let-bound hash-array variable (single evaluation of the md5 pass)."""
-    items = ", ".join(
-        x.xmin(
-            x.xform(hash_var, "h", f"(({a} * (h & 4294967295) + {b}) & 4294967295)", d), d
-        )
-        for a, b in _affine_constants(num_hashes)
-    )
-    return f"array({items})" if d == x.SPARK else f"[{items}]"
-
-
-def band_array_expr(sig_var: str, d: str, num_hashes: int = 16, bands: int = 4) -> str:
-    """Band hashes as one array expression over a let-bound signature
-    array variable."""
-    rows = num_hashes // bands
-    items = []
-    for b in range(bands):
-        cols = [x.idx(sig_var, b * rows + r, d) for r in range(rows)]
-        if d == x.SPARK:
-            joined = "concat_ws(',', " + ", ".join(cols) + ")"
-        else:
-            joined = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
-        items.append(f"md5({joined})")
-    body = ", ".join(items)
-    return f"array({body})" if d == x.SPARK else f"[{body}]"
-
-
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -171,30 +143,27 @@ def minhash_neardup_pairs(
     # hs: distinct shingle-hash sets — one md5 pass; reused for both the
     # signatures and the exact-Jaccard verify (set semantics unchanged,
     # md5 collisions at 60 bits are negligible)
+    #
     hashed = sh.selectExpr(
         id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
     )
-    # signatures + bands in ONE nested-let expression: the token/shingle/
-    # md5 chain is evaluated exactly once per row even after Catalyst
-    # collapses the projections
-    bands_expr = x.let(
-        "hs",
-        "_h",
-        x.let(
-            minhash_sig_array_expr("_h", x.SPARK, num_hashes),
-            "_g",
-            band_array_expr("_g", x.SPARK, num_hashes, bands),
-            x.SPARK,
-        ),
-        x.SPARK,
+    sigs = hashed.selectExpr(
+        id_col, *minhash_signature_exprs("hs", x.SPARK, num_hashes)
     )
-    banded = hashed.selectExpr(id_col, f"{bands_expr} AS bands")
+    banded = sigs.selectExpr(id_col, *band_exprs(x.SPARK, num_hashes, bands))
 
     # slim candidate join: one row per (doc, band), ids only — shingle
-    # arrays are NOT shuffled through the pair join/dedup
+    # arrays are NOT shuffled through the pair join/dedup.
+    # PERSISTED: both sides of the self-join would otherwise re-run the
+    # tokenize/shingle/md5/signature chain (Spark has no cross-subtree
+    # CSE). The melted rows are persisted — scalars cache an order of
+    # magnitude faster than array columns through the columnar store,
+    # which is why (id, band) rows are cached rather than (id, hs); the
+    # verify stage recomputes the (cheap, let-bound) hash chain instead.
+    band_arr = "array(" + ", ".join(f"band{b}" for b in range(bands)) + ")"
     melted = banded.selectExpr(
-        id_col, "posexplode(bands) AS (band_idx, bh)"
-    )
+        id_col, f"posexplode({band_arr}) AS (band_idx, bh)"
+    ).persist()
     a, b = melted.alias("a"), melted.alias("b")
     cands = (
         a.join(
@@ -236,8 +205,15 @@ def ngram_jaccard_pairs(
     intersections, compute |A∩B| / (|A| + |B| - |A∩B|)."""
     tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
     sh = shingled(df.filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k)
-    sized = sh.selectExpr(id_col, "shingles", "size(shingles) AS n_sh")
-    ex = sized.select(id_col, "n_sh", F.explode("shingles").alias("s"))
+    # join/shuffle on 60-bit shingle hashes, not shingle strings: 8-byte
+    # keys through the exchange instead of ~20-byte text; the exploded
+    # scalar rows are persisted so both self-join sides scan the
+    # materialized explode (scalars cache fast; arrays don't)
+    hashed = sh.selectExpr(
+        id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
+    )
+    sized = hashed.selectExpr(id_col, "hs", "size(hs) AS n_sh")
+    ex = sized.select(id_col, "n_sh", F.explode("hs").alias("s")).persist()
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "s"
     )
@@ -278,14 +254,15 @@ def simhash_neardup_pairs(
     )
 
     # let-bound token-hash array: md5'd once per row, referenced by all
-    # ``bits`` vote sums (a staged projection would be re-inlined per bit)
+    # ``bits`` vote sums (a staged projection would be re-inlined per bit).
+    # Persisted: both sides of the banding self-join consume it.
     sim = x.let(
         token_hashes_expr(text_col, x.SPARK),
         "_ht",
         simhash_from_hashes_expr("_ht", x.SPARK, bits),
         x.SPARK,
     )
-    hashed = df.selectExpr(id_col, f"{sim} AS simhash")
+    hashed = df.selectExpr(id_col, f"{sim} AS simhash").persist()
     width = bits // bands
     mask = (1 << width) - 1
     # shiftright(): the multi-alias `AS (band_idx, bh)` parser path

@@ -40,10 +40,13 @@ def _duck_shingle_rel(k: int = 3) -> str:
 _NGRAM_ORACLE = f"""
 WITH sh AS (
   SELECT * FROM {_duck_shingle_rel()}
+), hashed AS (
+  SELECT doc_id, {shingle_hashes_expr('shingles', x.DUCK)} AS hs
+  FROM sh WHERE len(shingles) > 0
 ), sized AS (
-  SELECT doc_id, len(shingles) AS n_sh, shingles FROM sh WHERE len(shingles) > 0
+  SELECT doc_id, len(hs) AS n_sh, hs FROM hashed
 ), ex AS (
-  SELECT doc_id, n_sh, unnest(shingles) AS s FROM sized
+  SELECT doc_id, n_sh, unnest(hs) AS s FROM sized
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
          COUNT(*) AS n_inter
