@@ -17,7 +17,11 @@ from dagster_etl_spark.operators.dedup import (
     shingle_hashes_expr,
     simhash_neardup_pairs,
 )
-from dagster_etl_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from dagster_etl_spark.operators.similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from dagster_etl_spark.operators.text import simhash_expr
 from dagster_etl_spark.registry import register
 from dagster_etl_spark.sources.fixtures import load_table
@@ -225,3 +229,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=None,  # approximate by design; recall gate lives in tests
+    tags=("llm", "similarity"),
+    doc="IVF approximate cosine top-10: distributed KMeans coarse "
+    "quantizer (16 lists), nprobe=8 bucket search; recall vs brute "
+    "force asserted in tests.",
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)

@@ -71,6 +71,27 @@ def test_lsh_ann_recall(spark):
     assert approx_set  # nonempty
 
 
+def test_ivf_ann_recall(spark):
+    from dagster_etl_spark.operators.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(q, emb, dim=64, k=10).select("query_id", "neighbor_id")
+    approx = ivf_cosine_topk(q, emb, dim=64, k=10, nlist=16, nprobe=8).select(
+        "query_id", "neighbor_id"
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # uniform-random vectors spread neighbors ~evenly over buckets, so
+    # nprobe/nlist = 0.5 is the expected floor; clustered real
+    # embeddings do far better
+    assert recall >= 0.35, f"recall {recall}"
+    # every returned neighbor must be a real corpus id with rank <= k
+    full = ivf_cosine_topk(q, emb, dim=64, k=10).collect()
+    assert all(1 <= r.rank <= 10 for r in full)
+
+
 def test_doc_stats_and_fingerprints_deterministic(spark):
     d = docs(spark)
     s = {r.doc_id: r for r in doc_stats(d).collect()}
