@@ -190,3 +190,15 @@ def test_failure_hook_records(spark, tenant, tmp_path):
         runner.run_pipeline("broken", None)
     fails = [r for r in runner.ctx.records if r["status"] == "failure"]
     assert len(fails) == 1 and fails[0]["pipeline"] == "broken"
+
+
+def test_dagster_graft_gated_without_dagster():
+    from dagster_etl_spark.orchestration.dagster_defs import (
+        build_definitions,
+        dagster_available,
+    )
+
+    if dagster_available():  # pragma: no cover — not in this container
+        pytest.skip("dagster installed; graft exercised by dagster itself")
+    with pytest.raises(ImportError, match="dagster is not installed"):
+        build_definitions([], lambda: None, "", "", "")
