@@ -308,3 +308,37 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6): intersect / except over customer keysets.
+
+_SEGMENT_SETOPS_ORACLE = """
+SELECT o_custkey, 'both' AS segment FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+UNION ALL
+SELECT o_custkey, 'urgent_only' AS segment FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+"""
+
+
+@register(
+    "customer_segment_setops",
+    oracle=_SEGMENT_SETOPS_ORACLE,
+    tags=("scale", "setops"),
+    doc="Set operations: customers ordering in both urgent and low "
+    "priorities (intersect) vs urgent-only (except), union-tagged.",
+)
+def q_customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey").distinct()
+    both = urgent.intersect(low).withColumn("segment", F.lit("both"))
+    only = urgent.exceptAll(low).withColumn("segment", F.lit("urgent_only"))
+    return both.unionByName(only)

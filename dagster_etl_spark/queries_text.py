@@ -81,6 +81,66 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# The composite cleaning pipeline: what a training-data run actually
+# executes — exact dedup, then quality + language gates, one pass each.
+
+_CLEAN_CORPUS_ORACLE = f"""
+WITH canon AS (
+  SELECT md5(trim(lower(text))) AS fp, MIN(doc_id) AS canonical_id
+  FROM documents GROUP BY 1
+), stats AS (
+  SELECT doc_id,
+    {doc_stats_exprs('text', x.DUCK, tok='_tok')['quality_score']} AS quality_score,
+    {{lang}} AS predicted_lang
+  FROM (SELECT doc_id, text, {x.tokens('text', x.DUCK)} AS _tok FROM documents)
+)
+SELECT s.doc_id, s.quality_score, s.predicted_lang
+FROM stats s
+JOIN canon c ON c.canonical_id = s.doc_id
+WHERE s.quality_score >= 0.5
+""".replace("{lang}", "{LANG}")
+
+
+def _clean_corpus_oracle() -> str:
+    lang = lang_score_exprs("text", x.DUCK, tok="_tok")["predicted_lang"]
+    # language scores feed the argmax through lateral aliases in the
+    # operator; inline them for the oracle CTE
+    scores = lang_score_exprs("text", x.DUCK, tok="_tok")
+    inlined = scores["predicted_lang"]
+    for l, e in scores.items():
+        if l.startswith("score_"):
+            inlined = inlined.replace(l, f"({e})")
+    return _CLEAN_CORPUS_ORACLE.replace("{LANG}", inlined)
+
+
+@register(
+    "clean_corpus",
+    oracle=_clean_corpus_oracle(),
+    tags=("llm", "text", "dedup", "bench"),
+    doc="Composite training-data cleaning pipeline: exact dedup "
+    "(canonical min-id), quality-score gate (>= 0.5), language tag — "
+    "one hash-groupBy plus one per-row pass, semi-join composed.",
+)
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = exact_dedup_stats(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    stats = doc_stats(docs).select("doc_id", "quality_score")
+    lang = lang_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select("doc_id")
+        .join(canon, on="doc_id", how="left_semi")
+        .join(stats, on="doc_id")
+        .join(lang, on="doc_id")
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "quality_score", "predicted_lang")
+    )
+
+
 _ORDER_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",
