@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+arbitrary frames, not just fixtures — upsert idempotency/convergence,
+coercive schema apply, validator counts vs hand computation, and
+dedup canonicalization.
+
+Frames are kept tiny (Spark round-trip per example is the cost); the
+value is the input-space coverage: null keys, duplicate keys, empty
+frames, unicode text.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# one Spark action per example → keep examples few and frames small
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def nsort(tuples):
+    """None-safe deterministic ordering of row tuples."""
+    return sorted(
+        tuples, key=lambda t: tuple((v is None, v if v is not None else 0) for v in t)
+    )
+
+keys = st.one_of(st.none(), st.integers(min_value=0, max_value=4))
+vals = st.integers(min_value=-100, max_value=100)
+rows = st.lists(st.tuples(keys, keys, vals), min_size=0, max_size=12)
+
+
+@given(target=rows, source=rows)
+@settings(**SETTINGS)
+def test_upsert_plan_properties(spark, target, source):
+    """For any target/source (incl. NULL and duplicate keys):
+    1. every source row appears in the result (delete-then-insert);
+    2. target rows with unmatched keys survive untouched;
+    3. applying the same source twice converges (idempotent)."""
+    from dagster_etl_spark.writers.upsert import upsert_keys_plan
+
+    schema = "k1 int, k2 int, v int"
+    tgt = spark.createDataFrame(target, schema=schema)
+    src = spark.createDataFrame(source, schema=schema)
+    merged = upsert_keys_plan(tgt, src, ["k1", "k2"]).collect()
+    merged_set = nsort(map(tuple, merged))
+
+    src_keys = {(r[0], r[1]) for r in source}
+    expected = nsort(
+        [tuple(r) for r in target if (r[0], r[1]) not in src_keys]
+        + [tuple(r) for r in source]
+    )
+    assert merged_set == expected
+
+    twice = upsert_keys_plan(
+        spark.createDataFrame(merged, schema=schema), src, ["k1", "k2"]
+    ).collect()
+    assert nsort(map(tuple, twice)) == merged_set
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Zs"), max_codepoint=0x24F),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_properties(spark, texts):
+    """Canonical ids partition the corpus: every doc maps to exactly one
+    canonical via normalized-text equality, n_copies sums to N."""
+    from dagster_etl_spark.operators.dedup import exact_dedup_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    stats = exact_dedup_stats(df).collect()
+    assert sum(r.n_copies for r in stats) == len(texts)
+    norm = {}
+    for i, t in enumerate(texts):
+        norm.setdefault(t.strip().lower(), []).append(i)
+    assert {r.canonical_id for r in stats} == {min(v) for v in norm.values()}
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=0, max_size=15
+    ),
+    lo=st.integers(-10, 0),
+    hi=st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_validator_range_counts(spark, vals, lo, hi):
+    from dagster_etl_spark.validation import DataValidator
+
+    df = spark.createDataFrame([(v,) for v in vals], schema="x int")
+    report = DataValidator(df).check_not_null("x").check_range("x", lo, hi).validate()
+    by_rule = {r.rule: r for r in report.results}
+    assert by_rule["not_null"].failed_count == sum(v is None for v in vals)
+    assert by_rule["range"].failed_count == sum(
+        v is not None and not (lo <= v <= hi) for v in vals
+    )
