@@ -342,3 +342,42 @@ def q_customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = urgent.intersect(low).withColumn("segment", F.lit("both"))
     only = urgent.exceptAll(low).withColumn("segment", F.lit("urgent_only"))
     return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Window frames (ROWS BETWEEN): per-customer rolling spend.
+
+_ROLLING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend
+FROM orders
+"""
+
+
+@register(
+    "rolling_customer_spend",
+    oracle=_ROLLING_ORACLE,
+    tags=("scale", "window"),
+    doc="Window frame aggregation: 3-order moving spend per customer "
+    "(ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), decimal-exact, "
+    "deterministic (date, orderkey) ordering.",
+)
+def q_rolling_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_spend"),
+    )

@@ -118,3 +118,51 @@ def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
     # some but not all windows emitted: watermark advanced past early
     # windows after batch 1, final windows stay open at end-of-stream
     assert 0 < n_emitted < total
+
+
+def test_foreachbatch_upsert_sink_converges(spark, tmp_path):
+    """Streaming windowed agg -> keyed upsert sink over two
+    micro-batches: final warehouse state equals the batch computation
+    (later batches overwrite earlier window rows by key)."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.sinks import upsert_sink
+    from dagster_etl_spark.streaming.windowed import windowed_event_stats
+
+    ev = load_table(spark, SF_SMALL, "events")
+    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0].c
+    split_dir = str(tmp_path / "events_fb")
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(split_dir)
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.mode("append").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    target = str(tmp_path / "wh" / "windowed")
+    q = upsert_sink(
+        windowed_event_stats(stream, window="5 minutes", watermark="10 minutes"),
+        path=target,
+        keys=["window_start", "event_type"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    expected = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    )
+    assert len(expected) == len(got) > 0
+    for r in expected:
+        assert got[(r.ws, r.event_type)] == (r.n, r.s)
