@@ -1,0 +1,156 @@
+"""Temporal operators the DataFrame API lacks as primitives — as-of
+join, bucketed range join, multi-grain rollup — each expressed as a
+composition of built-in ops chosen for its shuffle profile at scale
+(task brief: prefer compositions over Pandas UDFs where semantics
+allow; none of these need Python).
+
+The reference has no temporal joins (SURVEY §2.3 "not present"); these
+are engine extensions in the shape its analytics would need next
+(latest-config-as-of-lot-start, measurement-in-spec-band, multi-grain
+equipment rollups).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_vals: Sequence[str] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: for every left row, the latest right row of the
+    same key with ``right.ts <= left.ts`` (ties match). Unmatched left
+    rows keep NULLs — DuckDB ``ASOF LEFT JOIN`` semantics.
+
+    Implementation is the union + ordered-window carry-forward: ONE
+    shuffle on (keys), no range explosion, no per-key driver loops —
+    the scalable form (a sort-merge interval join would shuffle both
+    sides the same way but Spark lacks the operator; the naive
+    theta-join alternative is O(L×R) per key).
+    """
+    keys = list(keys)
+    right_vals = list(right_vals) or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_vals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
+        F.col(left_ts),
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_vals],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in keys and c != left_ts
+        ],
+        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal _ts -> `<=` tie semantics
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in [*right_vals, right_ts]
+        ],
+    )
+    out_cols = (
+        keys
+        + [c for c in left.columns if c not in keys and c != left_ts]
+        + [left_ts]
+        + [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in [*right_vals, right_ts]]
+    )
+    return carried.filter(F.col("_is_left") == 1).select(*out_cols)
+
+
+def range_join_bands(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Interval join: fact rows matched to bands with
+    ``lo <= value < hi``.
+
+    Small band tables broadcast (Catalyst turns the theta join into a
+    broadcast nested loop over B rows — fine for B in the hundreds).
+    With ``bucket_width`` set (uniform band grid), the join becomes an
+    equi-join on the bucket id + residual predicate: shuffle-free on
+    the fact side beyond the hash exchange, the 100 TB path.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    if bucket_width is None:
+        return facts.join(F.broadcast(bands), on=cond, how="inner")
+    fb = facts.withColumn("_bucket", F.floor(F.col(value_col) / bucket_width))
+    # a band spanning multiple buckets registers under each of them
+    bb = bands.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor((F.col(hi_col) - 1e-9) / bucket_width),
+            )
+        ),
+    )
+    return fb.join(F.broadcast(bb), on="_bucket").filter(cond).drop("_bucket")
+
+
+def multigrain_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    grains: Sequence[tuple[str, int]] = (("1h", 3600), ("1d", 86400)),
+    group_cols: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous-aggregate-style rollup at several time grains in ONE
+    pass via union of grain-bucketed frames fed to a single aggregate —
+    one shuffle total, partial aggregation per grain upstream.
+
+    (GROUPING SETS would express this too; explicit bucketing keeps the
+    grain label a plain column and the bucket arithmetic identical in
+    the DuckDB oracle.)"""
+    parts = []
+    for label, secs in grains:
+        parts.append(
+            events.select(
+                F.lit(label).alias("grain"),
+                (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs)
+                .cast("long")
+                .alias("bucket_start"),
+                *group_cols,
+                F.col(value_col),
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    return unioned.groupBy("grain", "bucket_start", *group_cols).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )

@@ -1,0 +1,120 @@
+"""Temporal queries: as-of join (vs DuckDB's native ASOF JOIN),
+bucketed range join, and multi-grain rollup — engine extensions beyond
+the reference (SURVEY §2.3 lists temporal joins as absent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dagster_etl_spark.operators.temporal import (
+    asof_join,
+    multigrain_rollup,
+    range_join_bands,
+)
+from dagster_etl_spark.registry import register
+from dagster_etl_spark.sources.fixtures import load_table
+
+_ASOF_ORACLE = """
+SELECT p.event_id,
+       p.user_id,
+       v.event_id AS view_event_id,
+       v.value AS view_value,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts_sec
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
+@register(
+    "asof_purchase_prior_view",
+    oracle=_ASOF_ORACLE,
+    tags=("temporal", "join"),
+    doc="As-of join: each purchase matched to the user's latest view at "
+    "or before it — union + ordered-window carry-forward (one shuffle), "
+    "verified against DuckDB's native ASOF LEFT JOIN.",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    views = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("value").alias("view_value"),
+        "ts",
+    )
+    out = asof_join(
+        purchases, views, keys=["user_id"],
+        right_vals=["view_event_id", "view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id_asof").alias("view_event_id"),
+        F.col("view_value_asof").alias("view_value"),
+        F.unix_timestamp("ts_asof").cast("long").alias("view_ts_sec"),
+    )
+
+
+_BANDS_ORACLE = """
+SELECT b.band_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+      FROM range(10) t(i)) b
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band_id
+"""
+
+
+@register(
+    "value_band_range_join",
+    oracle=_BANDS_ORACLE,
+    tags=("temporal", "join"),
+    doc="Range (interval) join via uniform bucketing: equi-join on "
+    "bucket id + residual predicate instead of a theta join.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        ((F.col("id") + 1) * 50.0).alias("hi"),
+    )
+    joined = range_join_bands(ev, bands, value_col="value", bucket_width=50.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT grain, bucket_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (
+  SELECT '1h' AS grain,
+         CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT '1d' AS grain,
+         CAST(floor(floor(epoch(ts)) / 86400) * 86400 AS BIGINT) AS bucket_start,
+         event_type, value
+  FROM events
+)
+GROUP BY grain, bucket_start, event_type
+"""
+
+
+@register(
+    "event_rollup_multigrain",
+    oracle=_ROLLUP_ORACLE,
+    tags=("temporal", "agg"),
+    doc="Hypertable-style continuous aggregate: hourly + daily rollups "
+    "in one shuffle (union of grain-bucketed frames into one agg).",
+)
+def q_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multigrain_rollup(load_table(spark, sf_dir, "events"))

@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
     from dagster_etl_spark import queries_parity  # noqa: F401
     from dagster_etl_spark import queries_scale  # noqa: F401
     from dagster_etl_spark import queries_streaming  # noqa: F401
+    from dagster_etl_spark import queries_temporal  # noqa: F401
     from dagster_etl_spark import queries_text  # noqa: F401
 
     _LOADED = True

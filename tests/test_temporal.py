@@ -1,0 +1,90 @@
+"""Temporal operator unit tests: as-of tie/no-match semantics, range
+join bucketing (incl. bands spanning buckets), multi-grain rollup."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    from dagster_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01 10:00:00"), lid=1),
+            Row(k="a", ts=_ts("2024-01-01 12:00:00"), lid=2),
+            Row(k="b", ts=_ts("2024-01-01 09:00:00"), lid=3),  # no prior right
+            Row(k="a", ts=_ts("2024-01-01 11:00:00"), lid=4),  # tie with right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01 09:30:00"), val=10),
+            Row(k="a", ts=_ts("2024-01-01 11:00:00"), val=20),  # tie for lid=4
+            Row(k="b", ts=_ts("2024-01-01 10:30:00"), val=30),  # after lid=3
+        ]
+    )
+    out = {
+        r.lid: (r.val_asof, r.ts_asof)
+        for r in asof_join(left, right, keys=["k"], right_vals=["val"]).collect()
+    }
+    assert out[1] == (10, _ts("2024-01-01 09:30:00"))  # latest at-or-before
+    assert out[2] == (20, _ts("2024-01-01 11:00:00"))
+    assert out[3] == (None, None)  # unmatched -> NULLs (left join)
+    assert out[4] == (20, _ts("2024-01-01 11:00:00"))  # tie matches (<=)
+
+
+def test_range_join_band_spanning_buckets(spark):
+    """A band wider than the bucket grid must register in every bucket
+    it overlaps (the explode in range_join_bands)."""
+    from dagster_etl_spark.operators.temporal import range_join_bands
+
+    facts = spark.createDataFrame([(i, float(i)) for i in range(20)], "id int, v double")
+    bands = spark.createDataFrame(
+        [(0, 2.0, 17.0)], "band_id int, lo double, hi double"
+    )
+    for width in (5.0, 50.0):  # spanning and containing grids
+        got = sorted(
+            r.id
+            for r in range_join_bands(
+                facts, bands, value_col="v", bucket_width=width
+            ).collect()
+        )
+        assert got == list(range(2, 17)), f"width={width}"
+    # theta-join fallback path agrees
+    got = sorted(
+        r.id for r in range_join_bands(facts, bands, value_col="v").collect()
+    )
+    assert got == list(range(2, 17))
+
+
+def test_multigrain_rollup_consistency(spark):
+    """Each grain's totals must sum to the same global figures."""
+    from dagster_etl_spark.operators.temporal import multigrain_rollup
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    roll = multigrain_rollup(ev).cache()
+    per_grain = {
+        r.grain: (r.n, round(r.s, 4))
+        for r in roll.groupBy("grain")
+        .agg(F.sum("n_events").alias("n"), F.sum("sum_value").alias("s"))
+        .collect()
+    }
+    n = ev.count()
+    assert per_grain["1h"][0] == per_grain["1d"][0] == n
+    assert per_grain["1h"][1] == per_grain["1d"][1]
+    # finer grain -> at least as many buckets
+    counts = {
+        r.grain: r.b
+        for r in roll.groupBy("grain").agg(F.count(F.lit(1)).alias("b")).collect()
+    }
+    assert counts["1h"] >= counts["1d"]
