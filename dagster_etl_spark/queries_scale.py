@@ -381,3 +381,33 @@ def q_rolling_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar functions + exact percentiles (absent from the reference —
+# SURVEY §2.5 — but table stakes for an events pipeline).
+
+_JSON_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n,
+       CAST(quantile_cont(value, 0.5) AS DOUBLE) AS median_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_json_percentiles",
+    oracle=_JSON_PROPS_ORACLE,
+    tags=("scale", "json"),
+    doc="JSON extraction (get_json_object, JVM-side jackson) + exact "
+    "interpolated median per event type.",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").cast("double").alias("median_value"),
+    )
