@@ -30,7 +30,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 @register(
     "asof_purchase_prior_view",
     oracle=_ASOF_ORACLE,
-    tags=("temporal", "join"),
+    tags=("temporal", "join", "bench"),
     doc="As-of join: each purchase matched to the user's latest view at "
     "or before it — union + ordered-window carry-forward (one shuffle), "
     "verified against DuckDB's native ASOF LEFT JOIN.",
@@ -112,7 +112,7 @@ GROUP BY grain, bucket_start, event_type
 @register(
     "event_rollup_multigrain",
     oracle=_ROLLUP_ORACLE,
-    tags=("temporal", "agg"),
+    tags=("temporal", "agg", "bench"),
     doc="Hypertable-style continuous aggregate: hourly + daily rollups "
     "in one shuffle (union of grain-bucketed frames into one agg).",
 )
