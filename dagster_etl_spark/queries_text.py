@@ -125,17 +125,21 @@ def _clean_corpus_oracle() -> str:
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
+    from dagster_etl_spark.operators.text import _let_cols
+
     docs = load_table(spark, sf_dir, "documents")
     canon = exact_dedup_stats(docs).select(
         F.col("canonical_id").alias("doc_id")
     )
-    stats = doc_stats(docs).select("doc_id", "quality_score")
-    lang = lang_id(docs).select("doc_id", "predicted_lang")
+    # quality + language fused into ONE per-row projection (two document
+    # scans total: this one + the dedup groupBy), not one join per signal
+    per_row = {
+        "quality_score": doc_stats_exprs("text", x.SPARK, tok="_t")["quality_score"],
+        **lang_score_exprs("text", x.SPARK, tok="_t"),
+    }
+    scored = docs.selectExpr("doc_id", *_let_cols(per_row, "text", "_t"))
     return (
-        docs.select("doc_id")
-        .join(canon, on="doc_id", how="left_semi")
-        .join(stats, on="doc_id")
-        .join(lang, on="doc_id")
+        scored.join(canon, on="doc_id", how="left_semi")
         .filter(F.col("quality_score") >= 0.5)
         .select("doc_id", "quality_score", "predicted_lang")
     )
