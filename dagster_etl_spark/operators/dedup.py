@@ -308,6 +308,83 @@ def simhash_neardup_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+# -- near-dup clustering ------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into groups: iterative min-label
+    propagation to a fixpoint. Returns (doc_id, cluster_id) with
+    cluster_id = min doc id of the component.
+
+    This is the step after pair generation in a real dedup pipeline
+    (keep one doc per cluster). Each iteration is one join + one
+    aggregate on (node, label) — the standard large-graph CC shape;
+    near-dup graphs converge in a few rounds because components are
+    tiny (dup clusters), so the loop exits early on a fixpoint check.
+    Iterative -> no SQL oracle; invariants are tested instead.
+    """
+    edges = (
+        pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
+        .unionByName(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.selectExpr("src AS node")
+        .distinct()
+        .selectExpr("node", "node AS label")
+        .persist()
+    )
+    for _ in range(max_iter):
+        # each node adopts the min label in its closed neighborhood
+        neighbor_labels = (
+            edges.join(labels, on=F.col("dst") == F.col("node"))
+            .selectExpr("src AS node", "label")
+            .unionByName(labels)
+        )
+        new_labels = neighbor_labels.groupBy("node").agg(
+            F.min("label").alias("label")
+        ).persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), on="node")
+            .filter("label != old")
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.selectExpr("node AS doc_id", "label AS cluster_id")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash pairs -> connected
+    components -> (doc_id, cluster_id, is_canonical). Docs with no
+    near-dup partner form singleton clusters."""
+    pairs = minhash_neardup_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold, **minhash_kwargs
+    )
+    comp = connected_components(pairs)
+    all_docs = df.select(F.col(id_col).alias("doc_id"))
+    clustered = all_docs.join(comp, on="doc_id", how="left").selectExpr(
+        "doc_id", "coalesce(cluster_id, doc_id) AS cluster_id"
+    )
+    return clustered.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("boolean")
+    )
+
+
 # -- embedding near-dup --------------------------------------------------------
 
 def embedding_neardup_pairs(

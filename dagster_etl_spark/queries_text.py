@@ -145,6 +145,78 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative label propagation — invariants gated in tests
+    tags=("llm", "dedup"),
+    doc="Near-dup clustering: MinHash pairs -> connected components "
+    "(iterative min-label propagation) -> one canonical doc per cluster.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _tfidf_oracle(top_k: int = 3) -> str:
+    tok = x.tokens("text", x.DUCK)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS weight
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, weight,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, weight, rnk FROM ranked WHERE rnk <= {top_k}
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_tfidf_oracle(),
+    tags=("llm", "text"),
+    doc="Distributed tf-idf (division-form idf, explicit double casts — "
+    "DuckDB parses 1.0 as DECIMAL, which rounds differently): explode "
+    "terms, tf per doc, df per term, broadcast doc count, top-3 per doc.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.selectExpr(
+        "doc_id", f"explode({x.tokens('text', x.SPARK)}) AS term"
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "doc_id", "term",
+            "CAST(tf AS DOUBLE) * (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS weight",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("weight").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "weight", "rnk")
+    )
+
+
 _ORDER_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     "o_orderdate", "o_orderpriority",

@@ -103,3 +103,32 @@ def test_doc_stats_and_fingerprints_deterministic(spark):
     assert f1 == f2
     assert f1[1] == f1[2]  # exact dups -> same fingerprint and simhash
     assert f1[1][0] != f1[5][0]
+
+
+def test_connected_components_and_clusters(spark):
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # two components: {1,2,3,4} via chain, {7,8}; 9 isolated (no edges)
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=7, id_b=8)]
+    )
+    comp = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    # end-to-end on the tiny doc fixture: 1,2,3 are dups (cluster 1),
+    # 4 is a near-dup of them at low threshold, 5/6 singletons
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup_clusters(docs(spark), threshold=0.5).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[5] == (5, True) and out[6] == (6, True)
+    canonical_per_cluster = {}
+    for doc, (cl, canon) in out.items():
+        canonical_per_cluster.setdefault(cl, 0)
+        canonical_per_cluster[cl] += int(canon)
+    assert all(v == 1 for v in canonical_per_cluster.values())
