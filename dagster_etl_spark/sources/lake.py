@@ -71,6 +71,36 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(hpath, True))
 
 
+def compact_partition(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict[str, int]:
+    """Small-files compaction: rewrite a partition into
+    ceil(bytes/target) files via staging dir + atomic-ish rename swap
+    (readers of ``path`` never see a partial rewrite).
+
+    Daily micro-batch appends (the upsert sink, streaming foreachBatch)
+    accrete files; at 100 TB uncompacted partitions turn every scan
+    into a file-listing + task-per-tiny-file storm. Run this as the
+    maintenance job per closed partition.
+    """
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    files = [
+        f
+        for f in fs.listStatus(hpath)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    ]
+    before = len(files)
+    total_bytes = sum(f.getLen() for f in files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "__compact"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(hpath, True)
+    fs.rename(staging_p, hpath)
+    return {"files_before": before, "files_after": int(n_out), "bytes": int(total_bytes)}
+
+
 def list_partitions(
     spark: SparkSession, base: str, tenant_id: str, stage: str, job_name: str
 ) -> list[str]:

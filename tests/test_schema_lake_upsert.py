@@ -140,3 +140,23 @@ def test_with_tenant_injection(spark):
     df = spark.createDataFrame([Row(a=1)])
     out = with_tenant(df, "project_01")
     assert out.collect()[0].project_id == "project_01"
+
+
+def test_compact_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.sources.lake import compact_partition
+    from tests.conftest import SF_SMALL
+
+    path = str(tmp_path / "frag")
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(16).write.parquet(path)  # fragment into 16 small files
+
+    before_sum = li.agg(F.sum("l_quantity")).collect()[0][0]
+    stats = compact_partition(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+
+    after = spark.read.parquet(path)
+    assert after.count() == li.count()
+    assert after.agg(F.sum("l_quantity")).collect()[0][0] == before_sum
