@@ -105,3 +105,59 @@ def test_validator_range_counts(spark, vals, lo, hi):
     assert by_rule["range"].failed_count == sum(
         v is not None and not (lo <= v <= hi) for v in vals
     )
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(-99, 99)),
+        min_size=0,
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """Differential oracle: the union+window as-of join must agree with
+    pandas.merge_asof (backward direction, by-key) on arbitrary frames."""
+    import pandas as pd
+
+    from dagster_etl_spark.operators.temporal import asof_join
+
+    from pyspark.sql import functions as F
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(right, "k int, ts int, val int").withColumn(
+        "ts", F.timestamp_seconds("ts")
+    )
+    # duplicate right (k, ts) rows make the match ambiguous: Spark's
+    # last-by-window and pandas' positional pick may legally differ —
+    # collapse to one row per (k, ts) keeping max val (deterministic)
+    rdf = rdf.groupBy("k", "ts").agg(F.max("val").alias("val"))
+
+    got = {
+        r.lid: r.val_asof
+        for r in asof_join(ldf, rdf, keys=["k"], right_vals=["val"]).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "ts", "lid"]
+    ).sort_values(["ts", "lid"])
+    rp = (
+        pd.DataFrame(right, columns=["k", "ts", "val"])
+        .groupby(["k", "ts"], as_index=False)["val"]
+        .max()
+        .sort_values("ts")
+    )
+    if rp.empty:
+        expected = {lid: None for lid in lp.lid}
+    else:
+        m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        expected = {
+            int(r.lid): (None if pd.isna(r.val) else int(r.val))
+            for r in m.itertuples()
+        }
+    assert got == expected
