@@ -1,0 +1,84 @@
+"""Scale smoke: run the heavy text/dedup operators on a synthetically
+inflated corpus (documents unioned K times with shifted ids and salted
+near-dup mutations) to observe scaling behavior beyond the fixtures.
+
+Usage: python tools/scale_smoke.py [multiplier] [sf_dir]
+Prints one JSON line with per-operator seconds at 1x and Kx.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def inflate(docs, k: int):
+    """K shifted copies; 1-in-7 copies get a token appended so the
+    inflated corpus has genuine near-dups, not only exact ones."""
+    from pyspark.sql import functions as F
+
+    n = docs.count()
+    parts = []
+    for i in range(k):
+        p = docs.select(
+            (F.col("doc_id") + i * n).alias("doc_id"),
+            F.when(
+                (F.col("doc_id") + i) % 7 == 0,
+                F.concat(F.col("text"), F.lit(f" variant{i}")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    from dagster_etl_spark.operators.dedup import (
+        exact_dedup_stats,
+        minhash_neardup_pairs,
+    )
+    from dagster_etl_spark.operators.text import doc_stats, fingerprints
+    from dagster_etl_spark.session import get_spark
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark = get_spark("scale-smoke")
+    docs1 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs1.cache().count()
+    docsk = inflate(docs1, MULT)
+    docsk.cache().count()
+
+    ops = {
+        "doc_stats": doc_stats,
+        "fingerprints": fingerprints,
+        "exact_dedup": exact_dedup_stats,
+        "minhash_neardup": lambda d: minhash_neardup_pairs(d, threshold=0.5),
+    }
+    out = {}
+    for name, fn in ops.items():
+        t0 = time.time()
+        fn(docs1).write.mode("overwrite").format("noop").save()
+        t1 = round(time.time() - t0, 2)
+        t0 = time.time()
+        fn(docsk).write.mode("overwrite").format("noop").save()
+        tk = round(time.time() - t0, 2)
+        out[name] = {
+            "x1_sec": t1,
+            f"x{MULT}_sec": tk,
+            "scale_factor": round(tk / max(t1, 1e-9), 1),
+        }
+    print(json.dumps({"multiplier": MULT, "ops": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
