@@ -30,7 +30,13 @@ def main() -> None:
     from dagster_etl_spark.registry import all_queries
     from dagster_etl_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # size the shuffle to the data, not the box: sf0.1 is ~600k rows, so
+    # 16 post-shuffle partitions keep tasks >= a few MB each (SURVEY §4:
+    # partition sizing is a data-volume knob; 32+ partitions at this
+    # scale just pays task-scheduling overhead). Executor threads still
+    # come from SPARK_GRAFT_CPUS.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", shuffle_partitions=min(cpus, 16))
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
 
     specs = all_queries()
