@@ -89,6 +89,88 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+CLOSED_SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# state: current open session (start, last_ts, n_events)
+OPEN_SESSION_STATE = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _emit_closed_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Timeout-driven sessionizer: rows extend the open session; when
+    the event-time watermark passes last_ts + gap, the timeout fires
+    with NO rows for the key and the closed session is emitted."""
+    if state.hasTimedOut:
+        start, last_ts, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [start],
+                "session_end": [last_ts],
+                "n_events": [n],
+            }
+        )
+        return
+
+    start, last_ts, n = state.get if state.exists else (None, None, 0)
+    closed = []
+    ts_all = pd.concat([p["ts_sec"] for p in pdfs]).sort_values()
+    for t in ts_all:
+        t = int(t)
+        if last_ts is not None and t - last_ts > SESSION_GAP_SEC:
+            closed.append((start, last_ts, n))
+            start, n = t, 0
+        if start is None:
+            start = t
+        last_ts = t
+        n += 1
+    state.update((start, last_ts, n))
+    # close the open session once the watermark passes the gap
+    state.setTimeoutTimestamp((last_ts + SESSION_GAP_SEC) * 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize_with_timeout(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user closed sessions emitted as the event-time watermark
+    passes each session's gap — the production shape (results stream
+    out continuously; state is bounded by open sessions only)."""
+    prepped = events.withWatermark("ts", watermark).selectExpr(
+        "ts", "user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS ts_sec"
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _emit_closed_sessions,
+        outputStructType=CLOSED_SESSION_SCHEMA,
+        stateStructType=OPEN_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registered query: stateful sessionization over the events
     fixture, final per-user row only (update mode emits one row per

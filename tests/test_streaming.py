@@ -166,3 +166,64 @@ def test_foreachbatch_upsert_sink_converges(spark, tmp_path):
     assert len(expected) == len(got) > 0
     for r in expected:
         assert got[(r.ws, r.event_type)] == (r.n, r.s)
+
+
+def test_event_time_timeout_sessionizer(spark, tmp_path):
+    """Closed sessions stream out as the watermark passes their gap;
+    emitted sessions must match the batch gap-sessionization for every
+    session that ended well before the final watermark."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.stateful import sessionize_with_timeout
+    from dagster_etl_spark.streaming.windowed import run_stream_to_batch
+
+    ev = load_table(spark, SF_SMALL, "events").filter("user_id < 30")
+    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0].c
+    split_dir = str(tmp_path / "events_tmo")
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(split_dir)
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.mode("append").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    got = run_stream_to_batch(
+        sessionize_with_timeout(stream, watermark="30 minutes"), mode="append"
+    )
+    got_set = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    }
+    assert got_set, "expected some closed sessions emitted"
+
+    # batch truth: all sessions via gap split
+    sec = F.unix_timestamp("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("t")
+    sessions = (
+        ev.select("user_id", sec.alias("t"))
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .withColumn(
+            "new_s", F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+        )
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("t").alias("session_start"),
+            F.max("t").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    truth = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessions.collect()
+    }
+    # every emitted session must be a true session
+    assert got_set <= truth
+    # sessions closed long before the max watermark must have been emitted
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts").cast("long"))).collect()[0][0]
+    wm_floor = max_ts - 3600 - 1800  # watermark delay + session gap, conservative
+    must_emit = {s for s in truth if s[2] + 1800 < wm_floor}
+    assert must_emit <= got_set
