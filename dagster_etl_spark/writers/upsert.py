@@ -81,10 +81,17 @@ def upsert_parquet(
     staging = path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").parquet(staging)
 
+    # rename-aside swap: the old data survives (as __old) until the new
+    # data is in place, so a crash mid-swap never loses the target —
+    # delete-then-rename would. (True atomicity needs a table format:
+    # Iceberg/Delta MERGE is the production path, merge_delete_sql.)
     fs, final_p, jvm = _fs(spark, path)
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(final_p, True)
+    old_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    fs.delete(old_p, True)
+    fs.rename(final_p, old_p)
     fs.rename(staging_p, final_p)
+    fs.delete(old_p, True)
 
     after = spark.read.parquet(path).count()
     deleted = before + inserted - after
