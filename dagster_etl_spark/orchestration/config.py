@@ -76,6 +76,7 @@ class TenantConfig(BaseModel):
     tenant_id: str
     enabled_envs: list[str] = Field(default_factory=lambda: ["dev", "prod"])
     timezone: str = "UTC"
+    daily_cron: str = "0 2 * * *"  # reference: schedule_factory.py cron per tenant
     pipelines: list[PipelineConfig] = Field(default_factory=list)
 
     def enabled_in(self, env: str) -> bool:

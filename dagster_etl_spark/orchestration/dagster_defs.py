@@ -133,7 +133,9 @@ def build_definitions(
         )
         jobs.append(job)
         schedules.append(
-            dg.build_schedule_from_partitioned_job(job, cron_schedule=daily_cron)
+            dg.build_schedule_from_partitioned_job(
+                job, cron_schedule=tenant.daily_cron or daily_cron
+            )
         )
 
     return dg.Definitions(assets=assets, jobs=jobs, schedules=schedules)
