@@ -240,3 +240,58 @@ def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.profile import null_profile
 
     return null_profile(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Scrubbing: PII redaction + benchmark decontamination.
+
+def _redact_oracle() -> str:
+    from dagster_etl_spark.operators.scrub import redact_expr
+
+    return f"SELECT doc_id, {redact_expr('text', x.DUCK)} AS clean_text FROM documents"
+
+
+@register(
+    "redact_pii",
+    oracle=_redact_oracle(),
+    tags=("llm", "text", "scrub"),
+    doc="PII redaction: chained regexp_replace (email/phone/url/ssn) in "
+    "the Java-RE2 common regex subset; JVM-side, shuffle-free.",
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.scrub import redact_pii
+
+    return redact_pii(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "clean_text"
+    )
+
+
+def _decontam_oracle(n: int = 13) -> str:
+    sh = x.let(x.tokens("text", x.DUCK), "_t", x.shingles("_t", n, x.DUCK), x.DUCK)
+    hashed = x.xform("_sh", "s", x.h60("s", x.DUCK), x.DUCK)
+    return f"""
+WITH corpus_g AS (
+  SELECT doc_id, unnest({hashed}) AS gh
+  FROM (SELECT doc_id, {sh} AS _sh FROM documents)
+), bench_g AS (
+  SELECT DISTINCT unnest({hashed}) AS gh
+  FROM (SELECT {sh} AS _sh FROM documents WHERE doc_id % 17 = 0)
+)
+SELECT DISTINCT doc_id FROM corpus_g
+WHERE gh IN (SELECT gh FROM bench_g)
+"""
+
+
+@register(
+    "decontaminate_vs_benchmark",
+    oracle=_decontam_oracle(),
+    tags=("llm", "dedup", "scrub"),
+    doc="13-gram decontamination: corpus docs sharing any 13-gram hash "
+    "with the benchmark subset (broadcast semi-join on 60-bit hashes).",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.scrub import contaminated_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter("doc_id % 17 = 0")
+    return contaminated_ids(docs, bench)
