@@ -62,3 +62,28 @@ GROUP BY user_id
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_user_sessions(spark, sf_dir)
+
+
+_DEDUP_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "streaming_dedup_counts",
+    oracle=_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+    doc="Exactly-once over at-least-once delivery: the events stream "
+    "unioned with itself (every record delivered twice), deduped with "
+    "dropDuplicatesWithinWatermark on event_id (state bounded by the "
+    "watermark horizon); per-type counts must equal the plain batch "
+    "table's.",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.dedup import streaming_dedup_counts
+
+    return streaming_dedup_counts(spark, sf_dir)

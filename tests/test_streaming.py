@@ -227,3 +227,28 @@ def test_event_time_timeout_sessionizer(spark, tmp_path):
     wm_floor = max_ts - 3600 - 1800  # watermark delay + session gap, conservative
     must_emit = {s for s in truth if s[2] + 1800 < wm_floor}
     assert must_emit <= got_set
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Re-delivery in a LATER micro-batch must still be dropped: either
+    the key is within the watermark horizon (still in state -> deduped)
+    or it is older than the watermark (late -> dropped). Output never
+    contains a second copy."""
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.dedup import dedup_stream
+    from dagster_etl_spark.streaming.windowed import run_stream_to_batch
+
+    ev = load_table(spark, SF_SMALL, "events").filter("user_id < 20")
+    d = str(tmp_path / "dup_events")
+    ev.coalesce(1).write.parquet(d)
+    ev.coalesce(1).write.mode("append").parquet(d)  # every record re-delivered
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_stream_to_batch(dedup_stream(stream), mode="append")
+    n = ev.count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
