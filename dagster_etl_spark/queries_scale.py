@@ -493,3 +493,125 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+_LATE_SHIPMENT_ORACLE = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 90
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "late_shipment_priority",
+    oracle=_LATE_SHIPMENT_ORACLE,
+    tags=("scale", "join", "semi"),
+    doc="TPC-H Q4 shape: per-priority count of orders with at least one "
+    "line shipped >90 days after the order date — a left_semi join with "
+    "a compound (equi + range) condition, so each order is counted once "
+    "no matter how many late lines it has.",
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        F.to_date(li.l_shipdate) > F.date_add(F.to_date(orders.o_orderdate), 90)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SHIPPING_MIX_ORACLE = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY l.l_linestatus
+"""
+
+
+@register(
+    "priority_shipping_mix",
+    oracle=_SHIPPING_MIX_ORACLE,
+    tags=("scale", "join", "conditional-agg"),
+    doc="TPC-H Q12 shape: one-year shipdate bracket (pushed to the "
+    "scan), fact-fact join, then a two-way conditional count by line "
+    "status — single pass, no second join or pivot.",
+)
+def q_priority_shipping_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= "1996-01-01")
+        & (F.to_date("l_shipdate") < "1997-01-01")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_PROMO_ORACLE = """
+WITH f AS (
+  SELECT
+    CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_share_pct
+FROM f
+"""
+
+
+@register(
+    "promo_revenue_share",
+    oracle=_PROMO_ORACLE,
+    tags=("scale", "join", "ratio"),
+    doc="TPC-H Q14 shape: promo revenue share over a quarter — broadcast "
+    "part-dim join, decimal-exact conditional sums, and the ratio taken "
+    "in double identically on both engines.",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= "1996-01-01")
+        & (F.to_date("l_shipdate") < "1996-04-01")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100).cast("double") * F.col("promo_revenue") / F.col("total_revenue"))
+        .alias("promo_share_pct"),
+    )
