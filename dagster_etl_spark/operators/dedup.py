@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dagster_etl_spark.functions import xdialect as x
+from dagster_etl_spark.plans.layout import spread
 
 
 # -- exact dedup -------------------------------------------------------------
@@ -140,7 +141,9 @@ def minhash_neardup_pairs(
     # size(shingles) > 0 but avoids pushdown re-inlining the full
     # shingle+md5 chain into the predicate
     tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
-    sh = shingled(df.filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k)
+    sh = shingled(
+        spread(df).filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k
+    )
     # hs: distinct shingle-hash sets — one md5 pass; reused for both the
     # signatures and the exact-Jaccard verify (set semantics unchanged,
     # md5 collisions at 60 bits are negligible)
@@ -213,7 +216,9 @@ def ngram_jaccard_pairs(
     LSH variant): explode shingles, join on shingle, count
     intersections, compute |A∩B| / (|A| + |B| - |A∩B|)."""
     tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
-    sh = shingled(df.filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k)
+    sh = shingled(
+        spread(df).filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k
+    )
     # join/shuffle on 60-bit shingle hashes, not shingle strings: 8-byte
     # keys through the exchange instead of ~20-byte text; the exploded
     # scalar rows are persisted so both self-join sides scan the
@@ -272,7 +277,7 @@ def simhash_neardup_pairs(
         simhash_from_hashes_expr("_ht", x.SPARK, bits),
         x.SPARK,
     )
-    hashed = df.selectExpr(id_col, f"{sim} AS simhash").persist()
+    hashed = spread(df).selectExpr(id_col, f"{sim} AS simhash").persist()
     width = bits // bands
     mask = (1 << width) - 1
     # shiftright(): the multi-alias `AS (band_idx, bh)` parser path

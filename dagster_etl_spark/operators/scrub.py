@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dagster_etl_spark.functions import xdialect as x
+from dagster_etl_spark.plans.layout import spread
 
 # pattern -> replacement token, applied in order: specific before broad
 # (SSNs would otherwise be swallowed by the phone pattern)
@@ -40,7 +41,7 @@ def redact_expr(text_col: str, d: str, rules=PII_RULES) -> str:
 
 
 def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
-    return df.withColumn(out_col, F.expr(redact_expr(text_col, x.SPARK)))
+    return spread(df).withColumn(out_col, F.expr(redact_expr(text_col, x.SPARK)))
 
 
 # -- decontamination -----------------------------------------------------------
@@ -74,7 +75,7 @@ def contaminated_ids(
             .selectExpr(*cols, f"explode({hashed}) AS gh")
         )
 
-    corpus_grams = grams(corpus, keep_id=True)
+    corpus_grams = grams(spread(corpus), keep_id=True)
     bench_grams = F.broadcast(grams(benchmark, keep_id=False).distinct())
     return (
         corpus_grams.join(bench_grams, on="gh", how="left_semi")

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dagster_etl_spark.functions import xdialect as x
+from dagster_etl_spark.plans.layout import spread
 
 
 def cosine_topk(
@@ -37,7 +38,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     cos = x.cosine("qv", "cv", dim, x.SPARK)

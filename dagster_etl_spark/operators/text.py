@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from dagster_etl_spark.functions import xdialect as x
+from dagster_etl_spark.plans.layout import spread
 
 # Tiny built-in stopword list (English function words); real deployments
 # pass their own.
@@ -162,12 +163,12 @@ def _let_cols(exprs: dict[str, str], text_col: str, var: str) -> list[str]:
 
 def doc_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     e = doc_stats_exprs(text_col, x.SPARK, tok="_t")
-    return df.selectExpr(id_col, *_let_cols(e, text_col, "_t"))
+    return spread(df).selectExpr(id_col, *_let_cols(e, text_col, "_t"))
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     e = lang_score_exprs(text_col, x.SPARK, tok="_t")
-    return df.selectExpr(id_col, *_let_cols(e, text_col, "_t"))
+    return spread(df).selectExpr(id_col, *_let_cols(e, text_col, "_t"))
 
 
 def fingerprints(
@@ -181,7 +182,7 @@ def fingerprints(
         simhash_from_hashes_expr("_ht", x.SPARK, bits),
         x.SPARK,
     )
-    return df.selectExpr(
+    return spread(df).selectExpr(
         id_col,
         f"{norm_md5_expr(text_col, x.SPARK)} AS fp_md5",
         f"{sim} AS simhash",

@@ -127,7 +127,9 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dagster_etl_spark.operators.text import _let_cols
 
-    docs = load_table(spark, sf_dir, "documents")
+    from dagster_etl_spark.plans.layout import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     canon = exact_dedup_stats(docs).select(
         F.col("canonical_id").alias("doc_id")
     )
@@ -194,7 +196,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    from dagster_etl_spark.plans.layout import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ex = docs.selectExpr(
         "doc_id", f"explode({x.tokens('text', x.SPARK)}) AS term"
     )
