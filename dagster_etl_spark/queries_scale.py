@@ -615,3 +615,33 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100).cast("double") * F.col("promo_revenue") / F.col("total_revenue"))
         .alias("promo_share_pct"),
     )
+
+
+_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "revenue_cube",
+    oracle=_CUBE_ORACLE,
+    tags=("scale", "agg", "cube"),
+    doc="CUBE over (returnflag, linestatus): all four grouping levels in "
+    "one pass with partial aggregation; grouping_id disambiguates "
+    "rolled-up NULLs from data NULLs, bit-compatible with DuckDB's "
+    "GROUPING().",
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )

@@ -87,3 +87,27 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.dedup import streaming_dedup_counts
 
     return streaming_dedup_counts(spark, sf_dir)
+
+
+_ENRICH_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "streaming_segment_stats",
+    oracle=_ENRICH_ORACLE,
+    tags=("streaming", "join"),
+    doc="Stream-static enrichment: the events stream joined to the "
+    "broadcast customer dimension per micro-batch (stateless — no "
+    "state store), then per-segment stats; must equal the batch join.",
+)
+def q_streaming_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.enrich import streaming_segment_stats
+
+    return streaming_segment_stats(spark, sf_dir)

@@ -252,3 +252,30 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     n = ev.count()
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static join per micro-batch must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.enrich import streaming_segment_stats
+
+    got = {
+        r.c_mktsegment: (r.n_events, r.sum_value)
+        for r in streaming_segment_stats(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    cust = load_table(spark, SF_SMALL, "customer")
+    batch = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    )
+    assert len(batch) == len(got) > 0
+    for r in batch:
+        assert got[r.c_mktsegment] == (r.n, r.s)
