@@ -299,3 +299,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter("doc_id % 17 = 0")
     return contaminated_ids(docs, bench)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splitting / sampling.
+
+def _split_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import split_expr
+
+    return (
+        f"SELECT doc_id, {split_expr('doc_id', x.DUCK)} AS split FROM documents"
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle=_split_oracle(),
+    tags=("llm", "sampling"),
+    doc="Deterministic 80/10/10 corpus split by id-hash bucket: a pure "
+    "projection (no shuffle, no RNG state), stable across reruns, "
+    "engines, partitionings, and corpus growth.",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import hash_split
+
+    return hash_split(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )

@@ -132,3 +132,32 @@ def test_connected_components_and_clusters(spark):
         canonical_per_cluster.setdefault(cl, 0)
         canonical_per_cluster[cl] += int(canon)
     assert all(v == 1 for v in canonical_per_cluster.values())
+
+
+def test_hash_sample_and_split_deterministic(spark):
+    from dagster_etl_spark.operators.sampling import hash_sample, hash_split
+
+    from tests.conftest import SF_SMALL
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    n = docs.count()
+
+    s1 = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    s2 = {r.doc_id for r in hash_sample(docs, 0.2).select("doc_id").collect()}
+    assert s1 == s2  # rerun-stable
+    assert 0.1 * n < len(s1) < 0.3 * n  # ~20%
+    # monotone: a bigger sample contains the smaller one (bucket < cut)
+    s_half = {r.doc_id for r in hash_sample(docs, 0.5).select("doc_id").collect()}
+    assert s1 <= s_half
+
+    split = hash_split(docs)
+    counts = {r.split: r.n for r in split.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # growth-stable: assignment on a subset equals assignment on the full set
+    sub = hash_split(docs.filter("doc_id % 2 = 0"))
+    full = {r.doc_id: r.split for r in split.collect()}
+    for r in sub.collect():
+        assert full[r.doc_id] == r.split
