@@ -81,3 +81,43 @@ def hash_split(
     corpus grows — only the id matters — so incremental ingestion can't
     leak validation docs into train."""
     return df.withColumn(out_col, F.expr(split_expr(id_col, x.SPARK, weights, salt)))
+
+
+def _copies_expr(id_col: str, d: str, weight: float, salt: str) -> str:
+    """Integer copy count per row realizing ``weight``: floor(weight)
+    full copies + one more for the hash-selected fraction."""
+    base = int(weight)
+    cut = int(round((weight - base) * _BUCKETS))
+    if cut == 0:
+        return str(base)
+    return f"({base} + (CASE WHEN {_bucket_expr(id_col, d, salt)} < {cut} THEN 1 ELSE 0 END))"
+
+
+def weighted_mix(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministic corpus mixture: each source contributes its rows
+    ``weight`` times in expectation — floor(weight) exact copies plus a
+    hash-selected fractional copy (weight 2.5 -> every row twice, half
+    the rows a third time; weight 0.3 -> ~30% of rows once). This is
+    the pretraining data-mixing step (up-weight books, down-weight raw
+    web) as a pure per-row projection: no shuffle, no RNG, identical
+    output on every rerun and engine. The per-source salt decorrelates
+    the fractional picks from each other and from hash_split."""
+    parts = []
+    for name, (df, w) in sources.items():
+        n = _copies_expr(id_col, x.SPARK, w, salt + name)
+        parts.append(
+            df.withColumn("source", F.lit(name))
+            .withColumn("_n", F.expr(n))
+            .filter(F.col("_n") >= 1)
+            .withColumn("copy_idx", F.explode(F.expr("sequence(1, _n)")))
+            .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+            .drop("_n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -326,3 +326,42 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "split"
     )
+
+
+def _mix_sources() -> dict[str, float]:
+    # three pseudo-sources carved from the corpus by id residue
+    return {"web": 1.0, "books": 2.5, "code": 0.3}
+
+
+def _mix_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import _copies_expr
+
+    selects = []
+    for i, (name, w) in enumerate(sorted(_mix_sources().items())):
+        n = _copies_expr("doc_id", x.DUCK, w, "mix:" + name)
+        selects.append(
+            f"SELECT doc_id, '{name}' AS source, "
+            f"CAST(unnest(generate_series(1, {n})) AS BIGINT) AS copy_idx "
+            f"FROM documents WHERE doc_id % 3 = {i}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "corpus_mixture",
+    oracle=_mix_oracle(),
+    tags=("llm", "sampling"),
+    doc="Weighted pretraining data mixture over three pseudo-sources "
+    "(web x1.0, books x2.5, code x0.3): floor(w) exact copies plus a "
+    "hash-selected fractional copy — deterministic, shuffle-free "
+    "up/downsampling.",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = {
+        name: (docs.filter(f"doc_id % 3 = {i}"), w)
+        for i, (name, w) in enumerate(sorted(_mix_sources().items()))
+    }
+    return weighted_mix(sources).select("doc_id", "source", "copy_idx")

@@ -161,3 +161,31 @@ def test_hash_sample_and_split_deterministic(spark):
     full = {r.doc_id: r.split for r in split.collect()}
     for r in sub.collect():
         assert full[r.doc_id] == r.split
+
+
+def test_weighted_mix_realizes_weights(spark):
+    from dagster_etl_spark.operators.sampling import weighted_mix
+
+    from tests.conftest import SF_SMALL
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    n = docs.count()
+    mixed = weighted_mix({"up": (docs, 2.5), "down": (docs, 0.3)})
+    counts = {
+        r.source: r.n
+        for r in mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert 2 * n <= counts["up"] <= 3 * n  # every row 2x or 3x
+    assert 0.15 * n < counts["down"] < 0.45 * n  # ~30%, no duplicates
+    # per-row copy indices are dense 1..k
+    from pyspark.sql import functions as F
+
+    bad = (
+        mixed.filter("source = 'up'")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k"), F.max("copy_idx").alias("mx"))
+        .filter("k != mx OR k < 2 OR k > 3")
+        .count()
+    )
+    assert bad == 0
