@@ -365,3 +365,76 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (name, w) in enumerate(sorted(_mix_sources().items()))
     }
     return weighted_mix(sources).select("doc_id", "source", "copy_idx")
+
+
+def _decile_oracle() -> str:
+    q = doc_stats_exprs("text", x.DUCK, tok="_tok")["quality_score"]
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {q} AS quality_score
+  FROM (SELECT doc_id, text, {x.tokens('text', x.DUCK)} AS _tok FROM documents)
+)
+SELECT doc_id, quality_score,
+       CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM scored
+WINDOW w AS (ORDER BY quality_score DESC, doc_id)
+"""
+
+
+@register(
+    "quality_deciles",
+    oracle=_decile_oracle(),
+    tags=("llm", "text", "window"),
+    doc="Quality-score deciles + percent_rank (ntile over a global "
+    "order — fine for corpus-curation cutoffs; at 100 TB use "
+    "approx-percentile bucket bounds instead of a total sort, which "
+    "this query documents as the scale path).",
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    scored = doc_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    w = Window.orderBy(F.col("quality_score").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "quality_score",
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+def _bigram_oracle(min_count: int = 5) -> str:
+    sh = x.let(x.tokens("text", x.DUCK), "_t", x.shingles("_t", 2, x.DUCK), x.DUCK)
+    return f"""
+SELECT bigram, COUNT(*) AS n
+FROM (SELECT unnest({sh}) AS bigram FROM documents)
+GROUP BY bigram
+HAVING COUNT(*) >= {min_count}
+"""
+
+
+@register(
+    "corpus_bigram_counts",
+    oracle=_bigram_oracle(),
+    tags=("llm", "text"),
+    doc="Corpus-wide word-bigram counts (language-model n-gram "
+    "statistics): explode 2-shingles, hash-aggregate with map-side "
+    "partials, HAVING floor to keep the long tail out of the result.",
+)
+def q_corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.plans.layout import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = x.let(x.tokens("text", x.SPARK), "_t", x.shingles("_t", 2, x.SPARK), x.SPARK)
+    return (
+        docs.selectExpr(f"explode({sh}) AS bigram")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
