@@ -111,3 +111,31 @@ def q_streaming_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.enrich import streaming_segment_stats
 
     return streaming_segment_stats(spark, sf_dir)
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT v.user_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_sec,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_sec
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register(
+    "streaming_attribution_join",
+    oracle=_ATTRIBUTION_ORACLE,
+    tags=("streaming", "join"),
+    doc="Stream-stream inner join with an event-time bound: purchases "
+    "attributed to views they followed within 30 minutes, state bounded "
+    "by watermark + range condition; must equal the batch range join.",
+)
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.joins import (
+        streaming_view_purchase_attribution,
+    )
+
+    return streaming_view_purchase_attribution(spark, sf_dir)

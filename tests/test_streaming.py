@@ -279,3 +279,51 @@ def test_stream_static_enrich_matches_batch(spark):
     assert len(batch) == len(got) > 0
     for r in batch:
         assert got[r.c_mktsegment] == (r.n, r.s)
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """Views in batch 1, purchases in batch 2: the buffered left side
+    must still match — stream-stream join state survives the split."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.joins import attribution_join
+    from dagster_etl_spark.streaming.windowed import run_stream_to_batch
+
+    ev = load_table(spark, SF_SMALL, "events").filter(
+        F.col("event_type").isin("view", "purchase") & (F.col("user_id") < 30)
+    )
+    d = str(tmp_path / "split_vp")
+    ev.filter("event_type = 'view'").coalesce(1).write.parquet(d)
+    ev.filter("event_type = 'purchase'").coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    views = (
+        stream.filter("event_type = 'view'")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter("event_type = 'purchase'")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    got = run_stream_to_batch(
+        attribution_join(views, purchases), mode="append"
+    ).count()
+
+    v = ev.filter("event_type = 'view'").select("user_id", F.col("ts").alias("vts"))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = v.join(
+        p,
+        (v.user_id == p.pu)
+        & (p.pts >= v.vts)
+        & (p.pts <= v.vts + F.expr("interval 30 minutes")),
+    ).count()
+    assert got == want > 0
