@@ -55,6 +55,10 @@ def xmin(arr: str, d: str) -> str:
     return f"array_min({arr})" if d == SPARK else f"list_min({arr})"
 
 
+def xmax(arr: str, d: str) -> str:
+    return f"array_max({arr})" if d == SPARK else f"list_max({arr})"
+
+
 def xsum_int(arr: str, d: str) -> str:
     """Exact integer sum of an int array -> BIGINT."""
     if d == SPARK:

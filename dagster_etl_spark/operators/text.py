@@ -187,3 +187,59 @@ def fingerprints(
         f"{norm_md5_expr(text_col, x.SPARK)} AS fp_md5",
         f"{sim} AS simhash",
     )
+
+
+def _bigram_list_expr(tok: str, d: str) -> str:
+    """NON-distinct word bigrams (repetition needs multiplicity;
+    xdialect.shingles dedups)."""
+    n = f"({x.xsize(tok, d)} - 1)"
+    if d == x.SPARK:
+        body = f"concat_ws(' ', {x.idx_var(tok, 'i', d)}, {x.idx_var(tok, 'i', d, 1)})"
+    else:
+        body = f"{x.idx_var(tok, 'i', d)} || ' ' || {x.idx_var(tok, 'i', d, 1)}"
+    return x.xform(x.zero_range(n, d), "i", body, d)
+
+
+def gopher_quality_exprs(text_col: str, d: str, tok: str | None = None) -> dict[str, str]:
+    """Gopher-style document quality signals: token-count bounds, mean
+    word length, and repeated-bigram ratio. Flags use pure integer
+    arithmetic (top*5 <= n_bg instead of ratio <= 0.2) so no float
+    literal ever crosses an engine boundary. The bigram mode is an
+    O(tokens^2) per-row array fold — shuffle-free, right for docs up to
+    a few thousand tokens; beyond that, switch to the explode+groupBy
+    form (corpus_bigram_counts shows the shape)."""
+    t = tok or x.tokens(text_col, d)
+    n = x.xsize(t, d)
+    sum_len = x.xsum_int(x.xform(t, "w", "length(w)", d), d)
+    bg = _bigram_list_expr(t, d)
+    top = x.xmax(x.xform("_bg", "b", x.xsize(x.xfilter("_bg", "y", "y = b", d), d), d), d)
+    n_bg = x.xsize("_bg", d)
+    rep = x.let(
+        bg,
+        "_bg",
+        f"CASE WHEN {n_bg} > 0 THEN CAST({top} AS DOUBLE) / CAST({n_bg} AS DOUBLE) "
+        f"ELSE CAST(0 AS DOUBLE) END",
+        d,
+    )
+    keep_rep = x.let(bg, "_bg", f"coalesce({top} * 20 <= {n_bg}, true)", d)
+    keep = (
+        f"CAST(CASE WHEN {n} >= 30 AND {n} <= 5000 "
+        f"AND {sum_len} >= 2 * {n} AND {sum_len} <= 12 * {n} "
+        f"AND {keep_rep} THEN 1 ELSE 0 END AS BIGINT)"
+    )
+    return {
+        "n_tokens": f"CAST({n} AS BIGINT)",
+        "mean_token_len": (
+            f"CASE WHEN {n} > 0 THEN CAST({sum_len} AS DOUBLE) / CAST({n} AS DOUBLE) "
+            f"ELSE CAST(0 AS DOUBLE) END"
+        ),
+        "rep_bigram_ratio": rep,
+        "keep": keep,
+    }
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    e = gopher_quality_exprs(text_col, x.SPARK, tok="_t")
+    return spread(df).selectExpr(id_col, *_let_cols(e, text_col, "_t"))

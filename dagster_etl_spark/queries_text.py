@@ -438,3 +438,23 @@ def q_corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+def _gopher_oracle() -> str:
+    from dagster_etl_spark.operators.text import gopher_quality_exprs
+
+    return _oracle_select(gopher_quality_exprs("text", x.DUCK, tok="_tok"))
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=_gopher_oracle(),
+    tags=("llm", "text"),
+    doc="Gopher-style quality gate: token-count bounds, mean word "
+    "length, repeated-bigram ratio — integer-arithmetic flags, "
+    "shuffle-free per-row array folds.",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import gopher_quality
+
+    return gopher_quality(load_table(spark, sf_dir, "documents"))
