@@ -42,16 +42,33 @@ def main() -> None:
     specs = all_queries()
     bench_names = [n for n, s in specs.items() if "bench" in s.tags] or list(specs)
 
+    from dagster_etl_spark.plans.cache import release_pinned
+
+    def run_one(name: str) -> None:
+        specs[name].fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    # warm-up pass: execute every bench query once untimed. DuckDB's
+    # baseline numbers in BASELINE.md are warm (best-of runs on a live
+    # process); timing Spark cold instead charges ~4s of one-time JVM
+    # JIT + codegen compilation to whichever query runs first. Warm
+    # numbers measure the plans, which is what the gate compares.
+    for name in bench_names:
+        try:
+            run_one(name)
+        except Exception:
+            pass
+        release_pinned()
+
     timings: dict[str, float] = {}
     for name in bench_names:
-        fn = specs[name].fn
         t0 = time.time()
         try:
-            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            run_one(name)
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # never break the bench line
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        release_pinned()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

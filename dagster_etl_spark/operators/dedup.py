@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dagster_etl_spark.functions import xdialect as x
+from dagster_etl_spark.plans.cache import pin, track
 from dagster_etl_spark.plans.layout import spread
 
 
@@ -165,9 +166,9 @@ def minhash_neardup_pairs(
     # which is why (id, band) rows are cached rather than (id, hs); the
     # verify stage recomputes the (cheap, let-bound) hash chain instead.
     band_arr = "array(" + ", ".join(f"band{b}" for b in range(bands)) + ")"
-    melted = banded.selectExpr(
-        id_col, f"posexplode({band_arr}) AS (band_idx, bh)"
-    ).persist()
+    melted = pin(
+        banded.selectExpr(id_col, f"posexplode({band_arr}) AS (band_idx, bh)")
+    )
     # runtime-adaptive join strategy: melted is persisted, so counting it
     # is a cheap cached scan; under the bound, broadcasting the band table
     # removes both shuffle exchanges of the self-join (measured 2.6x at
@@ -227,7 +228,7 @@ def ngram_jaccard_pairs(
         id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
     )
     sized = hashed.selectExpr(id_col, "hs", "size(hs) AS n_sh")
-    ex = sized.select(id_col, "n_sh", F.explode("hs").alias("s")).persist()
+    ex = pin(sized.select(id_col, "n_sh", F.explode("hs").alias("s")))
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "s"
     )
@@ -277,7 +278,7 @@ def simhash_neardup_pairs(
         simhash_from_hashes_expr("_ht", x.SPARK, bits),
         x.SPARK,
     )
-    hashed = spread(df).selectExpr(id_col, f"{sim} AS simhash").persist()
+    hashed = pin(spread(df).selectExpr(id_col, f"{sim} AS simhash"))
     width = bits // bands
     mask = (1 << width) - 1
     # shiftright(): the multi-alias `AS (band_idx, bh)` parser path
@@ -320,6 +321,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups: iterative min-label
     propagation to a fixpoint. Returns (doc_id, cluster_id) with
@@ -330,7 +332,14 @@ def connected_components(
     aggregate on (node, label) — the standard large-graph CC shape;
     near-dup graphs converge in a few rounds because components are
     tiny (dup clusters), so the loop exits early on a fixpoint check.
-    Iterative -> no SQL oracle; invariants are tested instead.
+
+    Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds: persist() alone keeps the full
+    join+agg plan tree growing one layer per round, so at the 100 TB
+    design point a deep component would pay ever-larger plan
+    compilation and a lost-executor recovery would replay every round
+    from the source. Checkpointing bounds both. (Iterative -> the SQL
+    oracle is a WITH RECURSIVE twin, see queries_text.)
     """
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
@@ -344,27 +353,38 @@ def connected_components(
         .selectExpr("node", "node AS label")
         .persist()
     )
-    for _ in range(max_iter):
-        # each node adopts the min label in its closed neighborhood
-        neighbor_labels = (
-            edges.join(labels, on=F.col("dst") == F.col("node"))
-            .selectExpr("src AS node", "label")
-            .unionByName(labels)
-        )
-        new_labels = neighbor_labels.groupBy("node").agg(
-            F.min("label").alias("label")
-        ).persist()
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), on="node")
-            .filter("label != old")
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.selectExpr("node AS doc_id", "label AS cluster_id")
+    try:
+        for it in range(max_iter):
+            # each node adopts the min label in its closed neighborhood
+            neighbor_labels = (
+                edges.join(labels, on=F.col("dst") == F.col("node"))
+                .selectExpr("src AS node", "label")
+                .unionByName(labels)
+            )
+            new_labels = neighbor_labels.groupBy("node").agg(
+                F.min("label").alias("label")
+            )
+            if (it + 1) % checkpoint_every == 0:
+                # materialize + cut the plan: downstream rounds see a
+                # leaf scan, not `it` stacked join+agg layers
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), on="node")
+                .filter("label != old")
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # labels is materialized by the fixpoint count above; dropping
+        # the edge cache only costs a recompute if labels is ever evicted
+        edges.unpersist()
+    return track(labels).selectExpr("node AS doc_id", "label AS cluster_id")
 
 
 def dedup_clusters(

@@ -23,7 +23,11 @@ PII_RULES: tuple[tuple[str, str], ...] = (
     (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     (r"https?://[^\s]+", "<URL>"),
     (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    # each repeat adds one digit and at most TWO separator chars (") "
+    # and " (" appear in formatted numbers), 7-15 digits total: an
+    # unbounded separator class would collapse whole tables of
+    # space-separated numbers into a single <PHONE> token
+    (r"\+?\b[0-9]([()\-\s]{0,2}[0-9]){6,14}\b", "<PHONE>"),
 )
 
 

@@ -38,16 +38,27 @@ def asof_join(
     sides the same way but Spark lacks the operator; the naive
     theta-join alternative is O(L×R) per key).
     """
+    from pyspark.sql.types import StructField, StructType
+
     keys = list(keys)
     right_vals = list(right_vals) or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
+    # carry ONE struct of all right columns, not each column separately:
+    # per-column last(ignorenulls) would fill a NULL field of the matched
+    # row from an OLDER right row, mixing columns across rows. The struct
+    # is non-null iff a right row exists, so NULL fields travel with
+    # their row (DuckDB ASOF LEFT JOIN semantics: all columns from the
+    # single matched row).
+    carry_fields = [*right_vals, right_ts]
+    r_struct_t = StructType(
+        [StructField(c, right.schema[c].dataType) for c in carry_fields]
+    )
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_vals],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{right_ts}{suffix}"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
         *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
         F.col(left_ts),
     )
@@ -55,8 +66,7 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_vals],
-        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        F.struct(*[F.col(c) for c in carry_fields]).alias("_r"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -72,17 +82,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in [*right_vals, right_ts]
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_cr")
     )
     out_cols = (
         keys
         + [c for c in left.columns if c not in keys and c != left_ts]
         + [left_ts]
-        + [F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in [*right_vals, right_ts]]
+        + [F.col(f"_cr.{c}").alias(f"{c}{suffix}") for c in carry_fields]
     )
     return carried.filter(F.col("_is_left") == 1).select(*out_cols)
 

@@ -28,6 +28,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     (large tables, many files), returns ``df`` unchanged."""
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
+    # fast path: enough input files -> the scan is already parallel, and
+    # reading the file list is a logical-plan walk (no DataFrame->RDD
+    # plan conversion, which the old getNumPartitions probe paid on
+    # every heavy operator's input). On a real lake (files >> cores)
+    # this returns immediately.
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    # few/no files: the scan may still be split by maxPartitionBytes
+    # (large files) or be a non-file relation — the RDD probe is exact
+    # and only runs in this small-input regime.
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

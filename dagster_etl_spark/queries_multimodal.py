@@ -73,7 +73,19 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # decode stub is Python-side; determinism gated in tests
     tags=("llm", "multimodal"),
     doc="Arrow-batched feature extraction over decoded media "
-    "(mapInPandas, fixed-dim float vectors).",
+    "(mapInPandas, fixed-dim float vectors). Registered projection is "
+    "canonicalizer-safe scalars (the raw array<float> output of "
+    "extract_features is the pipeline API; the driver harness sorts "
+    "all columns and cannot sort lists).",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(_media(spark, sf_dir), dim=16)
+    feats = extract_features(_media(spark, sf_dir), dim=16)
+    # scalar fingerprint of the vector: stable across runs because the
+    # decode stub is md5-seeded; rounded via format_number so the
+    # float->string rendering is fixed-width deterministic
+    return feats.selectExpr(
+        "asset_id",
+        "size(features) AS n_dims",
+        "CAST(aggregate(features, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)) AS DOUBLE) AS feat_sum",
+        "md5(concat_ws(',', transform(features, v -> format_number(CAST(v AS DOUBLE), 4)))) AS feat_md5",
+    )

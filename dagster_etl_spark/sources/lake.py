@@ -96,8 +96,15 @@ def compact_partition(
     staging = path.rstrip("/") + "__compact"
     df.repartition(n_out).write.mode("overwrite").parquet(staging)
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(hpath, True)
+    # rename-aside swap (same sequence as writers.upsert.upsert_parquet):
+    # the live path is only ever replaced by a completed rewrite, and the
+    # old data survives as __old until the new data is in place — a crash
+    # mid-swap never loses the partition, unlike delete-then-rename.
+    old_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    fs.delete(old_p, True)
+    fs.rename(hpath, old_p)
     fs.rename(staging_p, hpath)
+    fs.delete(old_p, True)
     return {"files_before": before, "files_after": int(n_out), "bytes": int(total_bytes)}
 
 

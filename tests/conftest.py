@@ -19,3 +19,13 @@ def spark():
     spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
     yield spark
     spark.stop()
+
+
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Operators pin() self-join intermediates; release them after every
+    test so the session-scoped Spark never accumulates cached blocks."""
+    yield
+    from dagster_etl_spark.plans.cache import release_pinned
+
+    release_pinned()

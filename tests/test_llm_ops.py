@@ -189,3 +189,25 @@ def test_weighted_mix_realizes_weights(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_connected_components_bounded_lineage(spark):
+    """A deep (diameter ~8) chain must converge AND the result plan must
+    be a checkpoint scan, not `iterations` stacked join+agg layers —
+    the 100 TB lineage/recovery guarantee."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(1, 9)]  # path 1-2-...-9
+    )
+    out = connected_components(pairs, checkpoint_every=2)
+    labels = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert labels == {i: 1 for i in range(1, 10)}
+    # min-label propagation halves distance per round -> several rounds
+    # ran; with checkpoint_every=2 the final plan hangs off a scan of
+    # checkpointed data with at most ~2 rounds of joins above it
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+    assert plan.count("Join") <= 4

@@ -42,3 +42,25 @@ def test_decontaminate_removes_overlapping_docs(spark):
     assert bad == [1, 2]
     kept = sorted(r.doc_id for r in decontaminate(corpus, bench).collect())
     assert kept == [3, 4]
+
+
+def test_phone_redaction_is_bounded(spark):
+    """The PHONE pattern must not collapse long runs of space-separated
+    numbers (tables, year lists) into a single token: separators are
+    limited to 2 chars per digit and 15 digits total per match."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.scrub import redact_pii
+
+    long_run = " ".join(str(1000 + i) for i in range(12))  # 48 digits
+    rows = [Row(doc_id=1, text=f"yearly totals: {long_run} end")]
+    (out,) = redact_pii(spark.createDataFrame(rows)).collect()
+    # the run may be partially redacted (phone-shaped windows) but must
+    # not become one giant token: the tail of the run survives
+    assert out.clean_text.endswith("end")
+    assert len(out.clean_text.split("<PHONE>")) >= 3 or "<PHONE>" not in out.clean_text
+    # short id sequences (< 7 digits) never match
+    (out2,) = redact_pii(
+        spark.createDataFrame([Row(doc_id=2, text="ref 12 34 56")])
+    ).collect()
+    assert out2.clean_text == "ref 12 34 56"

@@ -88,3 +88,25 @@ def test_multigrain_rollup_consistency(spark):
         for r in roll.groupBy("grain").agg(F.count(F.lit(1)).alias("b")).collect()
     }
     assert counts["1h"] >= counts["1d"]
+
+
+def test_asof_join_null_right_value_travels_with_its_row(spark):
+    """A matched right row with a NULL value column must contribute that
+    NULL — not a back-filled value from an older right row (columns are
+    carried as ONE struct, DuckDB ASOF LEFT JOIN semantics)."""
+    from dagster_etl_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([Row(k="a", ts=_ts("2024-01-01 12:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01 10:00:00"), val=10, other="x"),
+            Row(k="a", ts=_ts("2024-01-01 11:00:00"), val=None, other="y"),
+        ]
+    )
+    (row,) = asof_join(
+        left, right, keys=["k"], right_vals=["val", "other"]
+    ).collect()
+    # matched row is 11:00 (val=NULL, other='y'): val stays NULL
+    assert row.val_asof is None
+    assert row.other_asof == "y"
+    assert row.ts_asof == _ts("2024-01-01 11:00:00")

@@ -37,6 +37,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
+    from dagster_etl_spark.plans.cache import release_pinned
     from dagster_etl_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -60,6 +61,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             failures += 1
             continue
+        finally:
+            release_pinned()
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
