@@ -66,20 +66,34 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
     return vals
 
 
-def lsh_bucket_expr(vec_col: str, dim: int, planes: int, table: int = 0) -> str:
+def lsh_bucket_expr(
+    vec_col: str, dim: int, planes: int, table: int = 0, d: str = x.SPARK
+) -> str:
     """Sign-bit bucket id for one hash table: bit p set iff
     dot(vec, plane_{table,p}) > 0; the table index is mixed into the
-    bucket so keys from different tables never collide."""
+    bucket so keys from different tables never collide.
+
+    Emitted for either dialect: Spark uses the fold form (O(1) codegen
+    tree); DuckDB gets the explicit left-associated chain — the same
+    IEEE sequence (``0.0 + t0 == t0``), so the sign test and therefore
+    the candidate set are engine-identical (this is what makes the
+    DuckDB oracle for ``lsh_ann_topk`` exact, not approximate)."""
     parts = [f"{table * (1 << planes)}"]
     for p in range(planes):
         hp = _hyperplane(table * planes + p, dim)
-        arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in hp) + ")"
-        # fold form keeps the expression tree O(1) deep per plane so the
-        # 32-plane bucket array stays inside whole-stage codegen
-        dot = (
-            f"aggregate(zip_with({vec_col}, {arr}, (e, w) -> "
-            f"CAST(e AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+        if d == x.SPARK:
+            arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in hp) + ")"
+            # fold form keeps the expression tree O(1) deep per plane so
+            # the 32-plane bucket array stays inside whole-stage codegen
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (e, w) -> "
+                f"CAST(e AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        else:
+            dot = "(" + " + ".join(
+                f"CAST({vec_col}[{i + 1}] AS DOUBLE) * CAST({w!r} AS DOUBLE)"
+                for i, w in enumerate(hp)
+            ) + ")"
         parts.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(parts) + ")"
 

@@ -76,7 +76,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = JACCARD_T
+) -> str:
     sig_cols = ",\n         ".join(minhash_signature_exprs("hs", x.DUCK, num_hashes))
     band_cols = ",\n         ".join(band_exprs(x.DUCK, num_hashes, bands))
     unions = "\n  UNION\n".join(
@@ -108,7 +110,7 @@ WITH sh AS (
   JOIN hashed a ON a.doc_id = c.id_a
   JOIN hashed b ON b.doc_id = c.id_b
 )
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
@@ -219,12 +221,51 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle(planes: int = 4, tables: int = 8) -> str:
+    """Exact DuckDB twin of the LSH search: the hyperplanes are md5-
+    derived literals and the sign-test dot products execute the
+    identical IEEE sequence in both engines, so the candidate set —
+    and therefore the approximate top-k itself — is reproducible."""
+    from dagster_etl_spark.operators.similarity import lsh_bucket_expr
+
+    bucket_list = "[" + ", ".join(
+        lsh_bucket_expr("embedding", EMB_DIM, planes, t, x.DUCK)
+        for t in range(tables)
+    ) + "]"
+    return f"""
+WITH b AS (
+  SELECT vec_id, unnest({bucket_list}) AS bucket FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, bucket FROM b
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM q JOIN c USING (bucket)
+  WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {x.cosine('qe.embedding', 'ne.embedding', EMB_DIM, x.DUCK)} AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
 @register(
     "lsh_ann_topk",
-    oracle=None,  # approximate by design; recall gate lives in tests
+    oracle=_lsh_oracle(),
     tags=("llm", "similarity"),
     doc="Multi-table LSH approximate cosine top-10 (8 tables x 4 "
-    "hyperplanes); recall vs brute force asserted in tests.",
+    "hyperplanes). Deterministic md5-derived hyperplanes make even the "
+    "approximate result oracle-exact; recall vs brute force is "
+    "additionally asserted in tests.",
 )
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -233,12 +274,72 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_ann_topk",
-    oracle=None,  # approximate by design; recall gate lives in tests
+    oracle=None,  # KMeans centroids are not SQL-reproducible; the
+    # driver-visible gate is ivf_ann_recall below, plus pytest recall
     tags=("llm", "similarity"),
     doc="IVF approximate cosine top-10: distributed KMeans coarse "
     "quantizer (16 lists), nprobe=8 bucket search; recall vs brute "
-    "force asserted in tests.",
+    "force asserted in tests and gated driver-side by ivf_ann_recall.",
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+
+
+# hits (of k=10) each query's IVF result must share with the exact
+# top-10. Measured 5-10 per query at sf0.01 (stable across runs —
+# seeded KMeans on fixed data); 2 is the machinery-is-broken floor.
+IVF_RECALL_FLOOR = 2
+
+_IVF_RECALL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {x.cosine('q.qv', 'c.embedding', EMB_DIM, x.DUCK)} AS cosine
+  FROM q, embeddings c
+  WHERE q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, COUNT(*) AS n_exact, TRUE AS recall_ok
+FROM ranked WHERE rank <= 10
+GROUP BY query_id
+"""
+
+
+@register(
+    "ivf_ann_recall",
+    oracle=_IVF_RECALL_ORACLE,
+    tags=("llm", "similarity"),
+    doc="Driver-visible IVF recall gate: exact top-10 (SQL ground "
+    "truth) vs the IVF search, per-query hit count must clear the "
+    "floor. The oracle recomputes the exact top-k; recall_ok flips "
+    "FALSE (hash mismatch) if the IVF machinery regresses.",
+)
+def q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 5")
+    exact = cosine_topk(q, emb, dim=EMB_DIM, k=10).select("query_id", "neighbor_id")
+    approx = ivf_cosine_topk(q, emb, dim=EMB_DIM, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, on=["query_id", "neighbor_id"], how="left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            on="query_id",
+            how="left",
+        )
+        .selectExpr(
+            "query_id",
+            "n_exact",
+            f"coalesce(n_hit, 0) >= {IVF_RECALL_FLOOR} AS recall_ok",
+        )
+    )

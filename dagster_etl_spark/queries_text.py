@@ -147,12 +147,45 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clusters_oracle(threshold: float = 0.5) -> str:
+    """Transitive closure over the (oracle-verified) MinHash pair set:
+    ``walk`` enumerates every label reachable from a node through the
+    bidirected edge set, so MIN(label) per node is the component
+    minimum — exactly the fixpoint the Spark min-label propagation
+    converges to. Terminates because UNION dedups (node, label) rows
+    and near-dup components are tiny."""
+    from dagster_etl_spark.queries_llm import _minhash_oracle
+
+    pairs_sql = _minhash_oracle(threshold=threshold)
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pairs_sql}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+), comp AS (
+  SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative label propagation — invariants gated in tests
+    oracle=_clusters_oracle(),
     tags=("llm", "dedup"),
     doc="Near-dup clustering: MinHash pairs -> connected components "
-    "(iterative min-label propagation) -> one canonical doc per cluster.",
+    "(iterative min-label propagation, checkpointed lineage). DuckDB "
+    "twin is a WITH RECURSIVE transitive closure over the same pair "
+    "set, so even the iterative operator is hash-verified.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.dedup import dedup_clusters
