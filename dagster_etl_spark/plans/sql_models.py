@@ -15,6 +15,43 @@ from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SqlModelTestError(AssertionError):
+    """A declared schema test failed — the model run is aborted
+    (reference semantics: dbt test failures are the pipeline's only
+    hard-fail gate, dbt_factory.py `dbt build` stops on test error)."""
+
+
+@dataclass(frozen=True)
+class ColumnTest:
+    """One dbt-style declared expectation on a materialized model
+    column (reference: etl/tenants/project_01/dbt/models/transform/
+    _transform__schema.yml:8-17 — not_null / accepted_values)."""
+
+    column: str
+    test: str  # not_null | unique | accepted_values
+    values: tuple = ()  # accepted_values only
+
+    def violation_expr(self):
+        """Count of violating rows, evaluated inside ONE aggregate
+        pass over the model (all tests share a single scan)."""
+        c = F.col(self.column)
+        if self.test == "not_null":
+            cond = c.isNull()
+        elif self.test == "accepted_values":
+            cond = c.isNotNull() & ~c.isin(*self.values)
+        elif self.test == "unique":
+            # handled separately (needs countDistinct, dbt counts
+            # duplicated non-null values)
+            return (F.count(c) - F.count_distinct(c)).alias(self._label())
+        else:
+            raise ValueError(f"unknown schema test {self.test!r}")
+        return F.sum(cond.cast("long")).alias(self._label())
+
+    def _label(self) -> str:
+        return f"{self.column}__{self.test}"
 
 
 @dataclass(frozen=True)
@@ -23,6 +60,7 @@ class SqlModel:
     sql: str
     depends_on: tuple[str, ...] = ()
     materialize: str = "view"  # view | table(cache)
+    tests: tuple[ColumnTest, ...] = ()
 
 
 @dataclass
@@ -32,8 +70,9 @@ class SqlModelProject:
     models: dict[str, SqlModel] = field(default_factory=dict)
 
     def add(self, name: str, sql: str, depends_on: tuple[str, ...] = (),
-            materialize: str = "view") -> "SqlModelProject":
-        self.models[name] = SqlModel(name, sql, depends_on, materialize)
+            materialize: str = "view",
+            tests: tuple[ColumnTest, ...] = ()) -> "SqlModelProject":
+        self.models[name] = SqlModel(name, sql, depends_on, materialize, tests)
         return self
 
     def build_order(self) -> list[str]:
@@ -46,7 +85,12 @@ class SqlModelProject:
         """Materialize every model in dependency order; returns the
         resulting DataFrames keyed by model name. Source tables must
         already be registered as views (sources.fixtures.register_views
-        or any createOrReplaceTempView)."""
+        or any createOrReplaceTempView).
+
+        Declared column tests run as a HARD gate immediately after each
+        model materializes — a violation raises
+        :class:`SqlModelTestError` before any downstream model builds,
+        mirroring dbt's build-stops-on-test-failure semantics."""
         out: dict[str, DataFrame] = {}
         for name in self.build_order():
             m = self.models[name]
@@ -54,5 +98,19 @@ class SqlModelProject:
             if m.materialize == "table":
                 df = df.cache()
             df.createOrReplaceTempView(name)
+            if m.tests:
+                self._check(df, m)
             out[name] = df
         return out
+
+    @staticmethod
+    def _check(df: DataFrame, m: SqlModel) -> None:
+        """All of a model's tests in ONE aggregate (single scan — same
+        single-pass design as validation.validation_report)."""
+        (row,) = df.agg(*[t.violation_expr() for t in m.tests]).collect()
+        bad = {k: v for k, v in row.asDict().items() if v}
+        if bad:
+            raise SqlModelTestError(
+                f"model {m.name!r} failed schema tests: "
+                + ", ".join(f"{k} ({v} rows)" for k, v in sorted(bad.items()))
+            )
