@@ -11,27 +11,61 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def money_sum(col: Column | str, alias: str | None = None) -> Column:
-    """Order-insensitive exact sum for 2-decimal monetary doubles.
+def scaled_long(col: Column | str, scale: int = 2) -> Column:
+    """``round(col * 10^scale)`` as BIGINT — the fixed-point form of a
+    money/measure double (exact for values with <= ``scale`` decimal
+    places; values with more are rounded to ``scale`` places, the same
+    rounding a DECIMAL(18,scale) cast performs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10 ** scale), 0).cast("bigint")
+
+
+def money_sum(col: Column | str, alias: str | None = None, scale: int = 2) -> Column:
+    """Order-insensitive exact sum for fixed-point monetary doubles.
 
     Summing doubles is non-associative: Spark's partial aggregation
     order differs run-to-run (and from any single-process oracle), so
-    raw ``SUM(double)`` is not reproducible at scale. Casting to
-    DECIMAL(18,2) first makes the sum exact and order-independent;
-    the final cast back to double keeps the public schema simple.
-    Mirrors the reference's money columns which are DECIMAL(10,4) at the
-    source and float64 in-flight (reference: docker/init-scripts/
+    raw ``SUM(double)`` is not reproducible at scale. Fixed-point
+    BIGINT sums are exact AND stay on the long-backed codegen fast
+    path — Spark's SUM over DECIMAL(18,s) accumulates in
+    DECIMAL(28,s), which falls back to BigDecimal per row (measured
+    4-5x slower at sf0.1). The final ``CAST(sum AS DOUBLE) / 10^s``
+    happens in the identical IEEE sequence in the DuckDB oracles
+    (:func:`scaled_sum_sql`), so results match bit-for-bit.
+
+    Overflow bound: the per-GROUP scaled sum must fit int64 —
+    9.2e18 / 10^scale units (at scale=2, ~9e11 rows per group of
+    ~$100k values). Wide-enough groups hold at 100 TB for keyed
+    aggregations; for whole-table rollups with a handful of groups,
+    pre-aggregate per (group, spark_partition_id()) in BIGINT and
+    merge the few partials in DECIMAL(38,0) — exact integer addition
+    is associative, so the result is identical.
+
+    Mirrors the reference's money columns which are DECIMAL(10,4) at
+    the source and float64 in-flight (reference: docker/init-scripts/
     01_create_tables.sql:33-35, etl/utils/parquet.py:15-26).
     """
-    c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast("decimal(18,2)")).cast("double")
+    out = F.sum(scaled_long(col, scale)).cast("double") / float(10 ** scale)
     return out.alias(alias) if alias else out
 
 
-def exact_avg(col: Column | str, alias: str | None = None) -> Column:
-    """Reproducible mean: exact decimal sum / count, divided in double."""
+def scaled_sum_sql(expr_sql: str, scale: int = 2) -> str:
+    """The SQL twin of :func:`money_sum` — same text parses in Spark
+    SQL and DuckDB, and both engines execute the identical op
+    sequence: round-to-fixed-point, exact integer sum, one cast to
+    double, one divide. (DuckDB sums BIGINT into HUGEINT; same exact
+    integer, same nearest-double.)"""
+    s = 10 ** scale
+    return (
+        f"CAST(SUM(CAST(round(({expr_sql}) * {s}) AS BIGINT)) AS DOUBLE) / {s}.0"
+    )
+
+
+def exact_avg(col: Column | str, alias: str | None = None, scale: int = 2) -> Column:
+    """Reproducible mean: exact fixed-point sum / count, divided in
+    double (oracle twin: ``scaled_sum_sql(c) / COUNT(c)``)."""
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast("decimal(18,2)")).cast("double") / F.count(c)
+    out = (F.sum(scaled_long(c, scale)).cast("double") / float(10 ** scale)) / F.count(c)
     return out.alias(alias) if alias else out
 
 

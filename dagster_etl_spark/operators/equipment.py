@@ -11,8 +11,9 @@ Spark-first notes
   distinct-collection job, (b) pins column order (pandas preserves
   encounter order, Spark sorts — SURVEY §7.2), (c) makes the plan
   static so it survives empty partitions at scale.
-* Duration sums go through DECIMAL so the pivot cells are exact and
-  order-independent (see functions.money_sum rationale).
+* Duration sums go through fixed-point BIGINT so the pivot cells are
+  exact and order-independent while staying on the long-backed codegen
+  fast path (see functions.money_sum rationale).
 """
 
 from __future__ import annotations
@@ -21,6 +22,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dagster_etl_spark.functions import scaled_long
 
 
 def equipment_utilization(
@@ -40,12 +43,15 @@ def equipment_utilization(
     wide = (
         df.groupBy(equipment_col)
         .pivot(type_col, list(event_types))
-        .agg(F.sum(F.col(duration_col).cast("decimal(18,6)")))
+        .agg(F.sum(scaled_long(duration_col, 6)))
     )
-    # exact decimal cells -> double, 0-filled (pandas pivot fillna(0))
+    # exact fixed-point cells -> double, 0-filled (pandas pivot fillna(0))
     wide = wide.select(
         equipment_col,
-        *[F.coalesce(F.col(t).cast("double"), F.lit(0.0)).alias(t) for t in event_types],
+        *[
+            F.coalesce(F.col(t).cast("double") / F.lit(1000000.0), F.lit(0.0)).alias(t)
+            for t in event_types
+        ],
     )
     if rate_numerator in wide.columns:
         rate = F.col(rate_numerator) / F.lit(rate_denominator_minutes) * F.lit(100.0)

@@ -17,6 +17,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from dagster_etl_spark.functions import scaled_long
 
 
 def asof_join(
@@ -158,5 +159,5 @@ def multigrain_rollup(
         unioned = unioned.unionByName(p)
     return unioned.groupBy("grain", "bucket_start", *group_cols).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        (F.sum(scaled_long(value_col, 6)).cast("double") / 1e6).alias("sum_value"),
     )

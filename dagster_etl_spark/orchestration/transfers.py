@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dagster_etl_spark.operators.wip import priority_wip_aggregate, wip_aggregate
+from dagster_etl_spark.functions import scaled_long
 from dagster_etl_spark.orchestration.plugins import register_common_transfer
 
 
@@ -46,7 +47,7 @@ def events_daily_transfer(
         .groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            (F.sum(scaled_long("value", 6)).cast("double") / 1e6).alias("total_value"),
         )
         .withColumn("snapshot_date", F.lit(partition_date))
     )

@@ -29,9 +29,9 @@ _WIP_ORACLE = """
 SELECT
   l_linestatus,
   l_suppkey,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wip_qty,
+  CAST(SUM(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS wip_qty,
   COUNT(DISTINCT l_orderkey) AS lot_count,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity)
+  CAST(SUM(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l_quantity)
     AS avg_qty_per_lot
 FROM lineitem
 WHERE l_returnflag IN ('N', 'A')
@@ -64,9 +64,9 @@ _PRIORITY_WIP_ORACLE = """
 SELECT
   l.l_linestatus,
   l.l_suppkey,
-  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wip_qty,
+  CAST(SUM(CAST(round((l.l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS wip_qty,
   COUNT(DISTINCT l.l_orderkey) AS lot_count,
-  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l.l_quantity)
+  CAST(SUM(CAST(round((l.l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(l.l_quantity)
     AS avg_qty_per_lot,
   CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
     AS high_priority_count
@@ -172,12 +172,12 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 _PIVOT_ORACLE = """
 SELECT
   user_id % 50 AS equipment_id,
-  COALESCE(CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS click,
-  COALESCE(CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS error,
-  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS purchase,
-  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS signup,
-  COALESCE(CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0) AS view,
-  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(round((value) * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000.0, 0.0) AS click,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(round((value) * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000.0, 0.0) AS error,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000.0, 0.0) AS purchase,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(round((value) * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000.0, 0.0) AS signup,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(round((value) * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000.0, 0.0) AS view,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round((value) * 1000000) AS BIGINT) END) AS DOUBLE) / 1000000.0, 0.0)
     / 1440.0 * 100.0 AS utilization_rate
 FROM events
 GROUP BY user_id % 50

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dagster_etl_spark.functions import money_sum
+from dagster_etl_spark.functions import scaled_long
 from dagster_etl_spark.operators.windows import rank_topk, sessionize, with_lag_gap
 from dagster_etl_spark.registry import register
 from dagster_etl_spark.sources.fixtures import load_table
@@ -19,7 +20,7 @@ from dagster_etl_spark.validation import DataValidator
 
 _TOP_ORACLE = """
 SELECT o_custkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+       CAST(SUM(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -225,11 +226,11 @@ _PRICING_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+  CAST(SUM(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+  CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+  CAST(SUM(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -254,9 +255,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             money_sum("l_quantity", "sum_qty"),
             money_sum("l_extendedprice", "sum_base_price"),
-            F.sum(disc.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(scaled_long(disc, 6)).cast("double") / 1e6).alias("sum_disc_price"),
+            (F.sum(scaled_long(charge, 6)).cast("double") / 1e6).alias("sum_charge"),
+            ((F.sum(scaled_long("l_quantity", 2)).cast("double") / 1e2) / F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -265,7 +266,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGIONAL_ORACLE = """
 SELECT
   n.n_name,
-  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
   COUNT(*) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -299,12 +300,12 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "n_name")
     )
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    revenue = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         fact.join(dims, fact.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(
-            F.sum(revenue).cast("double").alias("revenue"),
+            (F.sum(revenue).cast("double") / 1e6).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -349,9 +350,9 @@ def q_customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLING_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+       CAST(SUM(CAST(round((o_totalprice) * 100) AS BIGINT)) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS rolling_spend
 FROM orders
 """
 
@@ -376,9 +377,7 @@ def q_rolling_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
+        (F.sum(scaled_long("o_totalprice", 2)).over(w).cast("double") / 1e2)
         .alias("rolling_spend"),
     )
 
@@ -419,7 +418,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHIPPING_PRIORITY_ORACLE = """
 SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
          AS revenue,
        o.o_orderdate
 FROM orders o
@@ -445,11 +444,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") > "1995-03-15"
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg((F.sum(rev).cast("double") / 1e6).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -458,7 +457,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETURNED_ITEMS_ORACLE = """
 SELECT c.c_custkey, c.c_name, n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
          AS revenue
 FROM customer c
 JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -483,13 +482,13 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg((F.sum(rev).cast("double") / 1e6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -572,9 +571,9 @@ _PROMO_ORACLE = """
 WITH f AS (
   SELECT
     CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-                  THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))
-                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
-    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                  THEN CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END) AS DOUBLE) / 1000000.0 AS promo_revenue,
+    CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
       AS total_revenue
   FROM lineitem l
   JOIN part p ON p.p_partkey = l.l_partkey
@@ -601,13 +600,13 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.to_date("l_shipdate") >= "1996-01-01")
         & (F.to_date("l_shipdate") < "1996-04-01")
     )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    zero = F.lit(0).cast("decimal(18,6)")
+    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    zero = F.lit(0).cast("bigint")
     agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-        .cast("double")
+        (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+        .cast("double") / 1e6)
         .alias("promo_revenue"),
-        F.sum(rev).cast("double").alias("total_revenue"),
+        (F.sum(rev).cast("double") / 1e6).alias("total_revenue"),
     )
     return agg.select(
         "promo_revenue",
@@ -621,7 +620,7 @@ _CUBE_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+       CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
          AS revenue
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -639,9 +638,9 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("bigint").alias("gid"),
         F.count(F.lit(1)).alias("n_lines"),
-        F.sum(rev).cast("double").alias("revenue"),
+        (F.sum(rev).cast("double") / 1e6).alias("revenue"),
     )

@@ -15,7 +15,7 @@ _WINDOWED_ORACLE = """
 SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
        event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(round((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -67,7 +67,7 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(round((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM events
 GROUP BY event_type
 """
@@ -92,7 +92,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENRICH_ORACLE = """
 SELECT c.c_mktsegment,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(round((e.value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment

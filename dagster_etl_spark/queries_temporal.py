@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dagster_etl_spark.functions import scaled_long
+
 from dagster_etl_spark.operators.temporal import (
     asof_join,
     multigrain_rollup,
@@ -60,7 +62,7 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BANDS_ORACLE = """
 SELECT b.band_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(round((e.value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM events e
 JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
       FROM range(10) t(i)) b
@@ -86,14 +88,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join_bands(ev, bands, value_col="value", bucket_width=50.0)
     return joined.groupBy("band_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        (F.sum(scaled_long("value", 6)).cast("double") / 1e6).alias("sum_value"),
     )
 
 
 _ROLLUP_ORACLE = """
 SELECT grain, bucket_start, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(round((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM (
   SELECT '1h' AS grain,
          CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS bucket_start,

@@ -53,6 +53,8 @@ def streaming_dedup_counts(
     """
     from pyspark.sql import functions as F
 
+    from dagster_etl_spark.functions import scaled_long
+
     once = read_events_stream(spark, sf_dir)
     twice = once.unionByName(read_events_stream(spark, sf_dir))
     deduped = run_stream_to_batch(
@@ -60,5 +62,5 @@ def streaming_dedup_counts(
     )
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        (F.sum(scaled_long("value", 6)).cast("double") / 1e6).alias("sum_value"),
     )

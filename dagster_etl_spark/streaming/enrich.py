@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dagster_etl_spark.functions import scaled_long
+
 from dagster_etl_spark.sources.fixtures import load_table
 from dagster_etl_spark.streaming.windowed import (
     read_events_stream,
@@ -44,6 +46,6 @@ def streaming_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enrich_stream(stream, cust, on=("user_id", "c_custkey"))
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        (F.sum(scaled_long("value", 6)).cast("double") / 1e6).alias("sum_value"),
     )
     return run_stream_to_batch(agg, mode="complete")

@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dagster_etl_spark.functions import scaled_long
+
 _MEMQ = itertools.count()
 
 
@@ -56,7 +58,7 @@ def windowed_event_stats(
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            (F.sum(scaled_long("value", 6)).cast("double") / 1e6).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("window.start")).alias("window_start"),

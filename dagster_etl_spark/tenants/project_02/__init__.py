@@ -20,6 +20,7 @@ from dagster_etl_spark.orchestration.plugins import (
     TenantPlugins,
     register_tenant_plugins,
 )
+from dagster_etl_spark.functions import scaled_long
 from dagster_etl_spark.plans.sql_models import ColumnTest, SqlModelProject
 
 
@@ -36,10 +37,10 @@ def events_daily_transfer_p02(
         .groupBy("user_id", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            (F.sum(scaled_long("value", 6)).cast("double") / 1e6).alias("total_value"),
             (
-                F.sum(F.col("value").cast("decimal(18,6)")) / F.count(F.lit(1))
-            ).cast("double").alias("avg_value"),
+                (F.sum(scaled_long("value", 6)).cast("double") / 1e6) / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
         .withColumn("snapshot_date", F.lit(partition_date))
     )
