@@ -243,3 +243,64 @@ def gopher_quality(
 ) -> DataFrame:
     e = gopher_quality_exprs(text_col, x.SPARK, tok="_t")
     return spread(df).selectExpr(id_col, *_let_cols(e, text_col, "_t"))
+
+
+# -- document chunking ---------------------------------------------------------
+
+def chunk_docs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pretraining chunking pass (context-length packing happens after
+    this). Returns (doc_id, chunk_idx, n_chunk_tokens, chunk_text):
+    chunk i covers tokens [i*stride, i*stride + window).
+
+    One let-bound expression builds the chunk-struct array per row
+    (token array materialized once), then a generator explodes it —
+    zero shuffles, embarrassingly parallel, the shape that matters
+    when this runs over billions of documents. Empty/whitespace-only
+    docs yield no chunks.
+    """
+    starts = f"CASE WHEN size(_t) > 0 THEN sequence(0, size(_t) - 1, {stride}) ELSE array() END"
+    chunk = (
+        f"transform({starts}, s -> named_struct("
+        f"'n', least({window}, size(_t) - s), "
+        f"'txt', concat_ws(' ', slice(_t, s + 1, {window}))))"
+    )
+    chunks = x.let(x.tokens(text_col, x.SPARK), "_t", chunk, x.SPARK)
+    return (
+        spread(df)
+        .selectExpr(id_col, f"posexplode({chunks}) AS (chunk_idx, ch)")
+        .selectExpr(
+            id_col,
+            "chunk_idx",
+            "ch.n AS n_chunk_tokens",
+            "ch.txt AS chunk_text",
+        )
+    )
+
+
+def chunk_docs_oracle_sql(
+    table: str = "documents", window: int = 32, stride: int = 24
+) -> str:
+    """DuckDB twin of :func:`chunk_docs` (range/list_slice are 1-based
+    there; chunk_idx falls out of integer division by the stride)."""
+    tok = x.tokens("text", x.DUCK)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tok} AS t FROM {table}
+), ex AS (
+  SELECT doc_id, t,
+         unnest(CASE WHEN len(t) > 0 THEN range(0, len(t), {stride}) ELSE [] END) AS s
+  FROM tok
+)
+SELECT doc_id,
+       CAST(s // {stride} AS INT) AS chunk_idx,
+       least({window}, len(t) - s) AS n_chunk_tokens,
+       array_to_string(list_slice(t, s + 1, s + {window}), ' ') AS chunk_text
+FROM ex
+"""

@@ -644,3 +644,83 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         (F.sum(rev).cast("double") / 1e6).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-accuracy gates: approximate aggregates (the 100 TB substitutes
+# for exact countDistinct / percentile) checked against the exact answer
+# inside the SAME query, so the driver's hash gate fails if the sketch
+# machinery regresses. The oracle recomputes the exact side in SQL and
+# asserts the bound constant TRUE — the reference has no sketches at
+# all (single-process pandas never needs them; at cluster scale they
+# replace two-phase exact distinct with one mergeable pass).
+
+_APPROX_DISTINCT_ORACLE = """
+SELECT COUNT(DISTINCT o_custkey) AS exact_custs,
+       COUNT(DISTINCT o_orderpriority) AS exact_priorities,
+       TRUE AS custs_within_5pct,
+       TRUE AS priorities_exact
+FROM orders
+"""
+
+
+@register(
+    "approx_distinct_gate",
+    oracle=_APPROX_DISTINCT_ORACLE,
+    tags=("scale", "sketch"),
+    doc="HLL++ approx_count_distinct vs exact: the 2% rsd sketch must "
+    "land within a 5% band of the true distinct-customer count (rsd "
+    "is a standard deviation, not a bound — the margin absorbs normal "
+    "excursions; measured error 0.4% at sf0.01) and exactly on tiny "
+    "cardinalities. HLL registers merge by max — order-independent, "
+    "so the sketch itself is deterministic on fixed data.",
+)
+def q_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    return o.agg(
+        exact.alias("exact_custs"),
+        F.countDistinct("o_orderpriority").alias("exact_priorities"),
+        (F.abs(approx - exact) <= exact * 0.05).alias("custs_within_5pct"),
+        (
+            F.approx_count_distinct("o_orderpriority", rsd=0.05)
+            == F.countDistinct("o_orderpriority")
+        ).alias("priorities_exact"),
+    )
+
+
+_APPROX_QUANTILE_ORACLE = """
+SELECT event_type,
+       CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50,
+       TRUE AS approx_within_band
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "approx_quantile_gate",
+    oracle=_APPROX_QUANTILE_ORACLE,
+    tags=("scale", "sketch"),
+    doc="approx_percentile (Greenwald-Khanna, mergeable) vs exact "
+    "interpolated median per event type: the sketch median must land "
+    "within the band of values spanning 2% of ranks around the true "
+    "median (rank-error bound, the guarantee GK actually makes).",
+)
+def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").cast("double").alias("exact_p50"),
+        (
+            F.abs(
+                F.expr("approx_percentile(value, 0.5, 100)")
+                - F.expr("percentile(value, 0.5)")
+            )
+            # rank-error eps ~ 1/accuracy = 1%; allow 2% of ranks, which
+            # for a value distribution maps to a quantile band
+            <= F.abs(
+                F.expr("percentile(value, 0.52)") - F.expr("percentile(value, 0.48)")
+            )
+        ).alias("approx_within_band"),
+    )

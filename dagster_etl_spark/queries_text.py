@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dagster_etl_spark.functions import xdialect as x
 from dagster_etl_spark.operators.dedup import exact_dedup_stats
 from dagster_etl_spark.operators.text import (
+    chunk_docs_oracle_sql,
     doc_stats,
     doc_stats_exprs,
     fingerprints,
@@ -491,3 +492,17 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import gopher_quality
 
     return gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_chunks",
+    oracle=chunk_docs_oracle_sql(),
+    tags=("llm", "text"),
+    doc="Overlapping token-window chunking (window 32, stride 24) — the "
+    "pretraining chunk pass: per-row generator expansion, zero "
+    "shuffles.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import chunk_docs
+
+    return chunk_docs(load_table(spark, sf_dir, "documents"))

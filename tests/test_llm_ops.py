@@ -211,3 +211,27 @@ def test_connected_components_bounded_lineage(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
     assert plan.count("Join") <= 4
+
+
+def test_chunk_docs_window_stride_semantics(spark):
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import chunk_docs
+
+    text = " ".join(f"w{i}" for i in range(50))  # 50 tokens
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text="   "), Row(doc_id=3, text="a b")]
+    )
+    out = chunk_docs(df, window=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at 0, 24, 48 -> 3 chunks; lengths 32, 26, 2
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_chunk_tokens for r in c1] == [32, 26, 2]
+    assert c1[0].chunk_text.startswith("w0 w1 ") and c1[0].chunk_text.endswith("w31")
+    assert c1[1].chunk_text.startswith("w24 ")  # overlap of window-stride=8
+    assert c1[2].chunk_text == "w48 w49"
+    # whitespace-only doc yields no chunks; short doc yields one
+    assert 2 not in by_doc
+    assert [r.chunk_text for r in by_doc[3]] == ["a b"]
