@@ -724,3 +724,87 @@ def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("approx_within_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Change-history shapes (operators/history.py): CDC latest-per-key
+# compaction and SCD2 interval construction — the two states adjacent
+# to the reference's latest-state-only upsert (trino.py:165-225).
+
+_LATEST_ORDER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+@register(
+    "latest_order_per_customer",
+    oracle=_LATEST_ORDER_ORACLE,
+    tags=("scale", "window", "history"),
+    doc="CDC-compaction shape: latest row per key via one window pass "
+    "(QUALIFY ROW_NUMBER() = 1), deterministic (date, orderkey) "
+    "tiebreak, single key-partitioned shuffle.",
+)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.history import latest_per_key
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    return latest_per_key(
+        orders, keys=["o_custkey"], order_by=["o_orderdate", "o_orderkey"]
+    )
+
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(ts) OVER w AS prev_ts,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), kept AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_ts IS NULL OR event_type IS DISTINCT FROM prev_type
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+       CAST(floor(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+         AS valid_to_s
+FROM kept
+"""
+
+
+@register(
+    "scd2_user_event_type",
+    oracle=_SCD2_ORACLE,
+    tags=("scale", "window", "history"),
+    doc="SCD2 interval build: collapse each user's event-type change "
+    "feed into validity intervals (valid_from/valid_to, NULL = "
+    "current); null-safe change detection, both window passes share "
+    "one exchange+sort. Registered projection emits epoch seconds: "
+    "pandas compares datetime64[ns] vs [us] columns by raw int64 when "
+    "NaT is present, so a nullable timestamp column would false-fail "
+    "the canonicalizer (nullable BIGINT is proven safe — events_lag).",
+)
+def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.history import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return scd2_intervals(
+        ev, keys=["user_id"], ts_col="ts", attr_cols=["event_type"],
+        tiebreak=["event_id"],
+    ).selectExpr(
+        "user_id",
+        "event_type",
+        "unix_timestamp(valid_from) AS valid_from_s",
+        "unix_timestamp(valid_to) AS valid_to_s",
+    )

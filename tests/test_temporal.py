@@ -110,3 +110,32 @@ def test_asof_join_null_right_value_travels_with_its_row(spark):
     assert row.val_asof is None
     assert row.other_asof == "y"
     assert row.ts_asof == _ts("2024-01-01 11:00:00")
+
+
+def test_latest_per_key_and_scd2(spark):
+    from dagster_etl_spark.operators.history import latest_per_key, scd2_intervals
+
+    rows = [
+        Row(k="a", ts=_ts("2024-01-01 10:00:00"), v="x", rid=1),
+        Row(k="a", ts=_ts("2024-01-01 11:00:00"), v="x", rid=2),  # no change
+        Row(k="a", ts=_ts("2024-01-01 12:00:00"), v="y", rid=3),  # change
+        Row(k="a", ts=_ts("2024-01-01 13:00:00"), v=None, rid=4),  # change to NULL
+        Row(k="a", ts=_ts("2024-01-01 14:00:00"), v=None, rid=5),  # NULL run continues
+        Row(k="b", ts=_ts("2024-01-01 09:00:00"), v="z", rid=6),
+    ]
+    df = spark.createDataFrame(rows)
+
+    latest = {r.k: r.rid for r in latest_per_key(df, keys=["k"], order_by=["ts", "rid"]).collect()}
+    assert latest == {"a": 5, "b": 6}
+
+    hist = scd2_intervals(df, keys=["k"], ts_col="ts", attr_cols=["v"], tiebreak=["rid"])
+    got = sorted(
+        ((r.k, r.v, r.valid_from, r.valid_to) for r in hist.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        ("a", "x", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00")),
+        ("a", "y", _ts("2024-01-01 12:00:00"), _ts("2024-01-01 13:00:00")),
+        ("a", None, _ts("2024-01-01 13:00:00"), None),  # NULL run is ONE interval
+        ("b", "z", _ts("2024-01-01 09:00:00"), None),
+    ]
