@@ -121,3 +121,33 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stratified_sample_expr(
+    id_col: str, strata_col: str, rates: dict[str, float], d: str, salt: str = "strat:"
+) -> str:
+    """Boolean keep-predicate for per-stratum hash sampling: each
+    stratum value gets its own retention rate (unlisted strata drop).
+    Same determinism contract as hash_sample — a pure function of
+    (id, stratum), no RNG, no shuffle."""
+    bucket = _bucket_expr(id_col, d, salt)
+    clauses = [
+        f"WHEN {strata_col} = '{v}' THEN {bucket} < {int(round(r * _BUCKETS))}"
+        for v, r in rates.items()
+    ]
+    return "CASE " + " ".join(clauses) + " ELSE FALSE END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "strat:",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-balancing
+    step (e.g. cap web text at 10%, keep all books): rerun-, engine-
+    and growth-stable like hash_sample, one per-row predicate."""
+    return df.filter(
+        F.expr(stratified_sample_expr(id_col, strata_col, rates, x.SPARK, salt))
+    )

@@ -14,6 +14,7 @@ so the DuckDB oracles run the *identical* computation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from dagster_etl_spark.functions import xdialect as x
 from dagster_etl_spark.plans.layout import spread
@@ -303,4 +304,73 @@ SELECT doc_id,
        least({window}, len(t) - s) AS n_chunk_tokens,
        array_to_string(list_slice(t, s + 1, s + {window}), ' ') AS chunk_text
 FROM ex
+"""
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    seq_len: int = 512,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    n_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks to fixed-token training
+    sequences by running token count within deterministic hash buckets
+    — the context-packing step after :func:`chunk_docs`.
+
+    Each bucket is an independent packing stream (``buckets`` ≈ write
+    parallelism at scale); within a bucket chunks pack first-fit in
+    (doc, chunk) order, so a sequence may overflow ``seq_len`` by at
+    most one chunk (the standard greedy approximation — exact bin
+    packing is NP-hard and order-dependent). One shuffle (the bucket
+    partition), deterministic output on any cluster layout.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = f"CAST({x.h60(f'CAST({id_col} AS STRING)', x.SPARK)} % {buckets} AS INT)"
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.selectExpr("*", f"{bucket} AS bucket")
+        .withColumn("_cum", F.sum(n_col).over(w))
+        .selectExpr(
+            "bucket",
+            f"(_cum - {n_col}) DIV {seq_len} AS seq_id",
+            id_col,
+            idx_col,
+            n_col,
+        )
+    )
+
+
+def pack_chunks_oracle_sql(
+    table: str = "documents",
+    seq_len: int = 512,
+    buckets: int = 64,
+    window: int = 32,
+    stride: int = 24,
+) -> str:
+    """DuckDB twin of chunk_docs -> pack_chunks (`//` is DuckDB's
+    integer division; Spark's is DIV — exact integer arithmetic on
+    both sides, no float rounding in the bucket or sequence ids)."""
+    chunks = chunk_docs_oracle_sql(table, window, stride)
+    bucket = x.h60("CAST(doc_id AS VARCHAR)", x.DUCK)
+    return f"""
+WITH chunks AS (
+  {chunks}
+), b AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens,
+         CAST({bucket} % {buckets} AS INT) AS bucket
+  FROM chunks
+)
+SELECT bucket,
+       (SUM(n_chunk_tokens) OVER (
+          PARTITION BY bucket ORDER BY doc_id, chunk_idx
+          ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) // {seq_len} AS seq_id,
+       doc_id, chunk_idx, n_chunk_tokens
+FROM b
 """

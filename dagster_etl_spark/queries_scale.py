@@ -808,3 +808,44 @@ def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unix_timestamp(valid_from) AS valid_from_s",
         "unix_timestamp(valid_to) AS valid_to_s",
     )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "salted_join_revenue",
+    oracle=_SALTED_JOIN_ORACLE,
+    tags=("scale", "join", "skew"),
+    doc="Skew-salted join equivalence, driver-visible: the hot-key-"
+    "splitting salted join (operators/skew.py — large side salted, "
+    "small side replicated salt times) must produce exactly the plain "
+    "join's rows; the oracle is the unsalted SQL join. The salt "
+    "column never escapes, so results are salt- and RNG-independent.",
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS l_orderkey", "o_orderpriority"
+    )
+    rev = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        salted_join(li, orders, on=["l_orderkey"], salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(rev).cast("double") / 1e6).alias("revenue"),
+        )
+    )

@@ -11,6 +11,7 @@ from dagster_etl_spark.functions import xdialect as x
 from dagster_etl_spark.operators.dedup import exact_dedup_stats
 from dagster_etl_spark.operators.text import (
     chunk_docs_oracle_sql,
+    pack_chunks_oracle_sql,
     doc_stats,
     doc_stats_exprs,
     fingerprints,
@@ -506,3 +507,50 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import chunk_docs
 
     return chunk_docs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "packed_sequences",
+    oracle=pack_chunks_oracle_sql(),
+    tags=("llm", "text"),
+    doc="Context packing: chunk_docs output greedily packed into "
+    "512-token training sequences within 64 deterministic hash "
+    "buckets — running-total window, exact integer ids, one shuffle.",
+)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import chunk_docs, pack_chunks
+
+    return pack_chunks(chunk_docs(load_table(spark, sf_dir, "documents")))
+
+
+_STRAT_SAMPLE_SALT = "strat:"
+_STRAT_RATES = {"click": 0.1, "view": 0.25, "purchase": 1.0, "signup": 1.0}
+
+
+def _strat_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import stratified_sample_expr
+
+    pred = stratified_sample_expr(
+        "event_id", "event_type", _STRAT_RATES, x.DUCK, _STRAT_SAMPLE_SALT
+    )
+    return f"SELECT event_id, event_type FROM events WHERE {pred}"
+
+
+@register(
+    "stratified_event_sample",
+    oracle=_strat_oracle(),
+    tags=("llm", "sampling"),
+    doc="Per-stratum deterministic downsampling (corpus balancing): "
+    "10% of clicks, 25% of views, all purchases/signups, drop the "
+    "rest — pure id-hash predicate, no RNG, no shuffle, growth-stable.",
+)
+def q_stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "events"),
+        rates=_STRAT_RATES,
+        strata_col="event_type",
+        id_col="event_id",
+        salt=_STRAT_SAMPLE_SALT,
+    ).select("event_id", "event_type")

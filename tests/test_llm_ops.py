@@ -235,3 +235,50 @@ def test_chunk_docs_window_stride_semantics(spark):
     # whitespace-only doc yields no chunks; short doc yields one
     assert 2 not in by_doc
     assert [r.chunk_text for r in by_doc[3]] == ["a b"]
+
+
+def test_pack_chunks_invariants(spark):
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import pack_chunks
+
+    rows = [
+        Row(doc_id=d, chunk_idx=i, n_chunk_tokens=n)
+        for d, i, n in [(1, 0, 300), (1, 1, 300), (2, 0, 300), (2, 1, 100), (3, 0, 700)]
+    ]
+    out = pack_chunks(
+        spark.createDataFrame(rows), seq_len=512, buckets=1
+    ).collect()
+    # bucket 1: packing is first-fit in (doc, chunk) order with running
+    # totals 300/600/900/1000/1700 -> seq = prev_total DIV 512
+    got = {(r.doc_id, r.chunk_idx): r.seq_id for r in out}
+    assert got == {(1, 0): 0, (1, 1): 0, (2, 0): 1, (2, 1): 1, (3, 0): 1}
+    # deterministic across reruns
+    out2 = pack_chunks(spark.createDataFrame(rows), seq_len=512, buckets=1).collect()
+    assert {(r.doc_id, r.chunk_idx, r.seq_id) for r in out2} == {
+        (r.doc_id, r.chunk_idx, r.seq_id) for r in out
+    }
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from dagster_etl_spark.operators.sampling import stratified_sample
+
+    ev = load_table(spark, SF, "events")
+    out = stratified_sample(
+        ev, rates={"click": 0.2, "purchase": 1.0}, strata_col="event_type",
+        id_col="event_id",
+    )
+    counts = {r.event_type: r.n for r in out.groupBy("event_type").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    totals = {r.event_type: r.n for r in ev.groupBy("event_type").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert set(counts) <= {"click", "purchase"}  # unlisted strata dropped
+    assert counts["purchase"] == totals["purchase"]  # rate 1.0 keeps all
+    assert 0.1 <= counts["click"] / totals["click"] <= 0.3  # ~20%
+    ids1 = {r.event_id for r in out.select("event_id").collect()}
+    ids2 = {r.event_id for r in stratified_sample(
+        ev, rates={"click": 0.2, "purchase": 1.0}, strata_col="event_type",
+        id_col="event_id").select("event_id").collect()}
+    assert ids1 == ids2
