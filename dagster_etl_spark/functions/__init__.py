@@ -61,6 +61,43 @@ def scaled_sum_sql(expr_sql: str, scale: int = 2) -> str:
     )
 
 
+def twostage_money_sums(
+    df,
+    keys: list[str],
+    money: dict[str, tuple[Column | str, int]],
+    count_alias: str = "n_rows",
+):
+    """Overflow-safe exact fixed-point sums for FEW-GROUP rollups
+    (whole-table TPC-H-Q1-style aggregations, where a single group can
+    accumulate beyond int64 at extreme scale).
+
+    Stage 1 sums the scaled BIGINTs per (keys, input partition) —
+    long-backed codegen over all the data, and a per-partition partial
+    can't overflow (int64 holds ~9e9 rows of $100k values per
+    partition). Stage 2 merges the few (groups × partitions) partials
+    in DECIMAL(38,0) — exact integer addition is associative, so the
+    result is IDENTICAL to the single-stage sum (equivalence-tested),
+    and the slow decimal path touches only a handful of rows.
+
+    Returns the aggregated DataFrame with one double column per
+    ``money`` alias plus ``count_alias``.
+    """
+    partials = [
+        F.sum(scaled_long(c, s)).alias(f"_p_{a}") for a, (c, s) in money.items()
+    ]
+    stage1 = df.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(
+        *partials, F.count(F.lit(1)).alias("_p_n")
+    )
+    finals = [
+        (
+            F.sum(F.col(f"_p_{a}").cast("decimal(38,0)")).cast("double")
+            / float(10 ** s)
+        ).alias(a)
+        for a, (_, s) in money.items()
+    ]
+    return stage1.groupBy(*keys).agg(*finals, F.sum("_p_n").alias(count_alias))
+
+
 def exact_avg(col: Column | str, alias: str | None = None, scale: int = 2) -> Column:
     """Reproducible mean: exact fixed-point sum / count, divided in
     double (oracle twin: ``scaled_sum_sql(c) / COUNT(c)``)."""

@@ -246,20 +246,36 @@ GROUP BY l_returnflag, l_linestatus
     "(PushedFilters), sums exact via decimal.",
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.functions import twostage_money_sums
+
     li = load_table(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            money_sum("l_quantity", "sum_qty"),
-            money_sum("l_extendedprice", "sum_base_price"),
-            (F.sum(scaled_long(disc, 6)).cast("double") / 1e6).alias("sum_disc_price"),
-            (F.sum(scaled_long(charge, 6)).cast("double") / 1e6).alias("sum_charge"),
-            ((F.sum(scaled_long("l_quantity", 2)).cast("double") / 1e2) / F.count(F.lit(1))).alias("avg_qty"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    # whole-table rollup with ~6 groups: the few-group shape where a
+    # single group's int64 fixed-point sum could overflow at extreme
+    # scale — so this goes through the two-stage (keys, partition)
+    # BIGINT -> DECIMAL(38,0) merge, which is bit-identical (exact
+    # integer addition) and keeps the decimal path off the data
+    base = twostage_money_sums(
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")),
+        keys=["l_returnflag", "l_linestatus"],
+        money={
+            "sum_qty": ("l_quantity", 2),
+            "sum_base_price": ("l_extendedprice", 2),
+            "sum_disc_price": (disc, 6),
+            "sum_charge": (charge, 6),
+        },
+        count_alias="count_order",
+    )
+    return base.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        "count_order",
     )
 
 

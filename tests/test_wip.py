@@ -81,3 +81,29 @@ def test_wip_aggregate_empty_input(spark):
 def test_snapshot_date_literal(spark):
     out = wip_aggregate(lots(spark, BASE), snapshot_date="2026-08-13")
     assert out.select("snapshot_date").distinct().collect()[0][0] == "2026-08-13"
+
+
+def test_twostage_money_sums_equals_single_stage(spark):
+    """The overflow-safe two-stage merge must be bit-identical to the
+    single-stage fixed-point sum (exact integer addition is
+    associative across the partition split)."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.functions import money_sum, twostage_money_sums
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").repartition(7)
+    one = {
+        (r.l_returnflag, r.l_linestatus): (r.s, r.n)
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(money_sum("l_quantity", "s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    two = {
+        (r.l_returnflag, r.l_linestatus): (r.s, r.n)
+        for r in twostage_money_sums(
+            li, keys=["l_returnflag", "l_linestatus"],
+            money={"s": ("l_quantity", 2)}, count_alias="n",
+        ).collect()
+    }
+    assert one == two  # exact float equality included
