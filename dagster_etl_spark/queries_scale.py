@@ -865,3 +865,133 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev).cast("double") / 1e6).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18/Q16/Q22 shapes: HAVING-gated semi-aggregation, distinct
+# counts over an excluded-attribute join, and scalar-subquery +
+# anti-join segment stats.
+
+_BIG_ORDERS_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 > 300
+)
+SELECT c.c_custkey, c.c_name, b.l_orderkey AS o_orderkey, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+@register(
+    "large_order_customers",
+    oracle=_BIG_ORDERS_ORACLE,
+    tags=("scale", "agg", "join"),
+    doc="TPC-H Q18 shape: orders whose total quantity clears a HAVING "
+    "threshold, joined back to customers — the aggregate feeds the "
+    "join as a (small) filtered relation, so only qualifying orders "
+    "shuffle onward.",
+)
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(money_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "sum_qty")
+    )
+
+
+_SUPPLIER_DIVERSITY_ORACLE = """
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS n_supp
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45'
+GROUP BY p.p_brand, p.p_size
+"""
+
+
+@register(
+    "supplier_diversity",
+    oracle=_SUPPLIER_DIVERSITY_ORACLE,
+    tags=("scale", "agg", "join"),
+    doc="TPC-H Q16 shape: distinct supplier count per part attribute "
+    "group with an excluded brand — broadcast dim join + two-phase "
+    "distinct aggregate.",
+)
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#45")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+    )
+
+
+_RICH_NO_LOW_ORACLE = """
+WITH thr AS (
+  SELECT (CAST(SUM(CAST(round((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+           / COUNT(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(round((c.c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '5-LOW'
+  )
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "rich_customers_without_low_orders",
+    oracle=_RICH_NO_LOW_ORACLE,
+    tags=("scale", "join", "subquery"),
+    doc="TPC-H Q22 shape: scalar-subquery threshold (exact fixed-point "
+    "mean, broadcast as a 1-row relation — never a driver collect) + "
+    "anti join against low-priority orders, segment-level rollup.",
+)
+def q_rich_customers_without_low_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    low = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .select("o_custkey")
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                (F.sum(scaled_long("c_acctbal", 2)).cast("double") / 1e2)
+                / F.count("c_acctbal")
+            ).alias("avg_bal")
+        )
+    )
+    rich = cust.join(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    return (
+        rich.join(low, rich.c_custkey == low.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            money_sum("c_acctbal", "sum_bal"),
+        )
+    )
