@@ -18,6 +18,7 @@ the driver environment uses local paths.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def partition_path(
@@ -106,6 +107,31 @@ def compact_partition(
     fs.rename(staging_p, hpath)
     fs.delete(old_p, True)
     return {"files_before": before, "files_after": int(n_out), "bytes": int(total_bytes)}
+
+
+def read_job(
+    spark: SparkSession,
+    base: str,
+    tenant_id: str,
+    stage: str,
+    job_name: str,
+    date_from: str | None = None,
+    date_to: str | None = None,
+) -> DataFrame:
+    """Read ALL of a job's date partitions through Hive partition
+    discovery: the ``date=YYYYMMDD`` path segments become a ``date``
+    column, and a range filter on it prunes at PLANNING time — the
+    scan never lists or opens files outside [date_from, date_to]
+    (shows as PartitionFilters in the plan; this is what makes a
+    100 TB backfill read only its window).
+    """
+    prefix = f"{base.rstrip('/')}/project_id={tenant_id}/{stage}/job_name={job_name}"
+    df = spark.read.option("basePath", prefix).parquet(prefix + "/date=*")
+    if date_from is not None:
+        df = df.filter(F.col("date") >= int(date_from.replace("-", "")))
+    if date_to is not None:
+        df = df.filter(F.col("date") <= int(date_to.replace("-", "")))
+    return df
 
 
 def list_partitions(

@@ -160,3 +160,27 @@ def test_compact_partition(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == li.count()
     assert after.agg(F.sum("l_quantity")).collect()[0][0] == before_sum
+
+
+def test_read_job_partition_pruning(spark, tmp_path):
+    """A date-range read over the job root must prune partitions at
+    planning time (PartitionFilters), not scan-and-filter."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.sources import lake
+
+    base = str(tmp_path / "lake")
+    for d, v in (("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)):
+        df = spark.createDataFrame([Row(k=v, payload=f"day{v}")])
+        lake.write_partition(df, base, "t1", "extract", "feed", d)
+
+    out = lake.read_job(
+        spark, base, "t1", "extract", "feed",
+        date_from="2024-01-02", date_to="2024-01-03",
+    )
+    assert {r.k for r in out.collect()} == {2, 3}
+    assert "date" in out.columns  # discovered partition column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:200]
+    assert "date" in seg and "20240102" in seg
