@@ -120,3 +120,41 @@ GROUP BY grain, bucket_start, event_type
 )
 def q_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multigrain_rollup(load_table(spark, sf_dir, "events"))
+
+
+_INCR_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(round((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
+       COUNT(*) AS n_rows,
+       (CAST(SUM(CAST(round((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0) / COUNT(*) AS avg_value
+FROM events
+"""
+
+
+@register(
+    "incremental_event_rollup",
+    oracle=_INCR_ROLLUP_ORACLE.replace("FROM events", "FROM events GROUP BY event_type"),
+    tags=("temporal", "rollup"),
+    doc="Continuous-aggregate maintenance: the events table split at a "
+    "date boundary, each half aggregated to mergeable fixed-point "
+    "state, states merged, finished view emitted. The oracle is the "
+    "FULL recompute — hash equality proves merge(state(A), state(B)) "
+    "== state(A ∪ B) exactly, the property doubles cannot give.",
+)
+def q_incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.rollup import (
+        merge_rollup_state,
+        rollup_state,
+        rollup_view,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    history = ev.filter(F.to_date("ts") < "2024-01-20")
+    delta = ev.filter(F.to_date("ts") >= "2024-01-20")
+    keys = ["event_type"]
+    merged = merge_rollup_state(
+        rollup_state(history, keys, "value"),
+        rollup_state(delta, keys, "value"),
+        keys,
+    )
+    return rollup_view(merged, keys)

@@ -139,3 +139,34 @@ def test_latest_per_key_and_scd2(spark):
         ("a", None, _ts("2024-01-01 13:00:00"), None),  # NULL run is ONE interval
         ("b", "z", _ts("2024-01-01 09:00:00"), None),
     ]
+
+
+def test_incremental_rollup_merge_is_exact(spark):
+    """merge(state(A), state(B)) must equal state(A ∪ B) bit-for-bit,
+    regardless of split point or merge order."""
+    from dagster_etl_spark.operators.rollup import (
+        merge_rollup_state,
+        rollup_state,
+        rollup_view,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    keys = ["event_type"]
+    full = {
+        r.event_type: (r.sum_value, r.n_rows, r.avg_value)
+        for r in rollup_view(rollup_state(ev, keys, "value"), keys).collect()
+    }
+    a = ev.filter("event_id % 3 = 0")
+    b = ev.filter("event_id % 3 != 0")
+    for first, second in ((a, b), (b, a)):  # merge order irrelevant
+        merged = merge_rollup_state(
+            rollup_state(first, keys, "value"),
+            rollup_state(second, keys, "value"),
+            keys,
+        )
+        got = {
+            r.event_type: (r.sum_value, r.n_rows, r.avg_value)
+            for r in rollup_view(merged, keys).collect()
+        }
+        assert got == full  # exact float equality
