@@ -161,3 +161,63 @@ def multigrain_rollup(
         F.count(F.lit(1)).alias("n_events"),
         (F.sum(scaled_long(value_col, 6)).cast("double") / 1e6).alias("sum_value"),
     )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    grain_sec: int = 900,
+) -> DataFrame:
+    """Time-series gap filling: bucket observations to a fixed grain,
+    generate the DENSE bucket grid per key (min..max), and forward-fill
+    missing buckets with the last observed value (gauge semantics).
+    Returns (keys..., bucket_start, value_filled, is_gap).
+
+    Determinism: the per-bucket representative is the lexicographic max
+    of (ts, tiebreak, value) — a total order, so duplicate timestamps
+    can't flip the carried value. The grid comes from one tiny per-key
+    (min, max) aggregate exploded via sequence() — rows ∝ buckets, not
+    observations². Shuffle profile: one agg + one key-partitioned join
+    + one window, all on the same keys.
+    """
+    keys = list(keys)
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / grain_sec) * grain_sec).cast("long")
+    per_bucket = (
+        df.withColumn("_bucket", bucket)
+        .groupBy(*keys, "_bucket")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(tiebreak_col).alias("tb"),
+                    F.col(value_col).alias("v"),
+                )
+            ).alias("_m")
+        )
+        .select(*keys, "_bucket", F.col("_m.v").alias("_v"))
+    )
+    grid = (
+        per_bucket.groupBy(*keys)
+        .agg(F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(grain_sec))
+            ).alias("_bucket"),
+        )
+    )
+    joined = grid.join(per_bucket, on=keys + ["_bucket"], how="left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        F.col("_bucket").alias("bucket_start"),
+        F.last("_v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("_v").isNull().alias("is_gap"),
+    )

@@ -158,3 +158,46 @@ def q_incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys,
     )
     return rollup_view(merged, keys)
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bucket,
+         MAX({'ts': ts, 'tb': event_id, 'v': value}) AS m
+  FROM events
+  WHERE user_id IS NOT NULL
+  GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, unnest(range(MIN(bucket), MAX(bucket) + 1, 900)) AS bucket
+  FROM b GROUP BY user_id
+), j AS (
+  SELECT g.user_id, g.bucket, b.m.v AS v
+  FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+)
+SELECT user_id, bucket AS bucket_start,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS UNBOUNDED PRECEDING) AS value_filled,
+       v IS NULL AS is_gap
+FROM j
+"""
+
+
+@register(
+    "gap_filled_user_timeline",
+    oracle=_GAPFILL_ORACLE,
+    tags=("temporal", "window"),
+    doc="Time-series gap filling at 15-min grain: dense per-user bucket "
+    "grid via sequence explode, forward-filled gauge values with a "
+    "total-order (ts, tiebreak) representative per bucket — the "
+    "continuous-timeline primitive under equipment dashboards.",
+)
+def q_gap_filled_user_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.temporal import fill_time_gaps
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return fill_time_gaps(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        tiebreak_col="event_id", grain_sec=900,
+    )

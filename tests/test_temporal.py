@@ -170,3 +170,24 @@ def test_incremental_rollup_merge_is_exact(spark):
             for r in rollup_view(merged, keys).collect()
         }
         assert got == full  # exact float equality
+
+
+def test_fill_time_gaps_semantics(spark):
+    from dagster_etl_spark.operators.temporal import fill_time_gaps
+
+    rows = [
+        Row(k="a", ts=_ts("2024-01-01 10:00:00"), event_id=1, value=1.0),
+        Row(k="a", ts=_ts("2024-01-01 10:10:00"), event_id=2, value=2.0),  # same bucket, later
+        # 10:15 and 10:30 buckets missing
+        Row(k="a", ts=_ts("2024-01-01 10:45:00"), event_id=3, value=9.0),
+    ]
+    out = sorted(
+        fill_time_gaps(
+            spark.createDataFrame(rows), keys=["k"], ts_col="ts",
+            value_col="value", tiebreak_col="event_id", grain_sec=900,
+        ).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    assert [r.value_filled for r in out] == [2.0, 2.0, 2.0, 9.0]  # latest-in-bucket carries
+    assert [r.is_gap for r in out] == [False, True, True, False]
+    assert out[1].bucket_start - out[0].bucket_start == 900
