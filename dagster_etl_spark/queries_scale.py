@@ -995,3 +995,65 @@ def q_rich_customers_without_low_orders(spark: SparkSession, sf_dir: str) -> Dat
             money_sum("c_acctbal", "sum_bal"),
         )
     )
+
+
+_JSON_FLATTEN_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) IS NOT NULL
+"""
+
+
+@register(
+    "events_json_flatten",
+    oracle=_JSON_FLATTEN_ORACLE,
+    tags=("scale", "json"),
+    doc="Schema-declared JSON flattening: from_json parses props into "
+    "a typed struct ONCE per row (vs one jackson walk per "
+    "get_json_object call), fields project as native columns.",
+)
+def q_events_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    return (
+        ev.withColumn("_p", F.from_json("props", schema))
+        .select(
+            "event_id",
+            F.col("_p.k").alias("k"),
+            (F.col("_p.k") % 10).alias("k_bucket"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+
+_PRIORITY_BASKET_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "customer_priority_baskets",
+    oracle=_PRIORITY_BASKET_ORACLE,
+    tags=("scale", "agg", "nested"),
+    doc="Nested-output aggregation: distinct order priorities per "
+    "customer as a SORTED set (collect_set is partition-order-"
+    "nondeterministic; array_sort restores a canonical form both "
+    "engines agree on). Registered projection joins the set to a "
+    "string — the driver canonicalizer cannot sort list columns.",
+)
+def q_customer_priority_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws("|", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -184,3 +184,17 @@ def test_read_job_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:200]
     assert "date" in seg and "20240102" in seg
+
+
+def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
+    """Schema evolution across lake partitions: a later partition adds
+    a column; mergeSchema reads the union, old rows NULL-fill."""
+    from pyspark.sql import Row
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([Row(id=1, a="x")]).write.parquet(p + "/date=20240101")
+    spark.createDataFrame([Row(id=2, a="y", b=9)]).write.parquet(p + "/date=20240102")
+    df = spark.read.option("mergeSchema", "true").option("basePath", p).parquet(p + "/date=*")
+    assert set(df.columns) == {"id", "a", "b", "date"}
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9)}
