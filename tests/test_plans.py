@@ -42,6 +42,15 @@ AUDITED = [
     "stratified_event_sample",
     "redact_pii",
     "exact_dedup",
+    "large_order_customers",
+    "supplier_diversity",
+    "rich_customers_without_low_orders",
+    "incremental_event_rollup",
+    "gap_filled_user_timeline",
+    "events_json_flatten",
+    "customer_priority_baskets",
+    "approx_distinct_gate",
+    "approx_quantile_gate",
 ]
 
 
