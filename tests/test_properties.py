@@ -83,7 +83,10 @@ def test_exact_dedup_properties(spark, texts):
     assert sum(r.n_copies for r in stats) == len(texts)
     norm = {}
     for i, t in enumerate(texts):
-        norm.setdefault(t.strip().lower(), []).append(i)
+        # model Spark/DuckDB trim(): ASCII space ONLY — Python's bare
+        # strip() also removes tabs/newlines/unicode whitespace (\xa0),
+        # which the engines (consistently with each other) do not
+        norm.setdefault(t.strip(" ").lower(), []).append(i)
     assert {r.canonical_id for r in stats} == {min(v) for v in norm.values()}
 
 
@@ -161,3 +164,35 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right):
             for r in m.itertuples()
         }
     assert got == expected
+
+
+money_cents = st.integers(min_value=-10**12, max_value=10**12)  # exact 2dp doubles
+money_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), money_cents),
+    min_size=1, max_size=14,
+)
+
+
+@given(data=money_rows)
+@settings(**SETTINGS)
+def test_money_sum_matches_exact_decimal_arithmetic(spark, data):
+    """For any 2-decimal money values (incl. negatives), the fixed-point
+    BIGINT sum must equal the exact Decimal-computed python sum — and be
+    independent of partitioning."""
+    from decimal import Decimal
+
+    from pyspark.sql import Row, functions as F
+
+    from dagster_etl_spark.functions import money_sum
+
+    df = spark.createDataFrame(
+        [Row(k=k, v=cents / 100.0) for k, cents in data]
+    ).repartition(3)
+    got = {r.k: r.s for r in df.groupBy("k").agg(money_sum("v", "s")).collect()}
+    want: dict[int, Decimal] = {}
+    for k, cents in data:
+        # the double nearest cents/100, re-rounded to cents — what the
+        # operator is contractually summing
+        want[k] = want.get(k, Decimal(0)) + Decimal(round(cents / 100.0 * 100))
+    for k, total in want.items():
+        assert got[k] == float(total) / 100.0, (k, got[k], total)
