@@ -335,11 +335,14 @@ def connected_components(
 
     Lineage is truncated with ``localCheckpoint`` every
     ``checkpoint_every`` rounds: persist() alone keeps the full
-    join+agg plan tree growing one layer per round, so at the 100 TB
-    design point a deep component would pay ever-larger plan
-    compilation and a lost-executor recovery would replay every round
-    from the source. Checkpointing bounds both. (Iterative -> the SQL
-    oracle is a WITH RECURSIVE twin, see queries_text.)
+    join+agg plan tree growing one layer per round, so a deep component
+    would pay ever-larger plan compilation. Note the trade:
+    ``localCheckpoint`` stores blocks on executors with NO lineage
+    fallback, so it bounds plan growth but sacrifices lost-executor
+    recovery — at the 100 TB design point swap it for a reliable
+    ``checkpoint()`` (or an explicit write to storage) per round
+    batch. (Iterative -> the SQL oracle is a WITH RECURSIVE twin, see
+    queries_text.)
     """
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")

@@ -132,7 +132,10 @@ def stratified_sample_expr(
     (id, stratum), no RNG, no shuffle."""
     bucket = _bucket_expr(id_col, d, salt)
     clauses = [
-        f"WHEN {strata_col} = '{v}' THEN {bucket} < {int(round(r * _BUCKETS))}"
+        # '' -> escaped quote: stratum values are arbitrary strings and
+        # must not alter the predicate (same literal syntax both engines)
+        f"WHEN {strata_col} = '{v.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {bucket} < {int(round(r * _BUCKETS))}"
         for v, r in rates.items()
     ]
     return "CASE " + " ".join(clauses) + " ELSE FALSE END"

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
+from dagster_etl_spark.plans.cache import pin
+
 CORRUPT_COL = "_corrupt_record"
 
 
@@ -72,7 +74,7 @@ def read_with_rejects(
     full_schema = StructType(
         [*schema.fields, StructField(CORRUPT_COL, StringType())]
     )
-    df = (
+    df = pin(
         spark.read.format(fmt)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
@@ -80,8 +82,8 @@ def read_with_rejects(
         .schema(full_schema)
         .load(path)
         # Spark requires materializing the parsed struct before the
-        # corrupt column is referenced standalone
-        .cache()
+        # corrupt column is referenced standalone; pin() registers the
+        # cache so harnesses' release_pinned() can free it
     )
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)

@@ -36,6 +36,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath, jvm
 
 
+def rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports failure via a ``false``
+    return, not an exception — an unchecked call can silently leave the
+    destination empty while a follow-up delete discards the only other
+    copy. Every swap step checks."""
+    if not fs.rename(src, dst):
+        raise IOError(f"filesystem rename failed: {src} -> {dst}")
+
+
 def write_partition(
     df: DataFrame,
     base: str,
@@ -103,8 +112,16 @@ def compact_partition(
     # mid-swap never loses the partition, unlike delete-then-rename.
     old_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     fs.delete(old_p, True)
-    fs.rename(hpath, old_p)
-    fs.rename(staging_p, hpath)
+    rename_or_raise(fs, hpath, old_p)
+    try:
+        rename_or_raise(fs, staging_p, hpath)
+    except IOError:
+        # restore the original partition before surfacing the failure
+        fs.rename(old_p, hpath)
+        raise
+    # only drop the __old copy once the rewrite is verifiably live
+    if not fs.exists(hpath):
+        raise IOError(f"compacted data missing at {path} after swap; old copy kept")
     fs.delete(old_p, True)
     return {"files_before": before, "files_after": int(n_out), "bytes": int(total_bytes)}
 

@@ -24,7 +24,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dagster_etl_spark.sources.lake import check_exists, delete_path
+from dagster_etl_spark.sources.lake import check_exists, delete_path, rename_or_raise
 
 
 def with_tenant(df: DataFrame, tenant_id: str, column: str = "project_id") -> DataFrame:
@@ -89,8 +89,14 @@ def upsert_parquet(
     staging_p = jvm.org.apache.hadoop.fs.Path(staging)
     old_p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
     fs.delete(old_p, True)
-    fs.rename(final_p, old_p)
-    fs.rename(staging_p, final_p)
+    rename_or_raise(fs, final_p, old_p)
+    try:
+        rename_or_raise(fs, staging_p, final_p)
+    except IOError:
+        fs.rename(old_p, final_p)  # restore the target before surfacing
+        raise
+    if not fs.exists(final_p):
+        raise IOError(f"merged data missing at {path} after swap; old copy kept")
     fs.delete(old_p, True)
 
     after = spark.read.parquet(path).count()

@@ -282,3 +282,18 @@ def test_stratified_sample_rates_and_determinism(spark):
         ev, rates={"click": 0.2, "purchase": 1.0}, strata_col="event_type",
         id_col="event_id").select("event_id").collect()}
     assert ids1 == ids2
+
+
+def test_stratified_sample_escapes_quoted_strata(spark):
+    """A stratum value containing a single quote must not break (or
+    alter) the generated predicate — ADVICE r2."""
+    from dagster_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "o'reilly" if i % 2 else "plain") for i in range(200)],
+        "doc_id int, kind string",
+    )
+    out = stratified_sample(df, rates={"o'reilly": 1.0}, strata_col="kind")
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r.kind == "o'reilly" for r in rows)

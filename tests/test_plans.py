@@ -118,3 +118,15 @@ def test_whole_stage_codegen_present(spark):
             assert n >= 1, f"{name} fell out of codegen:\n{txt[:300]}"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_registry_fronts_driver_window_priority():
+    """The correctness driver checks the first 50 registry entries;
+    the priority list must actually front-load them and every priority
+    name must exist (a typo here would silently waste a window slot)."""
+    from dagster_etl_spark import registry
+
+    names = list(registry.all_queries())
+    pri = [n for n in registry._DRIVER_WINDOW_PRIORITY]
+    assert names[: len(pri)] == pri
+    assert len(pri) <= 50
