@@ -132,10 +132,33 @@ def decode_real(payload: bytes, media_type: str) -> np.ndarray:
 
 # -- feature extraction -------------------------------------------------------
 
-def extract_features(df: DataFrame, dim: int = 16, decoder=decode_stub) -> DataFrame:
-    """Fixed-dim float feature vector per asset from decoded content
-    (fake decode -> per-band pixel means). Arrow-batched; output schema
-    (asset_id, features array<float>) feeds the similarity operators."""
+def band_bytes_stub(payload: bytes, band: int) -> bytes:
+    """Deterministic fake "band pixels": the 16 digest bytes of
+    ``md5(payload || ':' || band)``. Pure md5 arithmetic, so the DuckDB
+    oracle reproduces the downstream features exactly (same pattern as
+    the similarity hyperplanes, similarity.py)."""
+    return hashlib.md5(payload + b":%d" % band).digest()
+
+
+def stub_features(payload: bytes, dim: int) -> list[float]:
+    """STUB feature contract: feature j = mean of band j's 16 digest
+    bytes. byte-sum <= 4080 and /16 is a power-of-two shift, so every
+    value is exactly representable in float32 — bit-equal across
+    Python, Spark and the SQL oracle."""
+    return [sum(band_bytes_stub(payload, j)) / 16.0 for j in range(dim)]
+
+
+def extract_features(df: DataFrame, dim: int = 16, decoder=None) -> DataFrame:
+    """Fixed-dim float feature vector per asset from decoded content.
+    Arrow-batched; output schema (asset_id, features array<float>)
+    feeds the similarity operators.
+
+    With ``decoder=None`` (default, container path) features follow the
+    md5 stub contract of :func:`stub_features` — SQL-reproducible, see
+    the ``media_features`` oracle. Passing a real decoder (production:
+    PIL/soundfile/PyAV via :func:`decode_real`) switches to per-band
+    pixel means of the decoded array; plumbing is identical.
+    """
     out_schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -147,9 +170,13 @@ def extract_features(df: DataFrame, dim: int = 16, decoder=decode_stub) -> DataF
         for pdf in batches:
             feats = []
             for payload, meta in zip(pdf["media"], pdf["meta"]):
-                img = decoder(bytes(payload), int(meta["width"]) % 64 + 8, 8)
-                bands = np.array_split(img.ravel().astype(np.float32), dim)
-                feats.append([float(b.mean()) for b in bands])
+                raw = bytes(payload)
+                if decoder is None:
+                    feats.append(stub_features(raw, dim))
+                else:
+                    img = decoder(raw, int(meta["width"]) % 64 + 8, 8)
+                    bands = np.array_split(img.ravel().astype(np.float32), dim)
+                    feats.append([float(b.mean()) for b in bands])
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "features": feats})
 
     return df.mapInPandas(run, schema=out_schema)

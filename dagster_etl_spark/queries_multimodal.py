@@ -68,24 +68,49 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEAT_DIM = 16
+
+# feature j in DuckDB: md5(text || ':j') hex digest -> sum of its 16
+# bytes / 16. Hex pairs decode via strpos arithmetic; the digest string
+# is let-bound so md5 runs once per feature, not 32×.
+_HEXPOS = "strpos('0123456789abcdef', {c}) - 1"
+
+
+def _duck_feature(j: int) -> str:
+    byte = (
+        f"(16 * ({_HEXPOS.format(c='h[2*i+1]')}) + ({_HEXPOS.format(c='h[2*i+2]')}))"
+    )
+    return (
+        f"CAST(list_transform([md5(text || ':{j}')], h -> "
+        f"list_sum(list_transform(range(0, 16), i -> {byte})))[1] / 16.0 "
+        f"AS DOUBLE) AS f{j}"
+    )
+
+
+_FEATURES_ORACLE = (
+    "SELECT doc_id AS asset_id, "
+    + ", ".join(_duck_feature(j) for j in range(_FEAT_DIM))
+    + " FROM documents"
+)
+
+
 @register(
     "media_features",
-    oracle=None,  # decode stub is Python-side; determinism gated in tests
+    oracle=_FEATURES_ORACLE,
     tags=("llm", "multimodal"),
-    doc="Arrow-batched feature extraction over decoded media "
-    "(mapInPandas, fixed-dim float vectors). Registered projection is "
-    "canonicalizer-safe scalars (the raw array<float> output of "
-    "extract_features is the pipeline API; the driver harness sorts "
-    "all columns and cannot sort lists).",
+    doc="Arrow-batched feature extraction over media payloads "
+    "(mapInPandas, fixed-dim float vectors). The stub features are md5 "
+    "band-digest means (multimodal.stub_features) — pure md5 "
+    "arithmetic, so the DuckDB oracle recomputes every vector element "
+    "exactly; the query emits them as scalar double columns (the "
+    "driver canonicalizer cannot sort list columns).",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(_media(spark, sf_dir), dim=16)
-    # scalar fingerprint of the vector: stable across runs because the
-    # decode stub is md5-seeded; rounded via format_number so the
-    # float->string rendering is fixed-width deterministic
-    return feats.selectExpr(
+    feats = extract_features(_media(spark, sf_dir), dim=_FEAT_DIM)
+    return feats.select(
         "asset_id",
-        "size(features) AS n_dims",
-        "CAST(aggregate(features, CAST(0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)) AS DOUBLE) AS feat_sum",
-        "md5(concat_ws(',', transform(features, v -> format_number(CAST(v AS DOUBLE), 4)))) AS feat_md5",
+        *[
+            feats["features"].getItem(j).cast("double").alias(f"f{j}")
+            for j in range(_FEAT_DIM)
+        ],
     )

@@ -92,3 +92,24 @@ def test_decode_real_is_documented_stub():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"xx", "image")
+
+
+def test_stub_features_contract():
+    """Pin the stub feature definition: feature j == mean of the 16
+    digest bytes of md5(payload || ':' || j) — the exact arithmetic the
+    media_features DuckDB oracle reproduces."""
+    import hashlib
+
+    from dagster_etl_spark.operators.multimodal import stub_features
+
+    payload = "hello world".encode()
+    got = stub_features(payload, 4)
+    want = [
+        sum(hashlib.md5(payload + f":{j}".encode()).digest()) / 16.0
+        for j in range(4)
+    ]
+    assert got == want
+    # exactly representable in float32 (what the Arrow schema carries)
+    import numpy as np
+
+    assert all(float(np.float32(v)) == v for v in got)
