@@ -55,8 +55,8 @@ def main() -> None:
     for name in bench_names:
         try:
             run_one(name)
-        except Exception:
-            pass
+        except Exception as exc:  # surface, but let the timed pass report it
+            print(f"bench warm-up error in {name}: {exc}", file=sys.stderr)
         release_pinned()
 
     timings: dict[str, float] = {}
@@ -70,6 +70,33 @@ def main() -> None:
             timings[name] = -1.0
         release_pinned()
 
+    # informational extras — NOT in the headline total (BASELINE.md's
+    # DuckDB totals cover exactly the `queries` set): the documented
+    # approx_count_distinct knob for the WIP aggregate, the 100 TB path
+    # for count-distinct-heavy rollups.
+    extra: dict[str, float] = {}
+    try:
+        from dagster_etl_spark.operators.wip import wip_aggregate
+        from dagster_etl_spark.sources.fixtures import load_table
+
+        def approx_wip():
+            return wip_aggregate(
+                load_table(spark, SF_DIR, "lineitem"),
+                group_cols=("l_linestatus", "l_suppkey"),
+                qty_col="l_quantity",
+                lot_col="l_orderkey",
+                status_col="l_returnflag",
+                active_statuses=("N", "A"),
+                approx_distinct=True,
+            )
+
+        approx_wip().write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        approx_wip().write.mode("overwrite").format("noop").save()
+        extra["wip_aggregate_approx"] = round(time.time() - t0, 3)
+    except Exception as exc:
+        print(f"bench extra error: {exc}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -78,6 +105,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra": extra,
                 "sf": sf_of(SF_DIR),
             }
         )

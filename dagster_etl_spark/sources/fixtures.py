@@ -53,13 +53,26 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+# DataFrame handles are immutable plans — reusing one skips the
+# ~100ms/table of per-call file listing + footer schema read that
+# ``spark.read.parquet`` pays. This is what a metastore-backed catalog
+# does for real tables (cached FileIndex + schema); keyed by
+# applicationId so a new session never sees stale handles.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, restoring ns-timestamp columns."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
         # nanos-since-epoch long -> micros -> TimestampType (UTC session tz)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    _DF_CACHE[key] = df
     return df
 
 
