@@ -4,13 +4,30 @@ asset graph shape as the reference's factories
 daily partitions; reference: etl/factories/asset_factory.py:226-353,
 etl/__init__.py:94-158) over this engine's ``PipelineRunner`` stages.
 
+Job surface mirrors the reference's job factory
+(etl/factories/job_factory.py:50-221):
+* ``{tenant}_daily_etl_job`` — partitioned pipelines only, daily
+  partitions + cron schedule;
+* ``{tenant}_master_sync_job`` — non-partitioned (``latest/``) master
+  pipelines only, plain cron schedule;
+* ``{tenant}_{pipeline}_job`` — one per pipeline (the generic form of
+  the reference's wip/cycle_time/equipment pipeline jobs, which are
+  per-pipeline asset selections with hardcoded names).
+Job planning is a pure function (:func:`plan_jobs`) so the split is
+testable without dagster installed.
+
+Run-status sensors (reference: etl/sensors/run_log_sensor.py:71-137)
+export each finished run's event log to the lake under
+``project_id={tenant}/logs/run_events/date={YYYYMMDD}/{run_id}`` — one
+sensor for SUCCESS, one for FAILURE, built by
+:func:`build_run_log_sensors`.
+
 Dagster is NOT installed in the test container, so everything here is
 gated: ``build_definitions`` raises a clear ImportError without
 dagster, and the data plane stays fully runnable through
 ``PipelineRunner`` alone (tests/test_orchestration.py). With dagster
 installed, ``dagster dev -m <module calling build_definitions>``
-reproduces the reference's operational surface: daily-partitioned
-assets per pipeline stage, per-tenant daily jobs, cron schedules.
+reproduces the reference's operational surface.
 """
 
 from __future__ import annotations
@@ -29,6 +46,91 @@ def dagster_available() -> bool:
         return False
 
 
+def plan_jobs(tenant: TenantConfig) -> dict[str, dict]:
+    """Pure job plan for one tenant: job name -> {kind, pipelines,
+    partitioned}. The reference's split (job_factory.py:58-67): daily
+    ETL covers partitioned assets only, master sync covers
+    non-partitioned only, plus one job per pipeline."""
+    partitioned = [p.name for p in tenant.pipelines if p.date_column is not None]
+    non_partitioned = [p.name for p in tenant.pipelines if p.date_column is None]
+    plan: dict[str, dict] = {}
+    if partitioned:
+        plan[f"{tenant.tenant_id}_daily_etl_job"] = {
+            "kind": "daily_etl",
+            "pipelines": partitioned,
+            "partitioned": True,
+        }
+    if non_partitioned:
+        plan[f"{tenant.tenant_id}_master_sync_job"] = {
+            "kind": "master_sync",
+            "pipelines": non_partitioned,
+            "partitioned": False,
+        }
+    for p in tenant.pipelines:
+        plan[f"{tenant.tenant_id}_{p.name}_job"] = {
+            "kind": "pipeline",
+            "pipelines": [p.name],
+            "partitioned": p.date_column is not None,
+        }
+    return plan
+
+
+def build_run_log_sensors(spark_factory: Callable, lake_base: str) -> list:
+    """Two ``run_status_sensor``s (SUCCESS, FAILURE) exporting the
+    finished run's event log as Parquet to the lake — the engine twin
+    of the reference's run_log_sensor (run_log_sensor.py:71-137; the
+    reference writes with boto3+pyarrow, we write through Spark so the
+    export scales with the cluster, not the sensor daemon)."""
+    import datetime as _dt
+
+    import dagster as dg
+
+    def _build(status, suffix: str):
+        @dg.run_status_sensor(
+            run_status=status,
+            name=f"etl_run_log_{suffix}_sensor",
+            description=f"Export event log to the lake on run {suffix}",
+            minimum_interval_seconds=30,
+        )
+        def _sensor(context) -> None:
+            run = context.dagster_run
+            tags = dict(run.tags)
+            tenant_id = tags.get("tenant_id", "unknown")
+            records = [
+                (
+                    str(e.timestamp),
+                    str(getattr(e, "dagster_event_type", "") or ""),
+                    (e.message or "")[:4000],
+                )
+                for e in context.instance.all_logs(run.run_id)
+            ]
+            if not records:
+                return
+            spark = spark_factory()
+            df = spark.createDataFrame(records, "ts string, event_type string, message string")
+            df = (
+                df.selectExpr(
+                    "ts", "event_type", "message",
+                    f"'{run.job_name}' AS job_name",
+                    f"'{tenant_id}' AS tenant_id",
+                    f"'{suffix}' AS run_status",
+                )
+            )
+            today = _dt.datetime.now(tz=_dt.timezone.utc).strftime("%Y%m%d")
+            path = (
+                f"{lake_base.rstrip('/')}/project_id={tenant_id}/logs/"
+                f"run_events/date={today}/{run.run_id}"
+            )
+            df.write.mode("overwrite").parquet(path)
+
+        return _sensor
+
+    return [
+        _build(dg.DagsterRunStatus.SUCCESS, "success"),
+        _build(dg.DagsterRunStatus.FAILURE, "failure"),
+    ]
+
+
 def build_definitions(
     tenants: list[TenantConfig],
     spark_factory: Callable,
@@ -39,9 +141,10 @@ def build_definitions(
     timezone: str = "Asia/Seoul",
     daily_cron: str = "0 2 * * *",
 ):
-    """Definitions(assets=[tenant/stage/pipeline...], jobs=[{tenant}_daily_etl_job],
-    schedules=[...]) — one asset per configured stage, partitioned daily,
-    each calling the corresponding PipelineRunner stage."""
+    """Definitions(assets, jobs, schedules, sensors) — one asset per
+    configured stage (daily-partitioned when the pipeline has a date
+    column), jobs per :func:`plan_jobs`, run-log sensors per
+    :func:`build_run_log_sensors`."""
     if not dagster_available():
         raise ImportError(
             "dagster is not installed; run pipelines via "
@@ -64,8 +167,9 @@ def build_definitions(
 
     assets, jobs, schedules = [], [], []
     for tenant in tenants:
-        tenant_assets = []
+        pipeline_assets: dict[str, list] = {}
         for p in tenant.pipelines:
+            p_assets = []
             partitions = daily if p.date_column is not None else None
             extract_key = dg.AssetKey([tenant.tenant_id, "extract", p.name])
 
@@ -76,10 +180,11 @@ def build_definitions(
                     metadata={"s3_path": out["path"], "row_count": out["row_count"]}
                 )
 
-            extract_asset = dg.asset(
-                key=extract_key, partitions_def=partitions, name=None
-            )(_extract)
-            tenant_assets.append(extract_asset)
+            p_assets.append(
+                dg.asset(key=extract_key, partitions_def=partitions, name=None)(
+                    _extract
+                )
+            )
             upstream_key = extract_key
 
             if p.has_transfer:
@@ -92,7 +197,7 @@ def build_definitions(
                         metadata={"s3_path": out["path"], "row_count": out["row_count"]}
                     )
 
-                tenant_assets.append(
+                p_assets.append(
                     dg.asset(
                         key=transfer_key, partitions_def=partitions,
                         deps=[upstream_key], name=None,
@@ -118,24 +223,38 @@ def build_definitions(
                         metadata={"inserted": out["inserted"], "deleted": out["deleted"]}
                     )
 
-                tenant_assets.append(
+                p_assets.append(
                     dg.asset(
                         key=dg.AssetKey([tenant.tenant_id, "load", p.name]),
                         partitions_def=partitions, deps=[upstream_key], name=None,
                     )(_load)
                 )
 
-        assets.extend(tenant_assets)
-        job = dg.define_asset_job(
-            f"{tenant.tenant_id}_daily_etl_job",
-            selection=dg.AssetSelection.assets(*tenant_assets),
-            partitions_def=daily,
-        )
-        jobs.append(job)
-        schedules.append(
-            dg.build_schedule_from_partitioned_job(
-                job, cron_schedule=tenant.daily_cron or daily_cron
-            )
-        )
+            pipeline_assets[p.name] = p_assets
+            assets.extend(p_assets)
 
-    return dg.Definitions(assets=assets, jobs=jobs, schedules=schedules)
+        for job_name, spec in plan_jobs(tenant).items():
+            selected = [a for n in spec["pipelines"] for a in pipeline_assets[n]]
+            job = dg.define_asset_job(
+                job_name,
+                selection=dg.AssetSelection.assets(*selected),
+                partitions_def=daily if spec["partitioned"] else None,
+                tags={"tenant_id": tenant.tenant_id, "job_kind": spec["kind"]},
+            )
+            jobs.append(job)
+            cron = tenant.daily_cron or daily_cron
+            if spec["kind"] == "daily_etl":
+                schedules.append(
+                    dg.build_schedule_from_partitioned_job(job, cron_schedule=cron)
+                )
+            elif spec["kind"] == "master_sync":
+                schedules.append(
+                    dg.ScheduleDefinition(job=job, cron_schedule=cron)
+                )
+
+    return dg.Definitions(
+        assets=assets,
+        jobs=jobs,
+        schedules=schedules,
+        sensors=build_run_log_sensors(spark_factory, lake_base),
+    )

@@ -202,3 +202,51 @@ def test_dagster_graft_gated_without_dagster():
         pytest.skip("dagster installed; graft exercised by dagster itself")
     with pytest.raises(ImportError, match="dagster is not installed"):
         build_definitions([], lambda: None, "", "", "")
+
+
+def test_plan_jobs_splits_partitioned_and_master_sync():
+    """Reference job_factory.py:58-67 split: daily ETL = partitioned
+    pipelines only, master sync = non-partitioned only, plus one job
+    per pipeline."""
+    from dagster_etl_spark.orchestration.config import PipelineConfig, TenantConfig
+    from dagster_etl_spark.orchestration.dagster_defs import plan_jobs
+
+    tenant = TenantConfig(
+        tenant_id="t1",
+        pipelines=[
+            PipelineConfig(name="lot_history", source_table="lh", date_column="d"),
+            PipelineConfig(name="item_master", source_table="im"),  # latest/
+        ],
+    )
+    plan = plan_jobs(tenant)
+    assert plan["t1_daily_etl_job"] == {
+        "kind": "daily_etl", "pipelines": ["lot_history"], "partitioned": True,
+    }
+    assert plan["t1_master_sync_job"] == {
+        "kind": "master_sync", "pipelines": ["item_master"], "partitioned": False,
+    }
+    assert plan["t1_lot_history_job"]["pipelines"] == ["lot_history"]
+    assert plan["t1_item_master_job"]["partitioned"] is False
+
+    # all-partitioned tenant -> no master sync job
+    only_part = TenantConfig(
+        tenant_id="t2",
+        pipelines=[PipelineConfig(name="a", source_table="a", date_column="d")],
+    )
+    assert "t2_master_sync_job" not in plan_jobs(only_part)
+
+
+def test_run_log_sensors_gated_without_dagster():
+    from dagster_etl_spark.orchestration.dagster_defs import (
+        build_run_log_sensors,
+        dagster_available,
+    )
+
+    if dagster_available():  # pragma: no cover — not in this container
+        sensors = build_run_log_sensors(lambda: None, "/tmp/lake")
+        assert [s.name for s in sensors] == [
+            "etl_run_log_success_sensor", "etl_run_log_failure_sensor",
+        ]
+    else:
+        with pytest.raises(ImportError):
+            build_run_log_sensors(lambda: None, "/tmp/lake")
