@@ -26,10 +26,26 @@ from pyspark.sql import functions as F
 
 
 def skewed_keys(
-    df: DataFrame, keys: Sequence[str], min_share: float = 0.01, top: int = 20
+    df: DataFrame,
+    keys: Sequence[str],
+    min_share: float = 0.01,
+    top: int = 20,
+    sample_fraction: float | None = 0.05,
 ) -> DataFrame:
     """Measure candidate hot keys: values holding more than
-    ``min_share`` of rows. Run on a sample at scale."""
+    ``min_share`` of rows.
+
+    Hot-key detection is a share estimate, not an exact count, so it
+    runs on a row sample by default instead of two full scans of the
+    input — at 100 TB the default 5% sample bounds the diagnostic to a
+    twentieth of the data, while a >=1% hot key is still detected with
+    overwhelming probability (its sampled count concentrates tightly
+    around share × sampled_total). Shares are ratios of the SAMPLED
+    total, so the estimate is unbiased at any input size.
+    ``sample_fraction=None`` forces the exact full-scan path.
+    """
+    if sample_fraction is not None and 0 < sample_fraction < 1:
+        df = df.sample(fraction=sample_fraction, seed=7)
     total = df.count()
     return (
         df.groupBy(*keys)

@@ -178,10 +178,19 @@ def fill_time_gaps(
 
     Determinism: the per-bucket representative is the lexicographic max
     of (ts, tiebreak, value) — a total order, so duplicate timestamps
-    can't flip the carried value. The grid comes from one tiny per-key
-    (min, max) aggregate exploded via sequence() — rows ∝ buckets, not
-    observations². Shuffle profile: one agg + one key-partitioned join
-    + one window, all on the same keys.
+    can't flip the carried value.
+
+    Scale shape: everything expensive happens at OBSERVATION
+    cardinality — one (keys, bucket) aggregate, one keys-partitioned
+    window computing each observation's run end (``lead``) and carry
+    value (cumulative last non-null; same window spec, one
+    exchange+sort) — and the dense grid is exploded from each
+    observation's run AFTER the window, streaming straight to the
+    consumer. The earlier grid-join formulation shuffled the exploded
+    grid itself twice (join + window), which went superlinear in the
+    scale smoke (grid rows ≫ observations when gaps are long); this
+    form shuffles only observations, and grid rows never hit an
+    exchange.
     """
     keys = list(keys)
     bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / grain_sec) * grain_sec).cast("long")
@@ -199,25 +208,29 @@ def fill_time_gaps(
         )
         .select(*keys, "_bucket", F.col("_m.v").alias("_v"))
     )
-    grid = (
-        per_bucket.groupBy(*keys)
-        .agg(F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi"))
-        .select(
-            *keys,
-            F.explode(
-                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(grain_sec))
-            ).alias("_bucket"),
-        )
+    w = Window.partitionBy(*keys).orderBy("_bucket")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = per_bucket.select(
+        *keys,
+        F.col("_bucket").alias("_obs"),
+        # carry value at this observation (null value_col observations
+        # inherit the previous non-null, exactly like the grid+window
+        # formulation and the IGNORE NULLS oracle)
+        F.last("_v", ignorenulls=True).over(w_cum).alias("_fill"),
+        F.coalesce(
+            F.lead("_bucket").over(w) - grain_sec, F.col("_bucket")
+        ).alias("_run_end"),
     )
-    joined = grid.join(per_bucket, on=keys + ["_bucket"], how="left")
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
+    return runs.select(
+        *keys,
+        "_fill",
+        "_obs",
+        F.explode(
+            F.sequence(F.col("_obs"), F.col("_run_end"), F.lit(grain_sec))
+        ).alias("_bucket"),
+    ).select(
         *keys,
         F.col("_bucket").alias("bucket_start"),
-        F.last("_v", ignorenulls=True).over(w).alias("value_filled"),
-        F.col("_v").isNull().alias("is_gap"),
+        F.col("_fill").alias("value_filled"),
+        (F.col("_bucket") != F.col("_obs")).alias("is_gap"),
     )

@@ -88,4 +88,28 @@ def with_partition_filter(
 def table_row_count(spark: SparkSession, src: JdbcSource, table: str) -> int:
     """S3: COUNT(*) pushed down — the subquery form makes the source DB
     do the count; Spark transfers one row."""
-    return read_query(spark, src, f"SELECT COUNT(*) AS n FROM {table}").collect()[0].n
+    # int(): some sources surface COUNT(*) as DECIMAL (DuckDB HUGEINT)
+    return int(read_query(spark, src, f"SELECT COUNT(*) AS n FROM {table}").collect()[0].n)
+
+
+def find_duckdb_jdbc_jar() -> str | None:
+    """Locate a DuckDB JDBC driver jar (public Maven artifact
+    ``org.duckdb:duckdb_jdbc``) for live-database integration tests:
+    ``SPARK_GRAFT_DUCKDB_JDBC_JAR`` env var first, else the
+    conventional local Maven/Coursier/Ivy caches. Returns None when no
+    jar is available (tests skip with a note)."""
+    import glob
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_DUCKDB_JDBC_JAR")
+    if env and os.path.exists(env):
+        return env
+    for pat in (
+        "~/.cache/coursier/**/duckdb_jdbc*.jar",
+        "~/.m2/repository/**/duckdb_jdbc*.jar",
+        "~/.ivy2/**/duckdb_jdbc*.jar",
+    ):
+        hits = glob.glob(os.path.expanduser(pat), recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None

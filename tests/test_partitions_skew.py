@@ -86,8 +86,12 @@ def test_skewed_keys_and_approx_distinct(spark):
     from dagster_etl_spark.sources.fixtures import load_table
 
     li = load_table(spark, SF_SMALL, "lineitem")
-    hot = skewed_keys(li, ["l_returnflag"], min_share=0.2)
-    assert hot.count() >= 1  # N holds ~half the rows
+    # default path samples (no unconditional full scan); the planted-hot
+    # key must still surface, and a generous sample must agree
+    hot = skewed_keys(li, ["l_returnflag"], min_share=0.2, sample_fraction=0.5)
+    assert "N" in {r.l_returnflag for r in hot.collect()}  # ~half the rows
+    exact_hot = skewed_keys(li, ["l_returnflag"], min_share=0.2, sample_fraction=None)
+    assert "N" in {r.l_returnflag for r in exact_hot.collect()}
 
     exact = wip_aggregate(li, group_cols=("l_linestatus",), qty_col="l_quantity",
                           lot_col="l_orderkey", status_col=None)

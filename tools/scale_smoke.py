@@ -42,12 +42,40 @@ def inflate(docs, k: int):
     return out
 
 
+def inflate_events(ev, k: int):
+    """K copies with shifted user_id/event_id: more users, same
+    per-user density — the realistic growth axis for per-key temporal
+    operators (a 50× corpus is 50× more users, not 50× deeper ones)."""
+    from pyspark.sql import functions as F
+
+    bounds = ev.selectExpr(
+        "max(user_id) + 1 AS nu", "max(event_id) + 1 AS ne"
+    ).first()
+    parts = [
+        ev.select(
+            (F.col("event_id") + i * bounds.ne).alias("event_id"),
+            (F.col("user_id") + i * bounds.nu).alias("user_id"),
+            "ts",
+            "event_type",
+            "value",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def main() -> None:
     from dagster_etl_spark.operators.dedup import (
+        dedup_clusters,
         exact_dedup_stats,
         minhash_neardup_pairs,
     )
-    from dagster_etl_spark.operators.text import doc_stats, fingerprints
+    from dagster_etl_spark.operators.history import scd2_intervals
+    from dagster_etl_spark.operators.temporal import fill_time_gaps
+    from dagster_etl_spark.operators.text import chunk_docs, doc_stats, fingerprints, pack_chunks
     from dagster_etl_spark.session import get_spark
     from dagster_etl_spark.sources.fixtures import load_table
 
@@ -56,20 +84,40 @@ def main() -> None:
     docs1.cache().count()
     docsk = inflate(docs1, MULT)
     docsk.cache().count()
+    ev1 = load_table(spark, SF_DIR, "events").filter("user_id IS NOT NULL")
+    ev1 = ev1.select("event_id", "user_id", "ts", "event_type", "value")
+    ev1.cache().count()
+    evk = inflate_events(ev1, MULT)
+    evk.cache().count()
 
-    ops = {
+    doc_ops = {
         "doc_stats": doc_stats,
         "fingerprints": fingerprints,
         "exact_dedup": exact_dedup_stats,
         "minhash_neardup": lambda d: minhash_neardup_pairs(d, threshold=0.5),
+        "dedup_clusters": lambda d: dedup_clusters(d, threshold=0.5),
+        "packed_sequences": lambda d: pack_chunks(chunk_docs(d)),
+    }
+    ev_ops = {
+        "gap_fill_timeline": lambda e: fill_time_gaps(
+            e, keys=["user_id"], ts_col="ts", value_col="value",
+            tiebreak_col="event_id", grain_sec=900,
+        ),
+        "scd2_intervals": lambda e: scd2_intervals(
+            e, keys=["user_id"], ts_col="ts", attr_cols=["event_type"],
+            tiebreak=["event_id"],
+        ),
     }
     out = {}
-    for name, fn in ops.items():
+    for name, fn, d1, dk in [
+        *[(n, f, docs1, docsk) for n, f in doc_ops.items()],
+        *[(n, f, ev1, evk) for n, f in ev_ops.items()],
+    ]:
         t0 = time.time()
-        fn(docs1).write.mode("overwrite").format("noop").save()
+        fn(d1).write.mode("overwrite").format("noop").save()
         t1 = round(time.time() - t0, 2)
         t0 = time.time()
-        fn(docsk).write.mode("overwrite").format("noop").save()
+        fn(dk).write.mode("overwrite").format("noop").save()
         tk = round(time.time() - t0, 2)
         out[name] = {
             "x1_sec": t1,
