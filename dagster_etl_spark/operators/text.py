@@ -246,6 +246,49 @@ def gopher_quality(
     return spread(df).selectExpr(id_col, *_let_cols(e, text_col, "_t"))
 
 
+# -- winnowing fingerprints ----------------------------------------------------
+
+def _span(start: str, count: int, d: str) -> str:
+    """Integer array [start, start+count) with a variable start."""
+    if d == x.SPARK:
+        return f"sequence({start}, {start} + {count - 1})"
+    return f"range({start}, {start} + {count})"
+
+
+def winnow_fp_array_expr(text_col: str, d: str, k: int = 8, w: int = 4) -> str:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer/
+    Wilkerson/Aiken 2003): hash every char k-gram of the lowercased
+    text, slide a w-window over the hash sequence, keep each window's
+    MINIMUM hash, dedupe. Guarantees any shared substring of length
+    >= k + w - 1 yields a shared fingerprint — position-robust overlap
+    detection that content-md5 cannot give.
+
+    Hashes are the md5-prefix 60-bit ints both engines agree on; the
+    k-gram hash array is let-bound so each k-gram is md5'd once, not
+    once per window. Pure per-row expressions — zero shuffles; the
+    exploded (doc_id, fp) rows feed the same banded-join candidate
+    pairing as MinHash (dedup.py).
+    """
+    n_kgrams = f"(length(_s) - {k - 1})"
+    hashes = x.xform(
+        x.zero_range(n_kgrams, d), "i", x.h60(f"substr(_s, i + 1, {k})", d), d
+    )
+    n_windows = f"({x.xsize('_hs', d)} - {w - 1})"
+    window_min = x.xmin(
+        x.xform(_span("j", w, d), "i", x.idx_var("_hs", "i", d), d), d
+    )
+    fps = x.distinct(x.xform(x.zero_range(n_windows, d), "j", window_min, d), d)
+    return x.let(f"lower({text_col})", "_s", x.let(hashes, "_hs", fps, d), d)
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Exploded (id, fp BIGINT) winnowing fingerprints per document."""
+    arr = winnow_fp_array_expr(text_col, x.SPARK, k=k, w=w)
+    return spread(df).selectExpr(id_col, f"explode({arr}) AS fp")
+
+
 # -- document chunking ---------------------------------------------------------
 
 def chunk_docs(

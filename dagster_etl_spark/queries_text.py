@@ -554,3 +554,153 @@ def q_stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
         salt=_STRAT_SAMPLE_SALT,
     ).select("event_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: cross-document LM-style scoring + winnowing.
+
+def _novelty_oracle() -> str:
+    sh = x.let(x.tokens("text", x.DUCK), "_t", x.shingles("_t", 2, x.DUCK), x.DUCK)
+    return f"""
+WITH e AS (SELECT doc_id, unnest({sh}) AS bigram FROM documents),
+c AS (SELECT bigram, COUNT(*) AS df FROM e GROUP BY bigram)
+SELECT e.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(CAST(SUM(CASE WHEN c.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS novelty_rate
+FROM e JOIN c USING (bigram)
+GROUP BY e.doc_id
+"""
+
+
+@register(
+    "bigram_novelty",
+    oracle=_novelty_oracle(),
+    tags=("llm", "text"),
+    doc="Two-pass language-model-style novelty scoring: corpus bigram "
+    "document frequencies (pass 1) joined back onto each document's "
+    "bigrams (pass 2); a document's share of corpus-rare bigrams "
+    "(df <= 2) is the noise/novelty signal quality filters threshold "
+    "on. Integer counts + one final division — engine-exact. Scale "
+    "shape: two hash aggregations and one shuffle join, all keyed on "
+    "bigram/doc_id; nothing is broadcast (the LM table grows with the "
+    "corpus) and nothing is collected.",
+)
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.plans.layout import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    sh = x.let(x.tokens("text", x.SPARK), "_t", x.shingles("_t", 2, x.SPARK), x.SPARK)
+    exploded = docs.selectExpr("doc_id", f"explode({sh}) AS bigram")
+    df_counts = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    rare = F.when(F.col("df") <= 2, 1).otherwise(0)
+    return (
+        exploded.join(df_counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double"))
+            .cast("double")
+            .alias("novelty_rate"),
+        )
+    )
+
+
+_VOCAB_K = 1000
+
+
+def _vocab_oracle() -> str:
+    tok = x.tokens("text", x.DUCK)
+    return f"""
+WITH t AS (SELECT doc_id, unnest({tok}) AS token FROM documents),
+v AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM t GROUP BY token
+    ORDER BY n DESC, token ASC LIMIT {_VOCAB_K}
+  )
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS oov_rate
+FROM t LEFT JOIN v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "vocab_oov",
+    oracle=_vocab_oracle(),
+    tags=("llm", "text"),
+    doc=f"Vocabulary coverage: build the top-{_VOCAB_K} corpus vocabulary "
+    "(count desc, token asc tiebreak — deterministic boundary) with a "
+    "distributed top-k (orderBy+limit, no single-partition window), "
+    "then score every document's out-of-vocabulary token share via a "
+    "broadcast left join. The tokenizer-fit signal for corpus/vocab "
+    "mismatch. Integer counts + one final division — engine-exact.",
+)
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.plans.layout import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tok = x.tokens("text", x.SPARK)
+    t = docs.selectExpr("doc_id", f"explode({tok}) AS token")
+    vocab = (
+        t.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(_VOCAB_K)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    oov = F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    return (
+        t.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"))
+            .cast("double")
+            .alias("oov_rate"),
+        )
+    )
+
+
+def _winnow_oracle(k: int = 8, w: int = 4) -> str:
+    from dagster_etl_spark.operators.text import winnow_fp_array_expr
+
+    arr = winnow_fp_array_expr("text", x.DUCK, k=k, w=w)
+    return f"SELECT doc_id, unnest({arr}) AS fp FROM documents"
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=_winnow_oracle(),
+    tags=("llm", "text"),
+    doc="Winnowing fingerprints (MOSS): per-window minimum of char "
+    "8-gram hashes (window 4) — any shared substring of length >= 11 "
+    "yields a shared fingerprint. Per-row expression chain (k-gram "
+    "hashes let-bound, md5'd once), exploded to (doc_id, fp) rows "
+    "ready for banded candidate joins.",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))

@@ -97,6 +97,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "packed_sequences",
     "stratified_event_sample",
     "media_features",
+    # round-3 additions
+    "bigram_novelty",
+    "vocab_oov",
+    "winnow_fingerprints",
 )
 
 

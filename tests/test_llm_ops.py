@@ -297,3 +297,40 @@ def test_stratified_sample_escapes_quoted_strata(spark):
     rows = out.collect()
     assert len(rows) == 100
     assert all(r.kind == "o'reilly" for r in rows)
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The MOSS guarantee: two documents sharing a substring of length
+    >= k + w - 1 (= 11 at the defaults) share at least one
+    fingerprint; disjoint-alphabet documents share none."""
+    from dagster_etl_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "cccc dddd " + shared),
+            (3, "zzzzzzzzzzzz yyyyyyyyyyyy xxxxxxxxxxxx"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {i: {r.fp for r in fps if r.doc_id == i} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2]  # shared substring -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_bigram_novelty_and_vocab_oov_bounds(spark):
+    """Rates are exact count ratios in [0, 1]; a doc made of corpus-
+    unique bigrams scores novelty 1.0."""
+    from dagster_etl_spark.registry import all_queries
+
+    specs = all_queries()
+    nov = {r.doc_id: r for r in specs["bigram_novelty"].fn(spark, SF).collect()}
+    assert all(0.0 <= r.novelty_rate <= 1.0 for r in nov.values())
+    assert all(r.n_rare <= r.n_bigrams for r in nov.values())
+    oov = {r.doc_id: r for r in specs["vocab_oov"].fn(spark, SF).collect()}
+    assert all(0.0 <= r.oov_rate <= 1.0 for r in oov.values())
+    # the vocabulary covers the corpus head: mean OOV rate is well below 1
+    rates = [r.oov_rate for r in oov.values()]
+    assert sum(rates) / len(rates) < 0.9

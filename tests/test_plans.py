@@ -51,6 +51,9 @@ AUDITED = [
     "customer_priority_baskets",
     "approx_distinct_gate",
     "approx_quantile_gate",
+    "bigram_novelty",
+    "vocab_oov",
+    "winnow_fingerprints",
 ]
 
 
