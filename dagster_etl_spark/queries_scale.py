@@ -1057,3 +1057,119 @@ def q_customer_priority_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: event-analytics parity ops — ordered funnel + cohort retention.
+
+_FUNNEL_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM u) AS n_users,
+       (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+"""
+
+
+@register(
+    "funnel_conversion",
+    oracle=_FUNNEL_ORACLE,
+    tags=("scale", "agg", "join"),
+    doc="Ordered conversion funnel (view -> click -> purchase, each "
+    "step strictly after the previous step's first occurrence): one "
+    "conditional-min aggregate per stage, user-level stage frames "
+    "broadcast back onto events — per-user state never leaves the "
+    "executors and each stage is one shuffle on user_id. Integer "
+    "counts only, engine-exact.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    t_view = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    t_click = (
+        ev.join(F.broadcast(t_view), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    t_purchase = (
+        ev.join(F.broadcast(t_click), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    stages = (
+        t_view.join(t_click, "user_id", "full")
+        .join(t_purchase, "user_id", "full")
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+    )
+
+
+_COHORT_ORACLE = """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS week
+  FROM events WHERE user_id IS NOT NULL
+),
+f AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1),
+a AS (SELECT DISTINCT user_id, week FROM e)
+SELECT CAST(floor(epoch(f.cohort_week)) AS BIGINT) AS cohort_week_s,
+       CAST(floor(epoch(a.week)) AS BIGINT) AS week_s,
+       COUNT(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "cohort_retention",
+    oracle=_COHORT_ORACLE,
+    tags=("scale", "agg", "join"),
+    doc="Cohort retention matrix: users cohorted by first-activity "
+    "week (date_trunc week = Monday in both engines), counted per "
+    "(cohort_week, activity_week). Distinct + min aggregates on "
+    "user_id, tiny cohort frame broadcast — one shuffle each; weeks "
+    "emitted as epoch-second BIGINTs (canonicalizer-safe).",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .selectExpr("user_id", "date_trunc('week', ts) AS week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .selectExpr(
+            "unix_timestamp(cohort_week) AS cohort_week_s",
+            "unix_timestamp(week) AS week_s",
+            "n_users",
+        )
+    )

@@ -101,6 +101,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "bigram_novelty",
     "vocab_oov",
     "winnow_fingerprints",
+    "funnel_conversion",
+    "cohort_retention",
 )
 
 

@@ -334,3 +334,18 @@ def test_bigram_novelty_and_vocab_oov_bounds(spark):
     # the vocabulary covers the corpus head: mean OOV rate is well below 1
     rates = [r.oov_rate for r in oov.values()]
     assert sum(rates) / len(rates) < 0.9
+
+
+def test_funnel_monotone_and_cohort_shape(spark):
+    from dagster_etl_spark.registry import all_queries
+
+    specs = all_queries()
+    f = specs["funnel_conversion"].fn(spark, SF).collect()[0]
+    assert f.n_users >= f.n_view >= f.n_click_after_view >= f.n_purchase_after_click
+    assert f.n_purchase_after_click > 0  # fixture users are active
+
+    rows = specs["cohort_retention"].fn(spark, SF).collect()
+    assert all(r.cohort_week_s <= r.week_s for r in rows)  # no pre-cohort activity
+    # diagonal is complete: every cohort is active in its own first week
+    cohorts = {r.cohort_week_s for r in rows}
+    assert all(any(r.cohort_week_s == c and r.week_s == c for r in rows) for c in cohorts)

@@ -54,6 +54,8 @@ AUDITED = [
     "bigram_novelty",
     "vocab_oov",
     "winnow_fingerprints",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 
