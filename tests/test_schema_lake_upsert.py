@@ -198,3 +198,40 @@ def test_merge_schema_reads_evolved_partitions(spark, tmp_path):
     assert set(df.columns) == {"id", "a", "b", "date"}
     rows = {r.id: (r.a, r.b) for r in df.collect()}
     assert rows == {1: ("x", None), 2: ("y", 9)}
+
+
+def test_write_sorted_layout_produces_disjoint_file_ranges(spark, tmp_path):
+    """The data-skipping contract: after write_sorted_layout, each
+    output file holds a disjoint range of the cluster column (verified
+    from the parquet footers), so min/max pruning can skip whole files
+    for selective predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.sources.lake import write_sorted_layout
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "sorted")
+    write_sorted_layout(li, path, ["l_orderkey"], num_files=4)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            assert col.path_in_schema == "l_orderkey"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 3  # range partitioner actually spread the data
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint up to boundary equality
+
+    # rows survive intact
+    assert spark.read.parquet(path).count() == li.count()
