@@ -1173,3 +1173,42 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+_TABLE_DIFF_ORACLE = """
+SELECT o_orderkey, 'missing_right' AS status FROM orders
+WHERE o_orderkey % 101 != 5 AND o_orderkey % 97 = 0
+UNION ALL
+SELECT o_orderkey, 'missing_left' AS status FROM orders
+WHERE o_orderkey % 101 = 5 AND o_orderkey % 97 != 0
+UNION ALL
+SELECT o_orderkey, 'different' AS status FROM orders
+WHERE o_orderkey % 101 != 5 AND o_orderkey % 97 != 0 AND o_orderkey % 89 = 1
+"""
+
+
+@register(
+    "table_diff_reconcile",
+    oracle=_TABLE_DIFF_ORACLE,
+    tags=("scale", "join"),
+    doc="Row-level table reconciliation (operators/reconcile.py): both "
+    "sides reduce to (key, md5 row digest) before a full-outer "
+    "hash join, so the shuffle carries two columns regardless of table "
+    "width and output size equals the drift. The fixture plants "
+    "deletions (key%97=0), insertions (key%101=5) and a value "
+    "mutation (key%89=1) into two views of orders; the oracle derives "
+    "the expected diff from those rules — ground truth independent of "
+    "the digest encoding.",
+)
+def q_table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.reconcile import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderkey") % 101 != 5)
+    right = orders.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 1, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(left, right, ["o_orderkey"])

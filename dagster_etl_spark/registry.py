@@ -103,6 +103,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "winnow_fingerprints",
     "funnel_conversion",
     "cohort_retention",
+    "table_diff_reconcile",
 )
 
 

@@ -349,3 +349,20 @@ def test_funnel_monotone_and_cohort_shape(spark):
     # diagonal is complete: every cohort is active in its own first week
     cohorts = {r.cohort_week_s for r in rows}
     assert all(any(r.cohort_week_s == c and r.week_s == c for r in rows) for c in cohorts)
+
+
+def test_table_diff_identical_tables_empty_and_null_sensitivity(spark):
+    from dagster_etl_spark.operators.reconcile import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", None), (2, None, 5.0), (3, "z", 1.0)],
+        "id int, s string, v double",
+    )
+    assert table_diff(a, a, ["id"]).count() == 0  # identical -> no drift
+    # NULL vs the string 'null' must differ (null-tagged digest)
+    b = spark.createDataFrame(
+        [(1, "x", None), (2, "null", 5.0), (3, "z", 1.0)],
+        "id int, s string, v double",
+    )
+    d = {r.id: r.status for r in table_diff(a, b, ["id"]).collect()}
+    assert d == {2: "different"}

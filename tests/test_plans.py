@@ -56,6 +56,7 @@ AUDITED = [
     "winnow_fingerprints",
     "funnel_conversion",
     "cohort_retention",
+    "table_diff_reconcile",
 ]
 
 
