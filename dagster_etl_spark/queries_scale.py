@@ -1212,3 +1212,33 @@ def q_table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return table_diff(left, right, ["o_orderkey"])
+
+
+_EXACT_PCT_ORACLE = """
+SELECT event_type,
+       COUNT(value) AS n,
+       CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med,
+       CAST(quantile_cont(value, 0.9) AS DOUBLE) AS p90
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register(
+    "value_percentiles_exact",
+    oracle=_EXACT_PCT_ORACLE,
+    tags=("scale", "agg"),
+    doc="EXACT per-group percentiles (linear interpolation on the "
+    "sorted group): Spark `percentile` == DuckDB `quantile_cont` "
+    "bit-for-bit (verified incl. interpolated values). The exact "
+    "complement of approx_quantile_gate — per-group sort state, so at "
+    "100 TB reserve it for bounded groups and use the approx sketch "
+    "for wide rollups.",
+)
+def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.expr("CAST(percentile(value, 0.5) AS DOUBLE)").alias("med"),
+        F.expr("CAST(percentile(value, 0.9) AS DOUBLE)").alias("p90"),
+    )

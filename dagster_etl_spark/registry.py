@@ -104,6 +104,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "funnel_conversion",
     "cohort_retention",
     "table_diff_reconcile",
+    "value_percentiles_exact",
 )
 
 

@@ -57,6 +57,7 @@ AUDITED = [
     "funnel_conversion",
     "cohort_retention",
     "table_diff_reconcile",
+    "value_percentiles_exact",
 ]
 
 
