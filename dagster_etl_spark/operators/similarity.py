@@ -145,6 +145,25 @@ def _topn_centroid_buckets_expr(vec_col: str, centroids: list[list[float]], npro
     )
 
 
+def hash_centroids(
+    corpus: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic coarse centroids: the ``nlist`` corpus vectors
+    whose md5-derived id hash is smallest — a data-sampled quantizer
+    (no iterations, one pass) whose selection any engine reproduces
+    from the table alone. Clustering quality trails KMeans on clustered
+    data; on the uniform fixture vectors the recall is equivalent, and
+    the trade buys an end-to-end SQL-checkable IVF path."""
+    hh = x.h60(f"concat('ivfc:', CAST({id_col} AS STRING))", x.SPARK)
+    rows = (
+        corpus.selectExpr(id_col, vec_col, f"{hh} AS _hh")
+        .orderBy("_hh", id_col)
+        .limit(nlist)
+        .collect()
+    )
+    return [[float(v) for v in r[vec_col]] for r in rows]
+
+
 def ivf_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -154,12 +173,26 @@ def ivf_cosine_topk(
     nprobe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """Approximate top-k via IVF: search only the ``nprobe`` corpus
     buckets nearest each query. Recall/cost dial is nprobe/nlist
     (uniform-random fixture vectors are the worst case — clustered real
-    embeddings concentrate neighbors in few buckets)."""
-    assigned, centroids = ivf_index(corpus, dim, nlist, id_col=id_col, vec_col=vec_col)
+    embeddings concentrate neighbors in few buckets).
+
+    ``quantizer="kmeans"`` (default) fits distributed Spark-ML KMeans;
+    ``"hash"`` uses :func:`hash_centroids` and assigns each corpus
+    vector to its max-dot centroid with the same JVM fold expressions
+    as the probe — fully deterministic, which is what lets the
+    ``ivf_ann_topk`` DuckDB oracle recompute the whole search."""
+    if quantizer == "hash":
+        centroids = hash_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
+        bucket = f"{_topn_centroid_buckets_expr(vec_col, centroids, 1)}[0]"
+        assigned = corpus.selectExpr(id_col, vec_col, f"{bucket} AS bucket")
+    else:
+        assigned, centroids = ivf_index(
+            corpus, dim, nlist, id_col=id_col, vec_col=vec_col
+        )
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "bucket"
     )

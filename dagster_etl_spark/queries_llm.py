@@ -272,18 +272,66 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
 
 
+def _ivf_oracle(nlist: int = 16, nprobe: int = 8, k: int = 10) -> str:
+    """Recompute the ENTIRE hash-quantizer IVF search in SQL: centroid
+    selection (smallest md5 id-hash), max-dot corpus assignment, probe
+    list, bucket-restricted cosine top-k. Tie-breaks mirror the Spark
+    expression exactly: the probe ranking reverses an ascending
+    (score, idx) sort, so equal scores order by centroid idx DESC."""
+    hh = x.h60("('ivfc:' || CAST(vec_id AS VARCHAR))", x.DUCK)
+    dot = x.dot_chain("e.embedding", "c.cv", EMB_DIM, x.DUCK)
+    cos = x.cosine("q.embedding", "n.embedding", EMB_DIM, x.DUCK)
+    return f"""
+WITH cent AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+  FROM (SELECT embedding AS cv, vec_id, {hh} AS hh
+        FROM embeddings ORDER BY hh, vec_id LIMIT {nlist})
+), scored_all AS (
+  SELECT e.vec_id, c.cidx, {dot} AS d
+  FROM embeddings e CROSS JOIN cent c
+), ranked_all AS (
+  SELECT vec_id, cidx,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx DESC) AS r
+  FROM scored_all
+), assign AS (
+  SELECT vec_id, cidx AS bucket FROM ranked_all WHERE r = 1
+), probe AS (
+  SELECT vec_id AS query_id, cidx AS bucket
+  FROM ranked_all WHERE r <= {nprobe} AND vec_id < 5
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
+  FROM cand cd
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  JOIN embeddings n ON n.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 @register(
     "ivf_ann_topk",
-    oracle=None,  # KMeans centroids are not SQL-reproducible; the
-    # driver-visible gate is ivf_ann_recall below, plus pytest recall
+    oracle=_ivf_oracle(),
     tags=("llm", "similarity"),
-    doc="IVF approximate cosine top-10: distributed KMeans coarse "
-    "quantizer (16 lists), nprobe=8 bucket search; recall vs brute "
-    "force asserted in tests and gated driver-side by ivf_ann_recall.",
+    doc="IVF approximate cosine top-10 with the deterministic hash "
+    "quantizer (16 lists = corpus vectors with smallest md5 id-hash, "
+    "max-dot assignment, nprobe=8): the DuckDB oracle recomputes the "
+    "whole search — centroids, assignment, probing, top-k. The "
+    "distributed-KMeans quantizer remains the operator default and is "
+    "gated by ivf_ann_recall + pytest recall.",
 )
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+    return ivf_cosine_topk(
+        emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10, quantizer="hash"
+    )
 
 
 # hits (of k=10) each query's IVF result must share with the exact
