@@ -196,3 +196,33 @@ def test_money_sum_matches_exact_decimal_arithmetic(spark, data):
         want[k] = want.get(k, Decimal(0)) + Decimal(round(cents / 100.0 * 100))
     for k, total in want.items():
         assert got[k] == float(total) / 100.0, (k, got[k], total)
+
+
+unique_rows = st.dictionaries(
+    st.integers(min_value=0, max_value=15),
+    st.tuples(st.one_of(st.none(), st.text(max_size=4)), vals),
+    min_size=0, max_size=10,
+)
+
+
+@given(left=unique_rows, right=unique_rows)
+@settings(**SETTINGS)
+def test_table_diff_matches_dict_diff(spark, left, right):
+    """For arbitrary keyed tables (incl. NULL values and unicode),
+    table_diff reports exactly the keys where the sides disagree, with
+    the right status."""
+    from dagster_etl_spark.operators.reconcile import table_diff
+
+    schema = "id int, s string, v int"
+    l = spark.createDataFrame([(k, *v) for k, v in left.items()], schema=schema)
+    r = spark.createDataFrame([(k, *v) for k, v in right.items()], schema=schema)
+    got = {row.id: row.status for row in table_diff(l, r, ["id"]).collect()}
+    want = {}
+    for k in set(left) | set(right):
+        if k not in right:
+            want[k] = "missing_right"
+        elif k not in left:
+            want[k] = "missing_left"
+        elif left[k] != right[k]:
+            want[k] = "different"
+    assert got == want
