@@ -90,6 +90,27 @@ def main() -> None:
     evk = inflate_events(ev1, MULT)
     evk.cache().count()
 
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.functions import xdialect as xd
+    from dagster_etl_spark.operators.text import winnow_fingerprints
+    from dagster_etl_spark.plans.layout import spread
+
+    def bigram_novelty(d):
+        sh = xd.let(
+            xd.tokens("text", xd.SPARK), "_t", xd.shingles("_t", 2, xd.SPARK), xd.SPARK
+        )
+        e = spread(d).selectExpr("doc_id", f"explode({sh}) AS bigram")
+        c = e.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+        return (
+            e.join(c, "bigram")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum(F.when(F.col("df") <= 2, 1).otherwise(0)).alias("n_rare"),
+            )
+        )
+
     doc_ops = {
         "doc_stats": doc_stats,
         "fingerprints": fingerprints,
@@ -97,6 +118,8 @@ def main() -> None:
         "minhash_neardup": lambda d: minhash_neardup_pairs(d, threshold=0.5),
         "dedup_clusters": lambda d: dedup_clusters(d, threshold=0.5),
         "packed_sequences": lambda d: pack_chunks(chunk_docs(d)),
+        "winnow_fingerprints": winnow_fingerprints,
+        "bigram_novelty": bigram_novelty,
     }
     ev_ops = {
         "gap_fill_timeline": lambda e: fill_time_gaps(
