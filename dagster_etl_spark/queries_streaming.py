@@ -139,3 +139,29 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_view_purchase_attribution(spark, sf_dir)
+
+
+_BURSTS_ORACLE = """
+SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS window_start,
+       user_id,
+       COUNT(*) AS n_errors
+FROM events
+WHERE event_type = 'error' AND user_id IS NOT NULL
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "streaming_error_bursts",
+    oracle=_BURSTS_ORACLE,
+    tags=("streaming", "window"),
+    doc="Streaming threshold alerting: per-user hourly error-burst "
+    "windows (count >= 2) as a real watermarked streaming aggregate — "
+    "the alert stream is the drift, not the traffic; must equal the "
+    "batch windowed HAVING query.",
+)
+def q_streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.windowed import streaming_error_bursts
+
+    return streaming_error_bursts(spark, sf_dir)

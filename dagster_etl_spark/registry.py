@@ -105,6 +105,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "cohort_retention",
     "table_diff_reconcile",
     "value_percentiles_exact",
+    "streaming_error_bursts",
 )
 
 

@@ -97,3 +97,36 @@ def streaming_windowed_counts(
     """
     stream = read_events_stream(spark, sf_dir)
     return run_stream_to_batch(windowed_event_stats(stream, window=window))
+
+
+def error_burst_alerts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    min_errors: int = 2,
+) -> DataFrame:
+    """Threshold alerting over windowed state: per-user hourly error
+    counts, emitting only windows at/over the burst floor — the
+    monitoring primitive (alert when a client/device starts failing).
+    The filter sits ON the aggregate, so state is the windowed count
+    (bounded by the watermark) and the alert stream is the drift, not
+    the traffic."""
+    return (
+        events.filter(F.col("event_type") == "error")
+        .filter(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= min_errors)
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "user_id",
+            "n_errors",
+        )
+    )
+
+
+def streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_batch(
+        error_burst_alerts(read_events_stream(spark, sf_dir)), mode="complete"
+    )
