@@ -248,3 +248,52 @@ def q_item_master(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_item_master(
         staged, prod_type_col="item_type", high_threshold=40, medium_threshold=20
     )
+
+
+_UNPIVOT_ORACLE = """
+WITH base AS (
+  SELECT user_id % 50 AS equipment_id, event_type,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events WHERE user_id IS NOT NULL
+), grid AS (
+  SELECT e.equipment_id, t.event_type
+  FROM (SELECT DISTINCT equipment_id FROM base) e
+  CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view'))
+       AS t(event_type)
+), agg AS (
+  SELECT equipment_id, event_type, CAST(SUM(v) AS DOUBLE) / 1000000.0 AS m
+  FROM base GROUP BY 1, 2
+)
+SELECT g.equipment_id, g.event_type,
+       COALESCE(a.m, 0.0) AS total_minutes
+FROM grid g LEFT JOIN agg a USING (equipment_id, event_type)
+"""
+
+
+@register(
+    "equipment_unpivot",
+    oracle=_UNPIVOT_ORACLE,
+    tags=("parity", "pivot"),
+    doc="UNPIVOT (melt) — the inverse of A5: the wide per-type duration "
+    "frame back to long (equipment, event_type, total_minutes) rows "
+    "via DataFrame.unpivot (Spark's native UNPIVOT plan, no explode "
+    "of hand-built structs); zero-filled cells survive the round "
+    "trip, matching the dense grid oracle.",
+)
+def q_equipment_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "equipment_id", F.col("user_id") % 50
+    )
+    wide = equipment_utilization(
+        ev,
+        equipment_col="equipment_id",
+        type_col="event_type",
+        duration_col="value",
+        event_types=_EVENT_TYPES,
+        rate_numerator="purchase",
+        rate_denominator_minutes=1440.0,
+        rate_round=None,
+    ).drop("utilization_rate")
+    return wide.unpivot(
+        ["equipment_id"], list(_EVENT_TYPES), "event_type", "total_minutes"
+    )

@@ -106,6 +106,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "table_diff_reconcile",
     "value_percentiles_exact",
     "streaming_error_bursts",
+    "equipment_unpivot",
 )
 
 

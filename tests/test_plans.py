@@ -58,6 +58,7 @@ AUDITED = [
     "cohort_retention",
     "table_diff_reconcile",
     "value_percentiles_exact",
+    "equipment_unpivot",
 ]
 
 
