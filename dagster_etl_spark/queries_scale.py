@@ -1242,3 +1242,38 @@ def q_value_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(percentile(value, 0.5) AS DOUBLE)").alias("med"),
         F.expr("CAST(percentile(value, 0.9) AS DOUBLE)").alias("p90"),
     )
+
+
+_TYPE_MAP_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type)
+         AS type_counts
+FROM per GROUP BY user_id
+"""
+
+
+@register(
+    "user_event_type_map",
+    oracle=_TYPE_MAP_ORACLE,
+    tags=("scale", "agg"),
+    doc="MapType aggregation (§1.2 nested-type parity): per-user "
+    "event_type -> count built with map_from_entries over a "
+    "sort_array'd collect_list (collect_list order is "
+    "nondeterministic under parallelism — the sort is what makes the "
+    "map reproducible), rendered through map_entries to a "
+    "canonicalizer-safe sorted string.",
+)
+def q_user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("user_id").agg(
+        F.expr(
+            "concat_ws(',', transform("
+            "  map_entries(map_from_entries(sort_array(collect_list(struct(event_type, n))))),"
+            "  e -> concat(e.key, ':', CAST(e.value AS STRING))))"
+        ).alias("type_counts")
+    )

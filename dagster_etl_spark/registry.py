@@ -107,6 +107,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "value_percentiles_exact",
     "streaming_error_bursts",
     "equipment_unpivot",
+    "user_event_type_map",
 )
 
 

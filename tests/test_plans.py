@@ -59,6 +59,7 @@ AUDITED = [
     "table_diff_reconcile",
     "value_percentiles_exact",
     "equipment_unpivot",
+    "user_event_type_map",
 ]
 
 
