@@ -704,3 +704,48 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import winnow_fingerprints
 
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def _curation_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import _bucket_expr
+    from dagster_etl_spark.operators.text import gopher_quality_exprs
+
+    g = gopher_quality_exprs("text", x.DUCK, tok="_tok")
+    bucket = _bucket_expr("doc_id", x.DUCK, salt="cur:")
+    return f"""
+WITH dedup AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(trim(lower(text))) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), staged AS (
+  SELECT doc_id, text, {x.tokens("text", x.DUCK)} AS _tok FROM dedup
+), flags AS (
+  SELECT doc_id, {g["n_tokens"]} AS n_tokens, {g["keep"]} AS keep FROM staged
+)
+SELECT doc_id, n_tokens FROM flags WHERE keep = 1 AND {bucket} < 5000
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=_curation_oracle(),
+    tags=("llm", "text", "pipeline"),
+    doc="End-to-end corpus curation in ONE composed plan: exact dedup "
+    "(min-id per content hash, semi-join — no window over the corpus) "
+    "-> Gopher quality gate (per-row integer flags) -> deterministic "
+    "50% id-hash sample. The composition stays a single Catalyst plan "
+    "— the dedup semi-join is the only shuffle; the gate and sample "
+    "are projections that pipeline over it.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import drop_exact_duplicates
+    from dagster_etl_spark.operators.sampling import hash_sample
+    from dagster_etl_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = drop_exact_duplicates(docs)
+    flagged = gopher_quality(deduped).filter("keep = 1")
+    return hash_sample(flagged, 0.5, id_col="doc_id", salt="cur:").select(
+        "doc_id", "n_tokens"
+    )

@@ -108,6 +108,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_error_bursts",
     "equipment_unpivot",
     "user_event_type_map",
+    "curation_pipeline",
 )
 
 

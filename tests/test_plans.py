@@ -60,6 +60,7 @@ AUDITED = [
     "value_percentiles_exact",
     "equipment_unpivot",
     "user_event_type_map",
+    "curation_pipeline",
 ]
 
 
