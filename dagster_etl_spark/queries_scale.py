@@ -1277,3 +1277,44 @@ def q_user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  e -> concat(e.key, ':', CAST(e.value AS STRING))))"
         ).alias("type_counts")
     )
+
+
+_FUZZY_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+"""
+
+
+@register(
+    "fuzzy_part_pairs",
+    oracle=_FUZZY_ORACLE,
+    tags=("scale", "join"),
+    doc="Blocked fuzzy matching (entity resolution): equi-join on "
+    "blocking keys (brand, size) generates candidates — the shuffle is "
+    "on the block key, never all-pairs — then Levenshtein verifies "
+    "within blocks only (both engines compute the identical integer "
+    "edit distance). The blocking-then-verify shape is the same "
+    "candidates-then-exact pattern as the MinHash pipeline, on string "
+    "keys instead of shingle hashes.",
+)
+def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"),
+        "p_brand", "p_size",
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"),
+        "p_brand", "p_size",
+    )
+    return (
+        a.join(b, on=["p_brand", "p_size"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 8)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -109,6 +109,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "equipment_unpivot",
     "user_event_type_map",
     "curation_pipeline",
+    "fuzzy_part_pairs",
 )
 
 

@@ -61,6 +61,7 @@ AUDITED = [
     "equipment_unpivot",
     "user_event_type_map",
     "curation_pipeline",
+    "fuzzy_part_pairs",
 ]
 
 
