@@ -350,10 +350,13 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # initial label = min of the closed neighborhood — exactly what
+    # round 1 of the propagation would compute from identity labels,
+    # but as one aggregate instead of a join+agg+fixpoint-check round
     labels = (
-        edges.selectExpr("src AS node")
-        .distinct()
-        .selectExpr("node", "node AS label")
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .selectExpr("src AS node", "label")
         .persist()
     )
     try:

@@ -1318,3 +1318,42 @@ def q_fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 8)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+_MAJOR_SUPPLIERS_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS r100
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       CAST(r100 AS DOUBLE) / 100.0 AS supplier_revenue
+FROM rev
+WHERE CAST(r100 AS DOUBLE) > (SELECT CAST(SUM(r100) AS DOUBLE) FROM rev) * 0.0015
+"""
+
+
+@register(
+    "major_suppliers",
+    oracle=_MAJOR_SUPPLIERS_ORACLE,
+    tags=("scale", "agg"),
+    doc="TPC-H Q11 shape — value concentration against a global scalar: "
+    "suppliers whose revenue exceeds 0.15% of total. The scalar total "
+    "is the exact BIGINT sum of the per-supplier fixed-point sums "
+    "(associative, so it equals the whole-table sum), broadcast onto "
+    "the grouped frame as a 1-row cross join — Catalyst's scalar-"
+    "subquery plan, no second scan of lineitem.",
+)
+def q_major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(scaled_long("l_extendedprice", 2)).alias("r100")
+    )
+    total = rev.agg(F.sum("r100").alias("t100"))
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("r100").cast("double") > F.col("t100").cast("double") * 0.0015)
+        .select(
+            "l_suppkey",
+            (F.col("r100").cast("double") / 100.0).alias("supplier_revenue"),
+        )
+    )

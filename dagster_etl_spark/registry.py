@@ -110,6 +110,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "user_event_type_map",
     "curation_pipeline",
     "fuzzy_part_pairs",
+    "major_suppliers",
 )
 
 

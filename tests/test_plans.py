@@ -62,6 +62,7 @@ AUDITED = [
     "user_event_type_map",
     "curation_pipeline",
     "fuzzy_part_pairs",
+    "major_suppliers",
 ]
 
 
