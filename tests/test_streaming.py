@@ -327,3 +327,47 @@ def test_stream_stream_join_across_batches(spark, tmp_path):
         & (p.pts <= v.vts + F.expr("interval 30 minutes")),
     ).count()
     assert got == want > 0
+
+
+def test_error_bursts_cross_batch_updates(spark, tmp_path):
+    """Splitting a burst window across two micro-batches must still
+    produce the full count (update mode re-emits the window as late
+    rows arrive); the last update per (window, user) equals the batch
+    aggregate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.windowed import (
+        error_burst_alerts,
+        run_stream_to_batch,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").filter("user_id IS NOT NULL")
+    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0].c
+    split_dir = str(tmp_path / "ev_bursts")
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(split_dir)
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.mode("append").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    raw = run_stream_to_batch(error_burst_alerts(stream), mode="update")
+    # last emitted count per (window, user) across batches
+    w = Window.partitionBy("window_start", "user_id").orderBy(F.col("n_errors").desc())
+    final = raw.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+
+    expected = (
+        ev.filter("event_type = 'error'")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("window_start"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter("n_errors >= 2")
+    )
+    got = {(r.window_start, r.user_id): r.n_errors for r in final.collect()}
+    want = {(r.window_start, r.user_id): r.n_errors for r in expected.collect()}
+    assert got == want and len(want) > 0
