@@ -1084,9 +1084,11 @@ SELECT (SELECT COUNT(*) FROM u) AS n_users,
     doc="Ordered conversion funnel (view -> click -> purchase, each "
     "step strictly after the previous step's first occurrence): one "
     "conditional-min aggregate per stage, user-level stage frames "
-    "broadcast back onto events — per-user state never leaves the "
-    "executors and each stage is one shuffle on user_id. Integer "
-    "counts only, engine-exact.",
+    "joined back onto events ON user_id — every stage shuffles on the "
+    "same key, so the exchanges are reused and no per-user frame is "
+    "ever broadcast (user cardinality is unbounded at 100 TB; AQE "
+    "still picks broadcast when a stage frame is actually small). "
+    "Integer counts only, engine-exact.",
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
@@ -1094,7 +1096,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
     )
     t_click = (
-        ev.join(F.broadcast(t_view), "user_id")
+        ev.join(t_view, "user_id")
         .groupBy("user_id")
         .agg(
             F.min(
@@ -1106,7 +1108,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     t_purchase = (
-        ev.join(F.broadcast(t_click), "user_id")
+        ev.join(t_click, "user_id")
         .groupBy("user_id")
         .agg(
             F.min(
@@ -1152,7 +1154,8 @@ GROUP BY 1, 2
     doc="Cohort retention matrix: users cohorted by first-activity "
     "week (date_trunc week = Monday in both engines), counted per "
     "(cohort_week, activity_week). Distinct + min aggregates on "
-    "user_id, tiny cohort frame broadcast — one shuffle each; weeks "
+    "user_id, cohort frame joined on the same key (per-user, so never "
+    "broadcast — AQE upgrades the join when it is genuinely small); weeks "
     "emitted as epoch-second BIGINTs (canonicalizer-safe).",
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,7 +1167,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     active = ev.distinct()
     return (
-        active.join(F.broadcast(first), "user_id")
+        active.join(first, "user_id")
         .groupBy("cohort_week", "week")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .selectExpr(
