@@ -1360,3 +1360,37 @@ def q_major_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r100").cast("double") / 100.0).alias("supplier_revenue"),
         )
     )
+
+
+_PCTRANK_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+       CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "order_price_window_stats",
+    oracle=_PCTRANK_ORACLE,
+    tags=("scale", "window"),
+    doc="Relative-rank window functions (completes the window "
+    "inventory): percent_rank, cume_dist, nth_value over a total order "
+    "(totalprice, orderkey tiebreak — unique ordering makes the rank "
+    "ratios engine-exact doubles). One exchange+sort per partition "
+    "key, shared by all three functions.",
+)
+def q_order_price_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).cast("double").alias("pr"),
+        F.cume_dist().over(w).cast("double").alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

@@ -111,6 +111,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "curation_pipeline",
     "fuzzy_part_pairs",
     "major_suppliers",
+    "order_price_window_stats",
 )
 
 

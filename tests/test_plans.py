@@ -63,6 +63,7 @@ AUDITED = [
     "curation_pipeline",
     "fuzzy_part_pairs",
     "major_suppliers",
+    "order_price_window_stats",
 ]
 
 
