@@ -1394,3 +1394,68 @@ def q_order_price_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).cast("double").alias("cd"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+# final derivation shared verbatim by both engines: every input is an
+# exact integer aggregate cast to double, and each +,-,*,/,sqrt is an
+# IEEE-defined op — identical text => identical doubles.
+_MOMENT_DERIVE = """
+  n,
+  CAST(CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS DOUBLE) AS mean_qty,
+  CAST((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS DOUBLE) AS var_qty,
+  CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       AS DOUBLE) AS corr_qty_price
+"""
+
+_MOMENTS_ORACLE = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(x * x) AS sx2,
+         SUM(y) AS sy,
+         SUM(CAST(y AS HUGEINT) * y) AS sy2,
+         SUM(x * y) AS sxy
+  FROM (SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, {_MOMENT_DERIVE} FROM m
+"""
+
+
+@register(
+    "lineitem_moment_stats",
+    oracle=_MOMENTS_ORACLE,
+    tags=("scale", "agg"),
+    doc="Reproducible statistical aggregates (mean / sample variance / "
+    "correlation): built-in stddev/corr accumulate doubles in "
+    "partition order and are NOT run-stable on a cluster, so the "
+    "moments are accumulated as EXACT fixed-point integers (the one "
+    "sum that can exceed int64, sum(y^2), rides DECIMAL/HUGEINT) and "
+    "the statistics derive from them in double arithmetic shared "
+    "verbatim with the oracle — order-independent and engine-exact.",
+)
+def q_lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    from dagster_etl_spark.functions import scaled_long
+
+    base = li.select(
+        "l_returnflag",
+        scaled_long("l_quantity", 2).alias("x"),
+        scaled_long("l_extendedprice", 2).alias("y"),
+    )
+    m = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("sy2"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return m.selectExpr("l_returnflag", *_MOMENT_DERIVE.strip().split(",\n"))

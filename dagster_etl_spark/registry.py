@@ -112,6 +112,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "fuzzy_part_pairs",
     "major_suppliers",
     "order_price_window_stats",
+    "lineitem_moment_stats",
 )
 
 

@@ -64,6 +64,7 @@ AUDITED = [
     "fuzzy_part_pairs",
     "major_suppliers",
     "order_price_window_stats",
+    "lineitem_moment_stats",
 ]
 
 
