@@ -1,0 +1,107 @@
+"""Empty-input robustness: every core operator must return an EMPTY
+frame with the right schema — not throw — when its input has no rows
+(the daily-partition-with-no-data case every production pipeline hits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_like(df):
+    return df.filter(F.lit(False))
+
+
+def test_aggregation_operators_on_empty(spark):
+    from dagster_etl_spark.operators.equipment import equipment_utilization
+    from dagster_etl_spark.operators.wip import priority_wip_aggregate, wip_aggregate
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    li = _empty_like(load_table(spark, SF_SMALL, "lineitem"))
+    out = wip_aggregate(
+        li, group_cols=("l_linestatus", "l_suppkey"), qty_col="l_quantity",
+        lot_col="l_orderkey", status_col="l_returnflag", active_statuses=("N", "A"),
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "l_linestatus", "l_suppkey", "wip_qty", "lot_count", "avg_qty_per_lot",
+    }
+    out2 = priority_wip_aggregate(
+        li.withColumn("o_orderpriority", F.lit("1-URGENT")),
+        priority_col="o_orderpriority", high_value="1-URGENT",
+        group_cols=("l_linestatus", "l_suppkey"), qty_col="l_quantity",
+        lot_col="l_orderkey", status_col="l_returnflag", active_statuses=("N", "A"),
+    )
+    assert out2.count() == 0 and "high_priority_count" in out2.columns
+
+    ev = _empty_like(load_table(spark, SF_SMALL, "events")).withColumn(
+        "equipment_id", F.col("user_id") % 50
+    )
+    pivoted = equipment_utilization(
+        ev, equipment_col="equipment_id", type_col="event_type",
+        duration_col="value", event_types=("click", "view"),
+        rate_numerator="click", rate_round=None,
+    )
+    assert pivoted.count() == 0  # fixed value list -> schema survives empty
+
+def test_text_and_dedup_operators_on_empty(spark):
+    from dagster_etl_spark.operators.dedup import (
+        dedup_clusters,
+        exact_dedup_stats,
+        minhash_neardup_pairs,
+    )
+    from dagster_etl_spark.operators.text import chunk_docs, doc_stats, winnow_fingerprints
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = _empty_like(load_table(spark, SF_SMALL, "documents"))
+    assert doc_stats(docs).count() == 0
+    assert exact_dedup_stats(docs).count() == 0
+    assert minhash_neardup_pairs(docs).count() == 0
+    assert chunk_docs(docs).count() == 0
+    assert winnow_fingerprints(docs).count() == 0
+    # iterative operator: empty pair set -> every doc (none) is a singleton
+    assert dedup_clusters(docs).count() == 0
+
+
+def test_temporal_and_history_on_empty(spark):
+    from dagster_etl_spark.operators.history import latest_per_key, scd2_intervals
+    from dagster_etl_spark.operators.temporal import fill_time_gaps
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = _empty_like(load_table(spark, SF_SMALL, "events"))
+    assert fill_time_gaps(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        tiebreak_col="event_id", grain_sec=900,
+    ).count() == 0
+    assert latest_per_key(ev, keys=["user_id"], order_by=["ts", "event_id"]).count() == 0
+    assert scd2_intervals(
+        ev, keys=["user_id"], ts_col="ts", attr_cols=["event_type"],
+        tiebreak=["event_id"],
+    ).count() == 0
+
+
+def test_validation_and_upsert_on_empty(spark, tmp_path):
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.validation import DataValidator
+    from dagster_etl_spark.writers.upsert import upsert_parquet
+    from tests.conftest import SF_SMALL
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    empty = _empty_like(orders)
+    report = (
+        DataValidator(empty)
+        .check_not_null("o_orderkey")
+        .check_row_count(min_rows=0)
+        .validate()
+    )
+    assert all(r.passed for r in report.results)
+
+    # upserting an empty batch into an existing target is a no-op
+    path = str(tmp_path / "t")
+    orders.limit(10).write.parquet(path)
+    stats = upsert_parquet(spark, empty, path, keys=["o_orderkey"])
+    assert stats == {"deleted": 0, "inserted": 0}
+    assert spark.read.parquet(path).count() == 10
