@@ -411,9 +411,13 @@ WITH chunks AS (
   FROM chunks
 )
 SELECT bucket,
-       (SUM(n_chunk_tokens) OVER (
+       -- DuckDB windowed SUM(BIGINT) yields HUGEINT; fetchdf would then
+       -- materialize seq_id as float64/object and the value-hash diverges
+       -- from Spark's BIGINT (5 vs 5.0).  Cast restores int64.
+       CAST((SUM(n_chunk_tokens) OVER (
           PARTITION BY bucket ORDER BY doc_id, chunk_idx
-          ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) // {seq_len} AS seq_id,
+          ROWS UNBOUNDED PRECEDING) - n_chunk_tokens) // {seq_len}
+            AS BIGINT) AS seq_id,
        doc_id, chunk_idx, n_chunk_tokens
 FROM b
 """

@@ -69,50 +69,54 @@ _LOADED = False
 # iteration order. Names listed here are moved to the front (in list
 # order) after module load; everything else keeps registration order
 # behind them. Rotated per round so every registered query accumulates
-# a driver-green row across rounds: round 3 fronts the 22 queries that
-# fell outside round 2's window (queries_text + late scale/temporal
-# additions) plus media_features (oracle added in round 3) and the
-# round-3 additions.
+# a driver-green row across rounds: round 4 fronts packed_sequences
+# (oracle HUGEINT cast fixed this round — needs its first green driver
+# row) plus the 37 queries whose last driver row is round 2, especially
+# the round-3-rewritten ones (pricing_summary, cycle_time_stats,
+# sessionize, priority_wip_join). Round-4 additions append below and
+# must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    "value_band_range_join",
-    "event_rollup_multigrain",
-    "incremental_event_rollup",
-    "gap_filled_user_timeline",
-    "doc_stats",
-    "lang_id",
-    "doc_fingerprints",
-    "exact_dedup",
-    "clean_corpus",
-    "dedup_clusters",
-    "tfidf_top_terms",
-    "null_profile_orders",
-    "redact_pii",
-    "decontaminate_vs_benchmark",
-    "train_val_test_split",
-    "corpus_mixture",
-    "quality_deciles",
-    "corpus_bigram_counts",
-    "gopher_quality_flags",
-    "doc_chunks",
     "packed_sequences",
-    "stratified_event_sample",
-    "media_features",
-    # round-3 additions
-    "bigram_novelty",
-    "vocab_oov",
-    "winnow_fingerprints",
-    "funnel_conversion",
-    "cohort_retention",
-    "table_diff_reconcile",
-    "value_percentiles_exact",
-    "streaming_error_bursts",
-    "equipment_unpivot",
-    "user_event_type_map",
-    "curation_pipeline",
-    "fuzzy_part_pairs",
-    "major_suppliers",
-    "order_price_window_stats",
-    "lineitem_moment_stats",
+    # last driver-verified in round 2 (re-verified locally by the r3
+    # judge; fronted here for a fresh driver row)
+    "priority_wip_join",
+    "cycle_time_stats",
+    "equipment_pivot",
+    "item_master_enrich",
+    "top_customers",
+    "order_rank_window",
+    "events_lag",
+    "sessionize",
+    "customers_without_urgent_orders",
+    "validation_report",
+    "pricing_summary",
+    "regional_revenue",
+    "customer_segment_setops",
+    "rolling_customer_spend",
+    "events_json_percentiles",
+    "shipping_priority",
+    "returned_item_customers",
+    "late_shipment_priority",
+    "priority_shipping_mix",
+    "promo_revenue_share",
+    "revenue_cube",
+    "approx_distinct_gate",
+    "approx_quantile_gate",
+    "latest_order_per_customer",
+    "scd2_user_event_type",
+    "salted_join_revenue",
+    "large_order_customers",
+    "supplier_diversity",
+    "rich_customers_without_low_orders",
+    "events_json_flatten",
+    "customer_priority_baskets",
+    "streaming_windowed_counts",
+    "streaming_user_sessions",
+    "streaming_dedup_counts",
+    "streaming_segment_stats",
+    "streaming_attribution_join",
+    "asof_purchase_prior_view",
+    # round-4 additions (new queries this round go here)
 )
 
 

@@ -77,6 +77,17 @@ def main() -> int:
             problems.append(f"rows {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            # The driver's value-hash stringifies per dtype (int 5 != float
+            # 5.0), so a DuckDB HUGEINT->float64 fetchdf coercion passes a
+            # value-equality check but fails the driver.  Gate on dtype KIND
+            # (int/uint folded together; width differences are hash-neutral).
+            fold = {"u": "i"}
+            for c in sorted(sdf.columns):
+                sk = fold.get(sdf[c].dtype.kind, sdf[c].dtype.kind)
+                ok = fold.get(odf[c].dtype.kind, odf[c].dtype.kind)
+                if sk != ok:
+                    problems.append(f"dtype kind {c}: spark {sdf[c].dtype} vs oracle {odf[c].dtype}")
         if not problems:
             a, b = normalize(sdf), normalize(odf)
             try:
