@@ -5,11 +5,12 @@ Runs every ``queries()`` entry at sf0.01 on Spark and its
 and order-insensitive values (exact equality, floats included — the
 engine's determinism contract is bit-for-bit).
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [name ...]
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -20,8 +21,13 @@ import pandas as pd
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_argv = sys.argv[1:]
+JSON_OUT = None
+if _argv and _argv[0] == "--json":
+    JSON_OUT = _argv[1]
+    _argv = _argv[2:]
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
+ONLY = set(_argv[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -51,6 +57,7 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -59,17 +66,20 @@ def main() -> int:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as exc:
             print(f"FAIL {name}: spark error: {exc}")
+            report[name] = {"status": "FAIL", "err": f"spark error: {exc}"[:400]}
             failures += 1
             continue
         finally:
             release_pinned()
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            report[name] = {"status": "ROWS_ONLY", "spark_rows": len(sdf)}
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {exc}")
+            report[name] = {"status": "FAIL", "err": f"oracle error: {exc}"[:400]}
             failures += 1
             continue
         problems = []
@@ -94,12 +104,37 @@ def main() -> int:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             except AssertionError as exc:
                 problems.append(f"values: {str(exc)[:400]}")
+        elapsed = round(time.time() - t0, 2)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            report[name] = {
+                "status": "FAIL",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "err": "; ".join(problems)[:400],
+            }
             failures += 1
         else:
-            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(sdf)} rows ({elapsed:.1f}s)")
+            report[name] = {
+                "status": "PASS",
+                "spark_rows": len(sdf),
+                "oracle_rows": len(odf),
+                "sec": elapsed,
+            }
     spark.stop()
+    if JSON_OUT:
+        n_pass = sum(1 for r in report.values() if r["status"] == "PASS")
+        payload = {
+            "sf_dir": SF_DIR,
+            "total": len(report),
+            "pass": n_pass,
+            "rows_only": sum(1 for r in report.values() if r["status"] == "ROWS_ONLY"),
+            "fail": failures,
+            "queries": report,
+        }
+        Path(JSON_OUT).write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {JSON_OUT}: {n_pass} PASS / {failures} FAIL / {len(report)} total")
     return 1 if failures else 0
 
 
