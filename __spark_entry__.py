@@ -32,6 +32,11 @@ def _configure(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # immutable on some sessions; fixtures then rely on the footer sniff
+    try:
+        # micros fixtures must read as TIMESTAMP (not NTZ) for watermarks
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass  # fixtures.load_table casts any ntz column back to timestamp
     return spark
 
 

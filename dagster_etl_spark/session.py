@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Driver fixtures are pandas-written TIMESTAMP(MICROS) without
+        # UTC-adjustment; Spark 4 would infer TIMESTAMP_NTZ, which
+        # watermarks/windows reject. Read them as TIMESTAMP — with the
+        # UTC session timezone the values match the naive oracles.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -72,6 +72,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _nanos_timestamp_cols(path):
         # nanos-since-epoch long -> micros -> TimestampType (UTC session tz)
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Micros-precision fixtures read as TIMESTAMP_NTZ when the session
+    # infers NTZ (Spark 4 default). Normalize to TimestampType — under
+    # the UTC session timezone the wall-clock values are unchanged, and
+    # downstream watermarks/windows require TIMESTAMP.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     _DF_CACHE[key] = df
     return df
 
