@@ -1,0 +1,239 @@
+"""Pure stdlib+numpy media codecs: real byte->array decoding without
+PIL/ffmpeg/librosa (none of which ship in this container).
+
+Three container formats need no external codec library:
+
+* **PPM (P6) / PGM (P5)** — the netpbm formats are an ASCII header plus
+  raw sample bytes;
+* **BMP** — uncompressed BITMAPINFOHEADER 8/24-bit, little-endian
+  struct fields + padded bottom-up rows;
+* **WAV** — RIFF chunks around raw PCM16/PCM8 frames (parsed with the
+  stdlib ``wave`` module).
+
+These give the multimodal operators (multimodal.py) a REAL decode path
+end-to-end: actual image/audio bytes in a ``binary`` column, decoded
+inside ``mapInPandas``, features/resizes computed from true pixel or
+sample values. Formats that genuinely need codec libraries (png/jpeg,
+opus, av1) still raise — see :func:`sniff_format`.
+
+Encoders for the same formats are provided so tests and fixtures can
+synthesize valid payloads deterministically.
+
+Reference capability anchor: the reference pipeline treats media as
+opaque files moved between stages (SURVEY §2.8); decode-on-read inside
+the engine is the extension a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# -- netpbm (PPM P6 / PGM P5) -------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """RGB (h, w, 3) uint8 -> binary PPM (P6)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("PPM encoder expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """Grayscale (h, w) uint8 -> binary PGM (P5)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("PGM encoder expects (h, w) uint8")
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _read_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse magic, width, height, maxval; return them + data offset.
+    Netpbm headers are whitespace-separated tokens with '#' comments."""
+    pos = 0
+    tokens: list[bytes] = []
+    magic = payload[:2]
+    pos = 2
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated netpbm header")
+        c = payload[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    pos += 1  # single whitespace byte after maxval, then raster data
+    w, h, maxval = (int(t) for t in tokens)
+    return magic, w, h, maxval, pos
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM/PGM bytes -> uint8 array: (h, w, 3) for P6, (h, w)
+    for P5."""
+    magic, w, h, maxval, off = _read_pnm_header(payload)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    if magic == b"P6":
+        n = w * h * 3
+        return np.frombuffer(payload, np.uint8, n, off).reshape(h, w, 3).copy()
+    if magic == b"P5":
+        n = w * h
+        return np.frombuffer(payload, np.uint8, n, off).reshape(h, w).copy()
+    raise ValueError(f"unsupported netpbm magic {magic!r}")
+
+
+# -- BMP ----------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """RGB (h, w, 3) uint8 -> 24-bit uncompressed BMP (bottom-up rows,
+    BGR byte order, rows padded to 4 bytes — the classic layout)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("BMP encoder expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += img[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 8-bit (grayscale palette) or 24-bit BMP -> uint8
+    array: (h, w) or (h, w, 3) RGB. Handles bottom-up and top-down
+    rows and 4-byte row padding."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    h = abs(h_signed)
+    bottom_up = h_signed > 0
+    if bpp == 24:
+        row = w * 3
+        stride = row + ((-row) % 4)
+        raw = np.frombuffer(payload, np.uint8, stride * h, data_off)
+        img = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 8:
+        stride = w + ((-w) % 4)
+        raw = np.frombuffer(payload, np.uint8, stride * h, data_off)
+        img = raw.reshape(h, stride)[:, :w]
+    else:
+        raise ValueError(f"{bpp}-bit BMP unsupported (8/24 only)")
+    if bottom_up:
+        img = img[::-1]
+    return img.copy()
+
+
+# -- WAV ----------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono or (n, channels) int16 samples -> PCM16 WAV bytes."""
+    samples = np.asarray(samples, dtype=np.int16)
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (samples, rate). PCM16 -> int16 array, PCM8
+    (unsigned) -> int16 centered at 0. Multi-channel -> (n, channels)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        channels = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if width == 2:
+        samples = np.frombuffer(frames, np.int16)
+    elif width == 1:
+        samples = np.frombuffer(frames, np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError(f"{8 * width}-bit WAV unsupported (8/16 only)")
+    if channels > 1:
+        samples = samples.reshape(-1, channels)
+    return samples.copy(), rate
+
+
+# -- dispatch -----------------------------------------------------------------
+
+
+def sniff_format(payload: bytes) -> str:
+    """Identify a payload by magic bytes. Returns one of
+    ppm/pgm/bmp/wav, or the detected-but-unsupported codec name."""
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"P5":
+        return "pgm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    return "unknown"
+
+
+def decode_media(payload: bytes) -> np.ndarray:
+    """Real decode for any supported container: image formats -> uint8
+    pixel array, WAV -> int16 sample array. Raises on formats that need
+    an external codec (png/jpeg/ogg) — see multimodal.decode_real."""
+    fmt = sniff_format(payload)
+    if fmt in ("ppm", "pgm"):
+        return decode_pnm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "wav":
+        return decode_wav(payload)[0]
+    raise NotImplementedError(
+        f"format {fmt!r} needs an external codec library (PIL/ffmpeg); "
+        "supported here: ppm, pgm, bmp, wav"
+    )
+
+
+def image_decoder(payload: bytes, width: int = 0, height: int = 0) -> np.ndarray:
+    """Drop-in ``decoder=`` for multimodal.resize_media /
+    extract_features: decodes real PPM/PGM/BMP bytes to a 2-D luminance
+    array (RGB is averaged). The (width, height) hints from metadata are
+    ignored — real containers carry their own dimensions."""
+    img = decode_media(payload)
+    if img.ndim == 3:
+        img = img.mean(axis=2).astype(np.uint8)
+    if img.ndim != 2:
+        raise ValueError("image_decoder got non-image payload")
+    return img

@@ -14,12 +14,16 @@ Spark-side design (all real and tested):
 * 1→N expansion (frame sampling) yields multiple output rows per input
   row from the same iterator, no explode of materialized arrays.
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
-the byte→pixels step is STUBBED: ``decode_stub`` derives a
-deterministic fake "decoded" array from the payload bytes, and
-``decode_real`` raises NotImplementedError with the production wiring
-documented. Everything around the stub — schemas, batch iteration,
-output shapes, row multiplicity — is the real 100 TB plumbing.
+Decode layer, two tiers:
+* REAL — PPM/PGM/BMP images and PCM WAV audio decode for real via the
+  pure stdlib+numpy codecs in :mod:`.codecs` (``decode_real`` /
+  ``codecs.image_decoder``), exercised end-to-end through
+  ``mapInPandas`` in tests on actual bytes;
+* STUB — for codec-library formats (png/jpeg/opus/av1; PIL/ffmpeg are
+  not in this container) ``decode_stub`` derives deterministic fake
+  pixels from the payload, keeping features SQL-reproducible for the
+  DuckDB oracle. Schemas, batch iteration, output shapes and row
+  multiplicity are identical on both tiers — the real 100 TB plumbing.
 """
 
 from __future__ import annotations
@@ -120,14 +124,16 @@ def decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_real(payload: bytes, media_type: str) -> np.ndarray:
-    """Production decode — requires PIL (image), soundfile (audio) or
-    PyAV/ffmpeg (video), none of which ship in this container."""
-    raise NotImplementedError(
-        "codec libraries unavailable in this environment; production "
-        "wiring: PIL.Image.open(io.BytesIO(payload)) for images, "
-        "soundfile.read for audio, av.open for video. The mapInPandas "
-        "plumbing in this module is decoder-agnostic — pass decoder=."
-    )
+    """Real decode. PPM/PGM/BMP images and PCM WAV audio decode with
+    the pure stdlib+numpy codecs in :mod:`..operators.codecs` — actual
+    bytes to actual pixels/samples, no external library. Formats that
+    need a codec library (png/jpeg/opus/av1) raise NotImplementedError
+    with the production wiring (PIL.Image.open for images,
+    soundfile.read for audio, av.open for video); the mapInPandas
+    plumbing is decoder-agnostic — pass decoder=."""
+    from dagster_etl_spark.operators import codecs
+
+    return codecs.decode_media(payload)
 
 
 # -- feature extraction -------------------------------------------------------
