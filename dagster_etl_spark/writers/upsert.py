@@ -132,3 +132,54 @@ def merge_delete_sql(catalog_table: str, keys: list[str]) -> str:
     catalog."""
     on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
     return f"MERGE INTO {catalog_table} t USING __source s ON {on} WHEN MATCHED THEN DELETE"
+
+
+def upsert_dml(table: str, staging: str, keys: list[str], columns: list[str]) -> list[str]:
+    """S9 executable form for live warehouses without ``MERGE`` support:
+    set-based delete-then-insert in ANSI SQL. Null-safe key equality via
+    ``IS NOT DISTINCT FROM`` (the ANSI spelling of ``<=>``), duplicate
+    source keys re-inserted as duplicates — the exact reference
+    semantics (trino.py:165-225), minus its per-row DELETE loop.
+
+    Runs as-is on DuckDB, Postgres and Trino; :func:`execute_upsert_dml`
+    wraps the pair in one transaction.
+    """
+    on = " AND ".join(f"s.{k} IS NOT DISTINCT FROM {table}.{k}" for k in keys)
+    cols = ", ".join(columns)
+    return [
+        f"DELETE FROM {table} WHERE EXISTS (SELECT 1 FROM {staging} s WHERE {on})",
+        f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}",
+    ]
+
+
+def execute_upsert_dml(
+    con, table: str, staging: str, keys: list[str], columns: list[str]
+) -> dict[str, int]:
+    """Execute the keyed upsert live over a DB-API connection, one
+    transaction — the executable analog of the reference's Trino DML
+    (trino.py:165-225: transactional delete of matched keys, then
+    insert of the whole batch). ``con`` is any DB-API connection whose
+    dialect accepts the ANSI DML from :func:`upsert_dml` (DuckDB in the
+    test container; Postgres/Trino in production)."""
+    delete_sql, insert_sql = upsert_dml(table, staging, keys, columns)
+    con.execute("BEGIN")
+    try:
+        deleted = _dml_rowcount(con.execute(delete_sql))
+        inserted = _dml_rowcount(con.execute(insert_sql))
+        con.execute("COMMIT")
+    except Exception:
+        con.execute("ROLLBACK")
+        raise
+    return {"deleted": deleted, "inserted": inserted}
+
+
+def _dml_rowcount(cursor) -> int:
+    """Affected-row count from a DB-API DML result. DuckDB surfaces it
+    as a one-row ``Count`` result set; others via ``rowcount``."""
+    try:
+        rows = cursor.fetchall()
+        if rows and len(rows[0]) == 1:
+            return int(rows[0][0])
+    except Exception:
+        pass
+    return int(getattr(cursor, "rowcount", -1))
