@@ -1,0 +1,102 @@
+"""IVF recall/cost dial on CLUSTERED vectors — the workload IVF is
+built for. The uniform fixture embeddings are IVF's worst case
+(neighbors spread across all buckets, similarity.py docstring); real
+text/image embeddings form clusters, where probing few buckets finds
+most true neighbors. This fixture synthesizes that regime and gates:
+
+* recall@k is MONOTONE in nprobe (probe sets are nested — the
+  top-nprobe centroid lists share a prefix — so candidates only grow);
+* recall floor at nprobe=4 of nlist=16 on clustered data;
+* nprobe=1 searches a fraction of the corpus (the cost side of the
+  dial), measured as candidate-set size vs the exact cross product.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dagster_etl_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+DIM = 16
+N_CLUSTERS = 16
+PER_CLUSTER = 80
+N_QUERIES = 12
+K = 10
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """~1280 unit-norm vectors in 16 well-separated Gaussian clusters
+    (fixed seed; centers drawn on the sphere, sigma small vs center
+    separation), plus queries drawn near cluster centers."""
+    rng = np.random.default_rng(1234)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = (
+        centers.repeat(PER_CLUSTER, axis=0)
+        + 0.08 * rng.normal(size=(N_CLUSTERS * PER_CLUSTER, DIM))
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    q_ids = [int(i * len(vecs) / N_QUERIES) for i in range(N_QUERIES)]
+    queries = corpus.filter(corpus.vec_id.isin(q_ids)).cache()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, corpus, dim=DIM, k=K).collect()
+    }
+    return corpus, queries, exact
+
+
+def _recall(approx_rows, exact_pairs) -> float:
+    hits = sum((r.query_id, r.neighbor_id) in exact_pairs for r in approx_rows)
+    return hits / len(exact_pairs)
+
+
+def test_ivf_recall_monotone_in_nprobe(clustered):
+    corpus, queries, exact = clustered
+    recalls = {}
+    for nprobe in (1, 4, 8, 16):
+        rows = ivf_cosine_topk(
+            queries, corpus, dim=DIM, k=K, nlist=N_CLUSTERS, nprobe=nprobe
+        ).collect()
+        recalls[nprobe] = _recall(rows, exact)
+    # nested probe sets -> monotone nondecreasing recall
+    assert recalls[1] <= recalls[4] <= recalls[8] <= recalls[16], recalls
+    # nprobe == nlist searches everything: exact recall
+    assert recalls[16] == pytest.approx(1.0)
+    # clustered regime: 4/16 of the buckets already recover nearly all
+    # true neighbors (this is the design point of the dial)
+    assert recalls[4] >= 0.9, recalls
+    # and the single-bucket probe is already useful (same-cluster hits)
+    assert recalls[1] >= 0.5, recalls
+
+
+def test_ivf_cost_side_of_dial(clustered):
+    """nprobe=1 must actually restrict the search: per-query candidate
+    count well under the corpus size (the exact path scores N-1 per
+    query)."""
+    corpus, queries, _ = clustered
+    n_corpus = corpus.count()
+    from dagster_etl_spark.operators.similarity import ivf_index
+
+    assigned, centroids = ivf_index(corpus, DIM, nlist=N_CLUSTERS)
+    sizes = {r.bucket: r.n for r in assigned.groupBy("bucket").count().withColumnRenamed("count", "n").collect()}
+    # clustered fixture -> balanced buckets; probing one bucket scans
+    # ~1/nlist of the corpus, not a degenerate catch-all bucket
+    assert max(sizes.values()) <= n_corpus * 3 // N_CLUSTERS, sizes
+
+
+def test_hash_quantizer_recall_floor_on_clustered(clustered):
+    """The SQL-checkable hash quantizer (data-sampled centroids) also
+    rides the dial on clustered data, with a documented weaker floor —
+    sampled centroids can land several-per-cluster, so nprobe must
+    cover the duplication."""
+    corpus, queries, exact = clustered
+    rows = ivf_cosine_topk(
+        queries, corpus, dim=DIM, k=K, nlist=N_CLUSTERS, nprobe=8, quantizer="hash"
+    ).collect()
+    assert _recall(rows, exact) >= 0.5
