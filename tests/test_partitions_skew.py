@@ -78,6 +78,135 @@ def test_salted_groupby_equals_plain(spark):
     assert plain == salted
 
 
+def _zipf_join_inputs(spark, n_large=4_000_000, n_keys=1_000, hot_pct=9):
+    """Pathologically skewed join fixture, fully deterministic (no
+    RNG): ``hot_pct``/10 of the large side carries key 0, the rest is
+    uniform over 1..n_keys. Small side: one row per key."""
+    from pyspark.sql import functions as F
+
+    # v must be incompressible: a constant hot-key partition lz4s to
+    # almost nothing and would sit below AQE's skew byte threshold
+    large = spark.range(n_large).select(
+        F.when(F.col("id") % 10 < hot_pct, F.lit(0))
+        .otherwise((F.col("id") % n_keys) + 1)
+        .alias("k"),
+        ((F.col("id") * 2654435761) % 1000000007).alias("v"),
+    )
+    small = spark.range(n_keys + 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    return large, small
+
+
+def test_salted_join_splits_hot_partition(spark):
+    """Scale proof, deterministic form: with a 90%-hot key, the plain
+    shuffle puts ~90% of rows in ONE shuffle partition; salting bounds
+    the max partition at ~1/salt of that. This is the property that
+    keeps a 100 TB join inside executor memory."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.skew import salted_join
+
+    large, small = _zipf_join_inputs(spark, n_large=400_000)
+    salt = 8
+
+    def max_partition_rows(df):
+        sizes = (
+            df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+        )
+        return max(r["count"] for r in sizes)
+
+    plain = large.repartition(32, "k")
+    salted = large.withColumn(
+        "_salt", F.floor(F.rand(42) * salt).cast("int")
+    ).repartition(32, "k", "_salt")
+    plain_max = max_partition_rows(plain)
+    salted_max = max_partition_rows(salted)
+    assert plain_max >= 0.9 * 400_000  # the hot key owns one partition
+    # salt spreads the hot key across `salt` (k, salt) cells; slack
+    # covers two cells hash-colliding into one of the 32 partitions
+    # (fixed seed + fixed hash -> fully deterministic)
+    assert salted_max <= plain_max / salt * 2.5, (plain_max, salted_max)
+
+    # the salt-expansion join shape: small side exploded saltx, join
+    # keys are (k, _salt) — and the result still matches the plain join
+    out = salted_join(large, small, on=["k"], salt=salt)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode" in plan and "_salt" in plan
+    got = out.agg(F.sum("w").alias("s")).collect()[0].s
+    want = large.join(small, on="k").agg(F.sum("w").alias("s")).collect()[0].s
+    assert got == want
+
+
+def test_aqe_splits_skewed_join_and_salting_beats_disabled_aqe(spark):
+    """Two proofs on the zipf fixture:
+
+    1. AQE (first line of defense, on in session.py) detects the hot
+       partition at runtime and splits it — ``skew=true`` in the final
+       adaptive sort-merge-join plan;
+    2. with AQE's skew handling OFF (the pathological regime salting
+       exists for), ``salted_join`` beats the plain join wall-clock.
+    """
+    import time
+
+    from dagster_etl_spark.operators.skew import salted_join
+
+    large, small = _zipf_join_inputs(spark, n_large=4_000_000)
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # force the shuffled-join regime AQE skew-split applies to
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # aggregate on top so the same QueryExecution can be driven by a
+        # 1-row collect (a .write would execute a separate plan object);
+        # summing v+w keeps the wide payload un-pruned through the join
+        from pyspark.sql import functions as F
+
+        joined = (
+            large.join(small, on="k")
+            .groupBy()
+            .agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+        )
+        joined.collect()
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+
+        def timed(df):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        plain_s = timed(large.join(small, on="k"))
+        salted_s = timed(salted_join(large, small, on=["k"], salt=16))
+        # one task sorts/probes 3.6M rows vs ~225k with salt=16; require
+        # a real win but leave slack for scheduler noise
+        assert salted_s < plain_s, (plain_s, salted_s)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_skewed_keys_and_approx_distinct(spark):
     from pyspark.sql import functions as F
 
