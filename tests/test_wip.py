@@ -107,3 +107,27 @@ def test_twostage_money_sums_equals_single_stage(spark):
         ).collect()
     }
     assert one == two  # exact float equality included
+
+
+def test_wip_single_shuffle_plan_and_equivalence(spark):
+    """The default exact-distinct path must plan exactly ONE shuffle
+    Exchange (repartition by group keys feeds both aggregation phases
+    exchange-free), and single_shuffle=False must give identical
+    results through the two-Exchange fine-key plan."""
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    kw = dict(
+        group_cols=("l_linestatus", "l_suppkey"), qty_col="l_quantity",
+        lot_col="l_orderkey", status_col="l_returnflag",
+        active_statuses=("N", "A"),
+    )
+    one = wip_aggregate(li, **kw)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    two = wip_aggregate(li, single_shuffle=False, **kw)
+    assert plan.count("BatchEvalPython") == 0
+    key = lambda r: (r.l_linestatus, r.l_suppkey)
+    a = {key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot) for r in one.collect()}
+    b = {key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot) for r in two.collect()}
+    assert a == b
