@@ -1,0 +1,132 @@
+"""dbt-template front end for the SQL model layer: ref/source/var/
+config resolution, macro expansion, auto-derived dependencies, and an
+end-to-end staging->transform run on Spark mirroring the reference's
+model tree shape (project_01/dbt/models: staging cleans a source,
+transform derives business columns via ref)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dagster_etl_spark.plans.dbt_templates import DbtProject, parse_macros, render
+from dagster_etl_spark.plans.sql_models import ColumnTest, SqlModelTestError
+from tests.conftest import SF_SMALL
+
+
+def test_render_ref_source_var_config():
+    r = render(
+        """
+        {{ config(materialized='table') }}
+        select * from {{ source('source_db', 'cfg_item_master') }}
+        join {{ ref('stg_other') }} using (k)
+        where project_id = '{{ var("project", "p0") }}'
+        """,
+        sources={("source_db", "cfg_item_master"): "item_master_raw"},
+    )
+    assert "item_master_raw" in r.sql
+    assert "stg_other" in r.sql
+    assert "'p0'" in r.sql
+    assert r.refs == ("stg_other",)
+    assert r.materialize == "table"
+    # declared var wins over default
+    r2 = render("select '{{ var('project', 'p0') }}' as p", variables={"project": "P9"})
+    assert "'P9'" in r2.sql
+
+
+def test_macro_expansion_positional_keyword_default_nested():
+    macros = parse_macros(
+        """
+        {% macro cents(col, scale=100) %}CAST(round({{ col }} * {{ scale }}) AS BIGINT){% endmacro %}
+        {% macro money_sum(col) %}SUM({{ cents(col) }}){% endmacro %}
+        """
+    )
+    r = render(
+        "select {{ money_sum('qty') }} as s, {{ cents('price', 1000) }} as m from t",
+        macros=macros,
+    )
+    assert "SUM(CAST(round(qty * 100) AS BIGINT))" in r.sql
+    assert "CAST(round(price * 1000) AS BIGINT)" in r.sql
+
+
+def test_macro_missing_arg_and_unknown_call_raise():
+    macros = parse_macros("{% macro f(a) %}{{ a }}{% endmacro %}")
+    with pytest.raises(TypeError):
+        render("select {{ f() }}", macros=macros)
+    with pytest.raises(NameError):
+        render("select {{ nonexistent_macro(1) }}")
+    with pytest.raises(ValueError):
+        render("select 1 {% if x %}bad{% endif %}")
+
+
+def test_compile_auto_deps_and_unknown_ref():
+    p = (
+        DbtProject()
+        .add("stg_a", "select 1 as k")
+        .add("tfm_b", "select * from {{ ref('stg_a') }}")
+    )
+    proj = p.compile()
+    assert proj.models["tfm_b"].depends_on == ("stg_a",)
+    assert proj.build_order().index("stg_a") < proj.build_order().index("tfm_b")
+
+    bad = DbtProject().add("m", "select * from {{ ref('missing') }}")
+    with pytest.raises(KeyError):
+        bad.compile()
+
+
+def test_end_to_end_staging_transform_on_spark(spark):
+    """The reference's model-tree shape (staging cleans a source with
+    coalesce defaults; transform refs staging and derives a CASE
+    priority class), templated with source/ref/var/macro, run through
+    SqlModelProject with a hard schema-test gate.
+
+    Reference: project_01/dbt/models/staging/stg_cfg_item_master.sql,
+    transform/tfm_item_master_enriched.sql, dbt_factory.py:102-147."""
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    load_table(spark, SF_SMALL, "part").createOrReplaceTempView("src_part")
+    project = DbtProject(
+        sources={("source_db", "part"): "src_part"},
+        variables={"min_size": "10"},
+        macros_sql="""
+        {% macro clean_str(col, default='UNKNOWN') %}coalesce({{ col }}, '{{ default }}'){% endmacro %}
+        """,
+    )
+    project.add(
+        "stg_part",
+        """
+        select p_partkey,
+               {{ clean_str('p_type') }} as p_type,
+               {{ clean_str('p_brand', 'NONE') }} as p_brand,
+               p_size
+        from {{ source('source_db', 'part') }}
+        where p_size >= {{ var('min_size') }}
+        """,
+    )
+    project.add(
+        "tfm_part_enriched",
+        """
+        {{ config(materialized='table') }}
+        select *,
+               case when p_size >= 40 then 'LARGE'
+                    when p_size >= 25 then 'MEDIUM'
+                    else 'SMALL' end as size_class
+        from {{ ref('stg_part') }}
+        """,
+    )
+    project.tests["tfm_part_enriched"] = (
+        ColumnTest("p_type", "not_null"),
+        ColumnTest("size_class", "accepted_values", ("LARGE", "MEDIUM", "SMALL")),
+        ColumnTest("p_partkey", "unique"),
+    )
+    out = project.compile().run(spark)
+    got = out["tfm_part_enriched"]
+    assert got.filter("p_size < 10").count() == 0
+    assert got.filter("p_type IS NULL").count() == 0
+    sizes = {r.size_class for r in got.select("size_class").distinct().collect()}
+    assert sizes <= {"LARGE", "MEDIUM", "SMALL"}
+
+    # the hard gate still fires through the templated path
+    bad = DbtProject().add("m_bad", "select NULL as x union all select 1 as x")
+    bad.tests["m_bad"] = (ColumnTest("x", "not_null"),)
+    with pytest.raises(SqlModelTestError):
+        bad.compile().run(spark)
