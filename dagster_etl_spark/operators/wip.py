@@ -88,11 +88,30 @@ def wip_aggregate(
         )
     else:
         if single_shuffle:
-            df = df.repartition(*group_cols)
+            # evaluate per-row expressions BEFORE the shuffle and prune
+            # to exactly the shuffled columns: the repartition then
+            # ships (keys, lot, int, flags) instead of raw rows — at
+            # cluster scale the difference between shuffling a CASE'd
+            # string column and shuffling its 0/1 outcome
+            df = df.select(
+                *group_cols,
+                lot_col,
+                scaled_long(qty_col).alias("__q100r"),
+                *[e.alias(f"__e{i}") for i, (e, _) in enumerate(extra_sums)],
+            ).repartition(*group_cols)
+            qty_scaled: Column = F.col("__q100r")
+            extra_cols: list[Column] = [
+                F.col(f"__e{i}") for i in range(len(extra_sums))
+            ]
+        else:
+            qty_scaled = scaled_long(qty_col)
+            extra_cols = [e for e, _ in extra_sums]
         pre = df.groupBy(*group_cols, lot_col).agg(
-            F.sum(scaled_long(qty_col)).alias("__q100"),
-            F.count(qty_col).alias("__qcnt"),
-            *[F.sum(e).alias(f"__x{i}") for i, (e, _) in enumerate(extra_sums)],
+            F.sum(qty_scaled).alias("__q100"),
+            # scaled_long is null exactly when qty is null, so counting
+            # the scaled column preserves count(qty_col) semantics
+            F.count(qty_scaled).alias("__qcnt"),
+            *[F.sum(e).alias(f"__x{i}") for i, e in enumerate(extra_cols)],
         )
         # same IEEE sequence as money_sum/exact_avg: exact integer total,
         # one cast to double, one divide
