@@ -39,6 +39,9 @@ _MACRO_DEF = re.compile(
 )
 _CALL = re.compile(r"\{\{-?\s*(\w+)\s*\(([^{}]*)\)\s*-?\}\}")
 _PARAM = re.compile(r"\{\{-?\s*(\w+)\s*-?\}\}")
+_INCR_IF = re.compile(
+    r"\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)\{%-?\s*endif\s*-?%\}", re.S
+)
 _MAX_DEPTH = 10
 
 
@@ -120,6 +123,7 @@ class RenderResult:
     sql: str
     refs: tuple[str, ...]
     materialize: str | None = None
+    config: dict[str, str] = field(default_factory=dict)
 
 
 def render(
@@ -127,17 +131,29 @@ def render(
     sources: dict[tuple[str, str], str] | None = None,
     variables: dict[str, str] | None = None,
     macros: dict[str, MacroDef] | None = None,
+    is_incremental: bool = False,
+    this_name: str | None = None,
 ) -> RenderResult:
     """Compile one model template to runnable Spark SQL, collecting the
-    auto-derived ``ref`` dependency edges and any ``config()``."""
+    auto-derived ``ref`` dependency edges and any ``config()``.
+
+    ``is_incremental`` selects the dbt incremental-run variant: the
+    bodies of ``{% if is_incremental() %} ... {% endif %}`` blocks are
+    kept (dropped otherwise) and ``{{ this }}`` resolves to
+    ``this_name`` — the view over the model's current materialization.
+    """
     sources = sources or {}
     variables = variables or {}
     macros = dict(macros or {})
     macros.update(parse_macros(template))
     template = _MACRO_DEF.sub("", template)
+    template = _INCR_IF.sub(lambda m: m.group(1) if is_incremental else "", template)
+    if this_name is not None:
+        template = re.sub(r"\{\{-?\s*this\s*-?\}\}", this_name, template)
 
     refs: list[str] = []
     materialize: list[str | None] = [None]
+    config_kw: dict[str, str] = {}
 
     def resolve(m: re.Match) -> str:
         fn, raw_args = m.group(1), m.group(2)
@@ -165,6 +181,7 @@ def render(
                 return pos[1]
             raise KeyError(f"undeclared dbt var {key!r} with no default")
         if fn == "config":
+            config_kw.update(kw)
             materialize[0] = kw.get("materialized", materialize[0])
             return ""
         if fn in macros:
@@ -196,7 +213,7 @@ def render(
             f"unsupported template construct at {leftover.group(0)!r} "
             "(supported: ref/source/var/config/macro calls)"
         )
-    return RenderResult(sql.strip(), tuple(refs), materialize[0])
+    return RenderResult(sql.strip(), tuple(refs), materialize[0], config_kw)
 
 
 @dataclass
@@ -224,11 +241,34 @@ class DbtProject:
             unknown = [d for d in r.refs if d not in self.models]
             if unknown:
                 raise KeyError(f"model {name!r} refs unknown model(s) {unknown}")
+            incremental_sql = None
+            unique_key: tuple[str, ...] = ()
+            if r.materialize == "incremental":
+                # dbt's incremental contract: the second variant keeps
+                # {% if is_incremental() %} blocks and sees {{ this }}
+                # as the model's current materialization
+                ri = render(
+                    template,
+                    self.sources,
+                    self.variables,
+                    macros,
+                    is_incremental=True,
+                    this_name=f"{name}__current",
+                )
+                incremental_sql = ri.sql
+                key = r.config.get("unique_key", "")
+                unique_key = tuple(k.strip() for k in key.split(",") if k.strip())
+                if not unique_key:
+                    raise ValueError(
+                        f"incremental model {name!r} needs config(unique_key=...)"
+                    )
             project.add(
                 name,
                 r.sql,
                 depends_on=r.refs,
                 materialize=r.materialize or "view",
                 tests=self.tests.get(name, ()),
+                incremental_sql=incremental_sql,
+                unique_key=unique_key,
             )
         return project

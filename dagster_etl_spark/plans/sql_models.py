@@ -59,8 +59,13 @@ class SqlModel:
     name: str
     sql: str
     depends_on: tuple[str, ...] = ()
-    materialize: str = "view"  # view | table(cache)
+    materialize: str = "view"  # view | table(cache) | incremental
     tests: tuple[ColumnTest, ...] = ()
+    # incremental materialization (dbt analog): SQL variant run when the
+    # target already exists (is_incremental() blocks kept, {{ this }}
+    # bound), merged into the target by unique_key via the S9 upsert
+    incremental_sql: str | None = None
+    unique_key: tuple[str, ...] = ()
 
 
 @dataclass
@@ -71,8 +76,12 @@ class SqlModelProject:
 
     def add(self, name: str, sql: str, depends_on: tuple[str, ...] = (),
             materialize: str = "view",
-            tests: tuple[ColumnTest, ...] = ()) -> "SqlModelProject":
-        self.models[name] = SqlModel(name, sql, depends_on, materialize, tests)
+            tests: tuple[ColumnTest, ...] = (),
+            incremental_sql: str | None = None,
+            unique_key: tuple[str, ...] = ()) -> "SqlModelProject":
+        self.models[name] = SqlModel(
+            name, sql, depends_on, materialize, tests, incremental_sql, unique_key
+        )
         return self
 
     def build_order(self) -> list[str]:
@@ -81,11 +90,21 @@ class SqlModelProject:
         )
         return list(ts.static_order())
 
-    def run(self, spark: SparkSession) -> dict[str, DataFrame]:
+    def run(
+        self, spark: SparkSession, lake_root: str | None = None
+    ) -> dict[str, DataFrame]:
         """Materialize every model in dependency order; returns the
         resulting DataFrames keyed by model name. Source tables must
         already be registered as views (sources.fixtures.register_views
         or any createOrReplaceTempView).
+
+        ``materialize="incremental"`` models persist under
+        ``lake_root/<name>`` (required for them): the first run writes
+        the full result; later runs execute ``incremental_sql`` (with
+        the current materialization visible as ``<name>__current``) and
+        MERGE it into the target by ``unique_key`` through the S9
+        upsert writer — dbt's incremental+unique_key contract on the
+        engine's own delete-then-insert semantics.
 
         Declared column tests run as a HARD gate immediately after each
         model materializes — a violation raises
@@ -94,14 +113,39 @@ class SqlModelProject:
         out: dict[str, DataFrame] = {}
         for name in self.build_order():
             m = self.models[name]
-            df = spark.sql(m.sql)
-            if m.materialize == "table":
-                df = df.cache()
+            if m.materialize == "incremental":
+                df = self._run_incremental(spark, m, lake_root)
+            else:
+                df = spark.sql(m.sql)
+                if m.materialize == "table":
+                    df = df.cache()
             df.createOrReplaceTempView(name)
             if m.tests:
                 self._check(df, m)
             out[name] = df
         return out
+
+    @staticmethod
+    def _run_incremental(
+        spark: SparkSession, m: SqlModel, lake_root: str | None
+    ) -> DataFrame:
+        import os
+
+        from dagster_etl_spark.sources.lake import check_exists
+        from dagster_etl_spark.writers.upsert import upsert_parquet
+
+        if lake_root is None:
+            raise ValueError(
+                f"incremental model {m.name!r} requires run(lake_root=...)"
+            )
+        path = os.path.join(lake_root, m.name)
+        if check_exists(spark, path):
+            spark.read.parquet(path).createOrReplaceTempView(f"{m.name}__current")
+            batch = spark.sql(m.incremental_sql or m.sql)
+            upsert_parquet(spark, batch, path, keys=list(m.unique_key))
+        else:
+            spark.sql(m.sql).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     @staticmethod
     def _check(df: DataFrame, m: SqlModel) -> None:

@@ -130,3 +130,56 @@ def test_end_to_end_staging_transform_on_spark(spark):
     bad.tests["m_bad"] = (ColumnTest("x", "not_null"),)
     with pytest.raises(SqlModelTestError):
         bad.compile().run(spark)
+
+
+def test_incremental_model_first_and_merge_runs(spark, tmp_path):
+    """dbt incremental contract end-to-end: first run full-builds the
+    target; the second run sees only rows newer than {{ this }}'s
+    high-water mark (is_incremental() block kept) and MERGEs them by
+    unique_key through the S9 upsert writer — updated keys replaced,
+    old keys kept, new keys appended."""
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "k int, batch int, v string"
+    ).createOrReplaceTempView("src_events")
+
+    project = DbtProject()
+    project.add(
+        "inc_model",
+        """
+        {{ config(materialized='incremental', unique_key='k') }}
+        select k, batch, v from src_events
+        {% if is_incremental() %}
+          where batch > (select max(batch) from {{ this }})
+        {% endif %}
+        """,
+    )
+    compiled = project.compile()
+    m = compiled.models["inc_model"]
+    assert m.unique_key == ("k",)
+    assert "where batch >" not in m.sql  # full build has no gate
+    assert "inc_model__current" in m.incremental_sql
+
+    first = compiled.run(spark, lake_root=lake)["inc_model"]
+    assert sorted((r.k, r.batch, r.v) for r in first.collect()) == [
+        (1, 10, "a"), (2, 20, "b"),
+    ]
+
+    # new source state: k=2 updated in a newer batch, k=3 added, and a
+    # stale duplicate of k=1 from an OLD batch that the incremental
+    # filter must exclude
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "stale"), (2, 30, "b2"), (3, 30, "c")],
+        "k int, batch int, v string",
+    ).createOrReplaceTempView("src_events")
+    second = compiled.run(spark, lake_root=lake)["inc_model"]
+    assert sorted((r.k, r.batch, r.v) for r in second.collect()) == [
+        (1, 10, "a"), (2, 30, "b2"), (3, 30, "c"),
+    ]
+
+    # missing unique_key is a compile-time error
+    bad = DbtProject().add(
+        "m", "{{ config(materialized='incremental') }} select 1 as k"
+    )
+    with pytest.raises(ValueError):
+        bad.compile()
