@@ -28,16 +28,22 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-QUERIES = sys.argv[2:] or ["wip_aggregate", "priority_wip", "pricing_summary", "ann_cosine_topk"]
+QUERIES = sys.argv[2:]  # default: every bench-tagged query
 RUNS = 3
 
-# query -> (tables scanned, one-shuffle skeleton builder)
-_FLOORS = {
-    "wip_aggregate": ("lineitem",),
-    "priority_wip": ("lineitem", "orders"),
-    "pricing_summary": ("lineitem",),
-    "ann_cosine_topk": ("embeddings",),
-}
+
+def _scanned_tables(df) -> tuple[str, ...]:
+    """Input tables, read off the query's own physical plan (the
+    FileScan Location lines name the parquet paths)."""
+    import re
+
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    names = re.findall(r"/([a-z]+)\.parquet", txt)
+    seen: list[str] = []
+    for n in names:
+        if n not in seen:
+            seen.append(n)
+    return tuple(seen) or ("lineitem",)
 
 
 def _noop(df) -> None:
@@ -63,9 +69,12 @@ def main() -> None:
 
     spark = get_spark()
     qs = registry.queries()
+    names = QUERIES or [
+        n for n, e in registry.all_queries().items() if "bench" in e.tags
+    ]
     out = {}
-    for name in QUERIES:
-        tables = _FLOORS.get(name, ("lineitem",))
+    for name in names:
+        tables = _scanned_tables(qs[name](spark, SF_DIR))
 
         def floor_skeleton():
             # scan every input the query reads + one shuffle barrier
