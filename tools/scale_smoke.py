@@ -67,6 +67,41 @@ def inflate_events(ev, k: int):
     return out
 
 
+def inflate_lineitem(li, orders, k: int):
+    """K copies with shifted order/supplier keys: more suppliers and
+    more orders at the same density — the growth axis of the WIP
+    aggregate's group-key space (its single-shuffle plan repartitions
+    by (linestatus, suppkey), so group cardinality must grow with the
+    data for the claim to hold)."""
+    from pyspark.sql import functions as F
+
+    no = li.selectExpr("max(l_orderkey) + 1 AS n").first().n
+    ns = li.selectExpr("max(l_suppkey) + 1 AS n").first().n
+    li_parts = [
+        li.select(
+            (F.col("l_orderkey") + i * no).alias("l_orderkey"),
+            (F.col("l_suppkey") + i * ns).alias("l_suppkey"),
+            "l_linestatus",
+            "l_returnflag",
+            "l_quantity",
+        )
+        for i in range(k)
+    ]
+    ord_parts = [
+        orders.select(
+            (F.col("o_orderkey") + i * no).alias("o_orderkey"),
+            "o_orderpriority",
+        )
+        for i in range(k)
+    ]
+    li_out, ord_out = li_parts[0], ord_parts[0]
+    for p in li_parts[1:]:
+        li_out = li_out.unionByName(p)
+    for p in ord_parts[1:]:
+        ord_out = ord_out.unionByName(p)
+    return li_out, ord_out
+
+
 def main() -> None:
     from dagster_etl_spark.operators.dedup import (
         dedup_clusters,
@@ -131,10 +166,35 @@ def main() -> None:
             tiebreak=["event_id"],
         ),
     }
+
+    from dagster_etl_spark.operators.wip import priority_wip_aggregate, wip_aggregate
+
+    li1 = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linestatus", "l_returnflag", "l_quantity"
+    )
+    ord1 = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    li1.cache().count()
+    ord1.cache().count()
+    lik, ordk = inflate_lineitem(li1, ord1, MULT)
+    lik.cache().count()
+    ordk.cache().count()
+    _wip_kw = dict(
+        group_cols=("l_linestatus", "l_suppkey"), qty_col="l_quantity",
+        lot_col="l_orderkey", status_col="l_returnflag",
+        active_statuses=("N", "A"),
+    )
+    wip_ops = {
+        "wip_aggregate": lambda t: wip_aggregate(t[0], **_wip_kw),
+        "priority_wip": lambda t: priority_wip_aggregate(
+            t[0].join(t[1], t[0].l_orderkey == t[1].o_orderkey),
+            priority_col="o_orderpriority", high_value="1-URGENT", **_wip_kw,
+        ),
+    }
     out = {}
     for name, fn, d1, dk in [
         *[(n, f, docs1, docsk) for n, f in doc_ops.items()],
         *[(n, f, ev1, evk) for n, f in ev_ops.items()],
+        *[(n, f, (li1, ord1), (lik, ordk)) for n, f in wip_ops.items()],
     ]:
         t0 = time.time()
         fn(d1).write.mode("overwrite").format("noop").save()
