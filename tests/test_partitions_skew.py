@@ -189,13 +189,18 @@ def test_aqe_splits_skewed_join_and_salting_beats_disabled_aqe(spark):
 
         conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
 
-        def timed(df):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+        def timed(build):
+            # best-of-2: this box sees external CPU steal spikes that
+            # can swallow a single sample (BASELINE.md host drift)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-        plain_s = timed(large.join(small, on="k"))
-        salted_s = timed(salted_join(large, small, on=["k"], salt=16))
+        plain_s = timed(lambda: large.join(small, on="k"))
+        salted_s = timed(lambda: salted_join(large, small, on=["k"], salt=16))
         # one task sorts/probes 3.6M rows vs ~225k with salt=16; require
         # a real win but leave slack for scheduler noise
         assert salted_s < plain_s, (plain_s, salted_s)
