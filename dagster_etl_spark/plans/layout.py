@@ -16,7 +16,10 @@ alone (the whole signature chain was single-task).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -42,3 +45,81 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def zvalue_expr(cols: Sequence[str], bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of up to 4 numeric columns, as pure
+    JVM expressions: each column is rank-normalized OUTSIDE this
+    function (see :func:`zorder_write` — percent_rank scaled to
+    ``2^bits`` buckets) and here its bits are spread so that bit ``i``
+    of column ``j`` lands at position ``i * n_cols + j``. Rows close in
+    z-value are close in EVERY interleaved dimension, so range-sorted
+    files carry narrow min/max stats for all of them at once.
+    """
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError("zvalue interleaves 1-4 columns")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = F.col(c).cast("long")
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def _quantile_bucket_expr(col: str, boundaries: Sequence[float]) -> Column:
+    """Bucket id of ``col`` against sorted quantile ``boundaries`` as a
+    JVM array fold (count of boundaries <= value): O(len(boundaries))
+    per row, no join, no window — nulls land in bucket 0."""
+    arr = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in boundaries)
+    return F.expr(
+        f"aggregate(array({arr}), 0L, (acc, b) -> "
+        f"acc + (CASE WHEN CAST({col} AS DOUBLE) >= b THEN 1 ELSE 0 END))"
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    bits: int = 8,
+    files: int | None = None,
+) -> None:
+    """Multi-dimensional clustered Parquet write — the open-table
+    ``OPTIMIZE ZORDER BY`` analog on plain files (Delta/Iceberg do the
+    same interleave server-side; on a path-based lake it composes from
+    quantile-bucket -> z-interleave -> range-repartition -> sort-within
+    -> write).
+
+    Why quantile-bucket: Morton codes interleave BITS, so dimensions
+    must share a uniform domain. Per-column ``approxQuantile``
+    boundaries (2^bits - 1 floats to the driver — bounded at any input
+    size) map each distribution evenly onto [0, 2^bits); a skewed raw
+    domain would otherwise let one dimension dominate the interleave.
+    No global window, no single-task sort: the only full-data movement
+    is the final range repartition, which any clustered write pays.
+
+    The payoff at 100 TB: a filter on ANY of the z-columns prunes at
+    three levels — partition files (range boundaries), parquet
+    row-groups (min/max stats), then pages — instead of only pruning
+    on the single column a linear sort favors. Verified in
+    tests/test_layout_zorder.py by reading the written row-group stats.
+    """
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    ranked = df
+    rank_cols = []
+    for c in zorder_by:
+        rc = f"__zr_{c}"
+        bounds = df.stat.approxQuantile(c, probs, 1.0 / (4 << bits))
+        ranked = ranked.withColumn(rc, _quantile_bucket_expr(c, bounds))
+        rank_cols.append(rc)
+    zed = ranked.withColumn("__z", zvalue_expr(rank_cols, bits))
+    writer = zed.repartitionByRange(files, "__z") if files else zed.repartitionByRange("__z")
+    (
+        writer.sortWithinPartitions("__z")
+        .drop("__z", *rank_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1,0 +1,106 @@
+"""Z-order clustered writes (plans/layout.py): Morton interleave
+correctness and the actual pruning payoff, verified from the written
+parquet files' own statistics — per-file min/max spans must be narrow
+in BOTH z-columns, where a linear sort bounds only its own column."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from dagster_etl_spark.plans.layout import zorder_write, zvalue_expr
+from tests.conftest import SF_SMALL
+
+
+def test_zvalue_interleave_known_bits(spark):
+    # a=5 (101), b=3 (011), 3 bits: a's bits land at even positions
+    # (1 + 16), b's at odd (2 + 8) -> z = 27
+    row = (
+        spark.createDataFrame([(5, 3)], "a long, b long")
+        .select(zvalue_expr(["a", "b"], bits=3).alias("z"))
+        .collect()[0]
+    )
+    assert row.z == 27
+    with pytest.raises(ValueError):
+        zvalue_expr(["a"] * 5)
+
+
+def _file_spans(path: str, cols: list[str]) -> dict[str, list[tuple]]:
+    """Per written file: (min, max) of each column from parquet
+    metadata only — exactly the stats a scan prunes on."""
+    spans: dict[str, list[tuple]] = {c: [] for c in cols}
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        mins = {c: None for c in cols}
+        maxs = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for c in cols:
+                st = md.row_group(rg).column(names[c]).statistics
+                mins[c] = st.min if mins[c] is None else min(mins[c], st.min)
+                maxs[c] = st.max if maxs[c] is None else max(maxs[c], st.max)
+        for c in cols:
+            spans[c].append((mins[c], maxs[c]))
+    return spans
+
+
+def _avg_span_frac(spans: list[tuple], lo, hi) -> float:
+    width = hi - lo
+    return sum((b - a) / width for a, b in spans) / len(spans)
+
+
+def test_zorder_write_bounds_both_columns(spark, tmp_path):
+    """lineitem z-ordered by (l_orderkey, l_suppkey) into 16 range
+    files: the average per-file min/max span must be well under half
+    the domain in BOTH columns. The linear-sort control bounds only its
+    sort column — its secondary column stays at ~full domain per file."""
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    lo_o, hi_o, lo_s, hi_s = li.selectExpr(
+        "min(l_orderkey)", "max(l_orderkey)", "min(l_suppkey)", "max(l_suppkey)"
+    ).first()
+
+    zpath = str(tmp_path / "z")
+    zorder_write(li, zpath, zorder_by=["l_orderkey", "l_suppkey"], files=16)
+    zspans = _file_spans(zpath, ["l_orderkey", "l_suppkey"])
+    z_o = _avg_span_frac(zspans["l_orderkey"], lo_o, hi_o)
+    z_s = _avg_span_frac(zspans["l_suppkey"], lo_s, hi_s)
+
+    lpath = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    lspans = _file_spans(lpath, ["l_orderkey", "l_suppkey"])
+    l_o = _avg_span_frac(lspans["l_orderkey"], lo_o, hi_o)
+    l_s = _avg_span_frac(lspans["l_suppkey"], lo_s, hi_s)
+
+    # z-order: both dimensions bounded
+    assert z_o <= 0.5, (z_o, z_s)
+    assert z_s <= 0.5, (z_o, z_s)
+    # linear sort: its own column razor-thin, the other unbounded
+    assert l_o <= 0.15
+    assert l_s >= 0.9
+    # and z-order's secondary-column spans beat linear's by a wide margin
+    assert z_s < l_s / 2
+
+    # row count and values survive the rewrite
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_write_single_column_degenerates_to_range_sort(spark, tmp_path):
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    path = str(tmp_path / "z1")
+    zorder_write(li, path, zorder_by=["l_orderkey"], files=8)
+    spans = _file_spans(path, ["l_orderkey"])["l_orderkey"]
+    lo, hi = min(a for a, _ in spans), max(b for _, b in spans)
+    assert _avg_span_frac(spans, lo, hi) <= 0.2
