@@ -172,7 +172,13 @@ def render(
             return name
         if fn == "source":
             schema, table = pos
-            return sources.get((schema, table), f"{schema}_{table}")
+            try:
+                return sources[(schema, table)]
+            except KeyError:
+                raise KeyError(
+                    f"unknown source({schema!r}, {table!r}) — not registered "
+                    "in the project's sources"
+                ) from None
         if fn == "var":
             key = pos[0]
             if key in variables:
@@ -238,11 +244,9 @@ class DbtProject:
         project = SqlModelProject()
         for name, template in self.models.items():
             r = render(template, self.sources, self.variables, macros)
-            unknown = [d for d in r.refs if d not in self.models]
-            if unknown:
-                raise KeyError(f"model {name!r} refs unknown model(s) {unknown}")
             incremental_sql = None
             unique_key: tuple[str, ...] = ()
+            depends_on = list(r.refs)
             if r.materialize == "incremental":
                 # dbt's incremental contract: the second variant keeps
                 # {% if is_incremental() %} blocks and sees {{ this }}
@@ -256,16 +260,23 @@ class DbtProject:
                     this_name=f"{name}__current",
                 )
                 incremental_sql = ri.sql
+                # deps come from BOTH render branches: a ref() that only
+                # appears inside {% if is_incremental() %} must still
+                # order/validate the build (dbt derives deps all-branch)
+                depends_on += [d for d in ri.refs if d not in depends_on]
                 key = r.config.get("unique_key", "")
                 unique_key = tuple(k.strip() for k in key.split(",") if k.strip())
                 if not unique_key:
                     raise ValueError(
                         f"incremental model {name!r} needs config(unique_key=...)"
                     )
+            unknown = [d for d in depends_on if d not in self.models]
+            if unknown:
+                raise KeyError(f"model {name!r} refs unknown model(s) {unknown}")
             project.add(
                 name,
                 r.sql,
-                depends_on=r.refs,
+                depends_on=tuple(depends_on),
                 materialize=r.materialize or "view",
                 tests=self.tests.get(name, ()),
                 incremental_sql=incremental_sql,

@@ -59,6 +59,14 @@ def zvalue_expr(cols: Sequence[str], bits: int = 16) -> Column:
     n = len(cols)
     if not 1 <= n <= 4:
         raise ValueError("zvalue interleaves 1-4 columns")
+    if bits * n > 63:
+        # the interleave must fit a signed long: one more bit and the
+        # top bucket bits shift into/past the sign bit, producing
+        # negative z-values that range-sort away from their neighbors
+        raise ValueError(
+            f"bits * len(cols) = {bits * n} exceeds 63; use bits <= {63 // n} "
+            f"for {n} columns"
+        )
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         v = F.col(c).cast("long")

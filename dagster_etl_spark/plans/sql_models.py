@@ -138,6 +138,13 @@ class SqlModelProject:
             raise ValueError(
                 f"incremental model {m.name!r} requires run(lake_root=...)"
             )
+        if not m.unique_key:
+            # models added directly via add(materialize='incremental')
+            # bypass DbtProject.compile's check; without keys the upsert
+            # below would fail with an opaque reduce() TypeError
+            raise ValueError(
+                f"incremental model {m.name!r} requires a non-empty unique_key"
+            )
         path = os.path.join(lake_root, m.name)
         if check_exists(spark, path):
             spark.read.parquet(path).createOrReplaceTempView(f"{m.name}__current")

@@ -183,3 +183,64 @@ def test_incremental_model_first_and_merge_runs(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         bad.compile()
+
+
+def test_incremental_only_ref_enters_dependency_graph():
+    """A ref() that appears ONLY inside {% if is_incremental() %} must
+    still create a dependency edge (dbt derives deps from all branches)
+    and still fail the unknown-model check."""
+    p = (
+        DbtProject()
+        .add("dim", "select 1 as k, 'x' as grp")
+        .add(
+            "inc",
+            """
+            {{ config(materialized='incremental', unique_key='k') }}
+            select 1 as k, 2 as v
+            {% if is_incremental() %}
+              where k in (select k from {{ ref('dim') }})
+            {% endif %}
+            """,
+        )
+    )
+    compiled = p.compile()
+    assert compiled.models["inc"].depends_on == ("dim",)
+    assert compiled.build_order().index("dim") < compiled.build_order().index("inc")
+
+    bad = DbtProject().add(
+        "inc",
+        """
+        {{ config(materialized='incremental', unique_key='k') }}
+        select 1 as k
+        {% if is_incremental() %}
+          where k in (select k from {{ ref('missing') }})
+        {% endif %}
+        """,
+    )
+    with pytest.raises(KeyError):
+        bad.compile()
+
+
+def test_unknown_source_raises():
+    """A typo'd source() must fail loudly, not silently bind to a
+    schema_table view name."""
+    with pytest.raises(KeyError, match="unknown source"):
+        render(
+            "select * from {{ source('raw', 'nope') }}",
+            sources={("raw", "part"): "src_part"},
+        )
+
+
+def test_direct_incremental_without_unique_key_raises(spark, tmp_path):
+    """SqlModelProject.add(materialize='incremental') without unique_key
+    bypasses DbtProject.compile — _run_incremental must still raise a
+    clear error instead of an opaque reduce() TypeError."""
+    from dagster_etl_spark.plans.sql_models import SqlModelProject
+
+    spark.createDataFrame([(1,)], "k int").createOrReplaceTempView("src_k")
+    proj = SqlModelProject().add(
+        "m", "select k from src_k", materialize="incremental"
+    )
+    lake = str(tmp_path / "lake")
+    with pytest.raises(ValueError, match="unique_key"):
+        proj.run(spark, lake_root=lake)

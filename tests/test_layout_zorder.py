@@ -104,3 +104,15 @@ def test_zorder_write_single_column_degenerates_to_range_sort(spark, tmp_path):
     spans = _file_spans(path, ["l_orderkey"])["l_orderkey"]
     lo, hi = min(a for a, _ in spans), max(b for _, b in spans)
     assert _avg_span_frac(spans, lo, hi) <= 0.2
+
+
+def test_zvalue_bits_overflow_guard():
+    """bits * len(cols) > 63 would shift bucket bits into the long sign
+    bit (negative z-values sort away from their neighbors) — rejected."""
+    import pytest
+
+    from dagster_etl_spark.plans.layout import zvalue_expr
+
+    with pytest.raises(ValueError, match="63"):
+        zvalue_expr(["a", "b", "c", "d"], bits=16)
+    zvalue_expr(["a", "b", "c"], bits=21)  # 63 exactly: allowed

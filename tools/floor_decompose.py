@@ -38,12 +38,16 @@ def _scanned_tables(df) -> tuple[str, ...]:
     import re
 
     txt = df._jdf.queryExecution().executedPlan().toString()
-    names = re.findall(r"/([a-z]+)\.parquet", txt)
+    names = re.findall(r"/([a-z0-9_]+)\.parquet", txt)
     seen: list[str] = []
     for n in names:
         if n not in seen:
             seen.append(n)
-    return tuple(seen) or ("lineitem",)
+    if not seen:
+        print("floor_decompose: no parquet scans found; defaulting to lineitem",
+              file=sys.stderr)
+        return ("lineitem",)
+    return tuple(seen)
 
 
 def _noop(df) -> None:
