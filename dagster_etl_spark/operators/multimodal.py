@@ -36,6 +36,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dagster_etl_spark.plans.layout import spread as df_spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -110,6 +112,93 @@ def media_metadata(df: DataFrame) -> DataFrame:
         F.length("media").alias("n_bytes"),
         F.md5("media").alias("payload_md5"),
     )
+
+
+def synth_real_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL-codec media table from the documents fixture:
+    even doc_ids carry an actual binary PPM image (pixel[y, x, c] =
+    x + y + c; dims 8..16 from doc_id), odd doc_ids an actual PCM16 WAV
+    (sample[i] = i % 7 - 3; 50..249 samples from doc_id). The payloads
+    are genuine container bytes produced by :mod:`.codecs` encoders, so
+    downstream operators exercise the full parse-header/reverse-layout
+    decode path — while every derived statistic stays a closed form of
+    doc_id for the DuckDB oracle (see queries_multimodal).
+    Arrow-batched mapInPandas, same plumbing as every decode operator."""
+    from dagster_etl_spark.operators.codecs import encode_ppm, encode_wav
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                if aid % 2 == 0:
+                    w, h = 8 + aid % 9, 8 + (aid * 3) % 9
+                    y, x = np.mgrid[0:h, 0:w]
+                    img = (x + y)[:, :, None] + np.arange(3)[None, None, :]
+                    payloads.append(encode_ppm(img.astype(np.uint8)))
+                else:
+                    n = 50 + aid % 200
+                    payloads.append(
+                        encode_wav((np.arange(n) % 7 - 3).astype(np.int16))
+                    )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "media": payloads})
+
+    return df_spread(documents.select("doc_id")).mapInPandas(run, schema=schema)
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """REAL decode -> integer content statistics per asset: format (by
+    magic bytes), image dims (0 for audio), value count / sum / min /
+    max over every decoded pixel or sample. All-integer output keeps the
+    contract bit-exact against a SQL oracle — no float summation order
+    to worry about. Proves the codec path end-to-end: a wrong header
+    parse, row stride, or channel order changes the sums."""
+    from dagster_etl_spark.operators.codecs import decode_media, sniff_format
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("fmt", StringType()),
+            StructField("img_w", IntegerType()),
+            StructField("img_h", IntegerType()),
+            StructField("n_values", LongType()),
+            StructField("sum_val", LongType()),
+            StructField("min_val", IntegerType()),
+            StructField("max_val", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["media"]):
+                raw = bytes(payload)
+                arr = decode_media(raw)
+                flat = arr.ravel().astype(np.int64)
+                img_w = arr.shape[1] if arr.ndim >= 2 else 0
+                img_h = arr.shape[0] if arr.ndim >= 2 else 0
+                rows.append(
+                    (
+                        int(aid),
+                        sniff_format(raw),
+                        img_w,
+                        img_h,
+                        flat.size,
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema=schema)
 
 
 # -- decode layer -------------------------------------------------------------

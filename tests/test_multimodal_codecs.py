@@ -146,3 +146,29 @@ def test_resize_media_mixed_formats(spark):
     assert np.array_equal(
         np.frombuffer(bytes(out[1].media), np.uint8).reshape(3, 3), lum[np.ix_(yi, xi)]
     )
+
+
+def test_synth_real_media_decode_stats(spark):
+    """End-to-end real-codec round trip through mapInPandas: synth PPM/
+    WAV container bytes -> magic-byte dispatch decode -> integer stats
+    matching the closed forms the DuckDB oracle uses."""
+    from dagster_etl_spark.operators.multimodal import (
+        decode_stats,
+        synth_real_media_table,
+    )
+
+    docs = spark.createDataFrame([(4,), (7,)], "doc_id long")
+    out = {r.asset_id: r for r in decode_stats(synth_real_media_table(docs)).collect()}
+
+    img = out[4]  # w = 8 + 4 % 9 = 12, h = 8 + 12 % 9 = 11
+    w, h = 12, 11
+    assert (img.fmt, img.img_w, img.img_h) == ("ppm", w, h)
+    assert img.n_values == w * h * 3
+    assert img.sum_val == 3 * (h * w * (w - 1) // 2 + w * h * (h - 1) // 2) + 3 * w * h
+    assert (img.min_val, img.max_val) == (0, w + h)
+
+    wav = out[7]  # n = 50 + 7 % 200 = 57, r = 57 % 7 = 1
+    assert (wav.fmt, wav.img_w, wav.img_h) == ("wav", 0, 0)
+    assert wav.n_values == 57
+    assert wav.sum_val == -3  # one leftover sample: 0 % 7 - 3
+    assert (wav.min_val, wav.max_val) == (-3, 3)
