@@ -17,6 +17,7 @@ from dagster_etl_spark.operators.item_master import enrich_item_master, stage_it
 from dagster_etl_spark.operators.wip import (
     priority_wip_aggregate,
     priority_wip_join,
+    priority_wip_preagg,
     wip_aggregate,
 )
 from dagster_etl_spark.registry import register
@@ -54,6 +55,8 @@ def q_wip_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lot_col="l_orderkey",
         status_col="l_returnflag",
         active_statuses=("N", "A"),
+        # known-wide key (status x supplier): skip the regime probe
+        single_shuffle=True,
     )
 
 
@@ -87,11 +90,15 @@ def _lineitem_with_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_wip",
     oracle=_PRIORITY_WIP_ORACLE,
     tags=("parity", "agg", "join", "bench"),
-    doc="A7 single-pass: WIP aggregate + HIGH-priority conditional count in one shuffle.",
+    doc="A7 aggregate-before-join: fact pre-aggregated to (group, lot) "
+    "grain on ONE shuffle, priority dim reduced to a 0/1 byte before "
+    "the broadcast, conditional count folded as sum(rows * flag).",
 )
 def q_priority_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return priority_wip_aggregate(
-        _lineitem_with_priority(spark, sf_dir),
+    return priority_wip_preagg(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        dim_key="o_orderkey",
         priority_col="o_orderpriority",
         high_value="1-URGENT",
         group_cols=("l_linestatus", "l_suppkey"),

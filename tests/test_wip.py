@@ -131,3 +131,63 @@ def test_wip_single_shuffle_plan_and_equivalence(spark):
     a = {key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot) for r in one.collect()}
     b = {key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot) for r in two.collect()}
     assert a == b
+
+
+def test_wip_single_shuffle_auto_regime(spark):
+    """single_shuffle=None probes the group-key width and picks the
+    right shape: a handful-of-groups rollup must NOT serialize onto
+    group-cardinality tasks (two balanced Exchanges), a wide key must
+    keep the one-Exchange plan."""
+    from pyspark.sql import functions as F
+
+    wide = spark.range(5000).select(
+        (F.col("id") % 1000).alias("g1"), (F.col("id") % 7).alias("g2"),
+        (F.col("id") % 97).alias("lot"), (F.col("id") % 5 + 1.0).alias("qty"),
+    )
+    # 2 x 1 = 2 distinct groups, below the 4 cores of the test session
+    narrow = wide.withColumn("g1", F.col("g1") % 2).withColumn(
+        "g2", F.col("g2") * 0
+    )
+    kw = dict(group_cols=("g1", "g2"), qty_col="qty", lot_col="lot",
+              status_col=None)
+    plan_wide = wip_aggregate(wide, **kw)._jdf.queryExecution().executedPlan().toString()
+    plan_narrow = wip_aggregate(narrow, **kw)._jdf.queryExecution().executedPlan().toString()
+    assert plan_wide.count("Exchange hashpartitioning") == 1, plan_wide
+    assert plan_narrow.count("Exchange hashpartitioning") == 2, plan_narrow
+
+
+def test_priority_wip_preagg_equals_single_pass(spark):
+    """Aggregate-before-join (priority_wip_preagg) must equal the
+    join-then-aggregate single-pass form on a fixture with multi-row
+    lots, mixed priorities, and a lot missing from the dimension
+    (inner-join semantics: its rows drop from both)."""
+    from dagster_etl_spark.operators.wip import priority_wip_preagg
+
+    rows = [
+        ("A", "p1", 10, 2.0, "IN_PROGRESS"),
+        ("A", "p1", 10, 3.0, "IN_PROGRESS"),
+        ("A", "p1", 11, 5.0, "COMPLETED"),
+        ("B", "p2", 12, 7.0, "IN_PROGRESS"),
+        ("B", "p2", 99, 1.0, "IN_PROGRESS"),  # lot 99 absent from dim
+        ("B", "p2", 12, 4.0, "SCRAPPED"),     # filtered by status
+    ]
+    df = spark.createDataFrame(
+        rows, "process_step string, product_code string, lot_id int, quantity double, status string"
+    )
+    dim = spark.createDataFrame(
+        [(10, "HIGH"), (11, "LOW"), (12, "HIGH")], "lot_key int, priority string"
+    )
+    a = priority_wip_preagg(df, dim, dim_key="lot_key")
+    # read the plan BEFORE executing: after collect() the adaptive final
+    # plan string repeats exchanges at materialized stage boundaries
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    joined = df.join(dim, df.lot_id == dim.lot_key)
+    b = priority_wip_aggregate(joined, priority_col="priority")
+    key = lambda r: (r.process_step, r.product_code)
+    fa = {key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot, r.high_priority_count)
+          for r in a.collect()}
+    fb = {key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot, r.high_priority_count)
+          for r in b.collect()}
+    assert fa == fb
