@@ -1,20 +1,24 @@
 """Pure stdlib+numpy media codecs: real byte->array decoding without
 PIL/ffmpeg/librosa (none of which ship in this container).
 
-Three container formats need no external codec library:
+Four container formats need no external codec library:
 
 * **PPM (P6) / PGM (P5)** — the netpbm formats are an ASCII header plus
   raw sample bytes;
 * **BMP** — uncompressed BITMAPINFOHEADER 8/24-bit, little-endian
   struct fields + padded bottom-up rows;
+* **PNG** (non-interlaced 8-bit gray/RGB/RGBA) — CRC'd chunks via
+  ``struct``, DEFLATE IDAT via stdlib ``zlib``, per-row filter
+  reversal (Sub/Up/Average/Paeth) implemented here;
 * **WAV** — RIFF chunks around raw PCM16/PCM8 frames (parsed with the
   stdlib ``wave`` module).
 
 These give the multimodal operators (multimodal.py) a REAL decode path
 end-to-end: actual image/audio bytes in a ``binary`` column, decoded
 inside ``mapInPandas``, features/resizes computed from true pixel or
-sample values. Formats that genuinely need codec libraries (png/jpeg,
-opus, av1) still raise — see :func:`sniff_format`.
+sample values. Formats that genuinely need codec libraries (jpeg,
+opus, av1, palette/16-bit/interlaced PNG) still raise — see
+:func:`sniff_format`.
 
 Encoders for the same formats are provided so tests and fixtures can
 synthesize valid payloads deterministically.
@@ -151,6 +155,128 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img.copy()
 
 
+# -- PNG ----------------------------------------------------------------------
+#
+# Non-interlaced 8-bit PNG is pure stdlib: the container is CRC'd
+# chunks (struct), the IDAT stream is DEFLATE (zlib), and the only
+# codec-specific work is reversing the per-row byte filters (spec
+# §6.2: None/Sub/Up/Average/Paeth). Grayscale (color type 0), RGB (2),
+# gray+alpha (4) and RGBA (6) at bit depth 8 cover the overwhelming
+# majority of real-world lossless images; palette (3), 16-bit and
+# Adam7 interlace still raise with a precise message.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w) gray or (h, w, 3|4) uint8 -> non-interlaced 8-bit PNG
+    (filter 0 rows, one zlib-deflated IDAT)."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, ch = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color, ch = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError("PNG encoder expects (h, w), (h, w, 3) or (h, w, 4) uint8")
+    h, w = img.shape[:2]
+    raw = img.reshape(h, w * ch)
+    scanlines = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(data: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse the per-row PNG filters. Sub/Up/Average/Paeth recurrences
+    are sequential in x and/or y; rows are vectorized where the filter
+    allows (None/Up), per-pixel otherwise — decode runs inside Arrow
+    batches, not per-row UDF calls, so this loop is per-image, bounded."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = data.reshape(h, stride + 1)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            res = cur
+        elif ftype == 2:  # Up
+            res = (cur + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            res = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = res[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ftype == 1:
+                    res[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:
+                    res[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    res[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = res.astype(np.uint8)
+    return out.reshape((h, w) if ch == 1 else (h, w, ch))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG bytes -> uint8 array: (h, w) for
+    grayscale, (h, w, 3|2|4) for RGB / gray+alpha / RGBA."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError(f"{depth}-bit PNG unsupported (8-bit only)")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"PNG color type {color} unsupported (palette needs PIL)")
+            if interlace != 0:
+                raise ValueError("Adam7-interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = _PNG_CHANNELS[color]
+    data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    if data.size != h * (w * ch + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    return _png_unfilter(data, h, w, ch)
+
+
 # -- WAV ----------------------------------------------------------------------
 
 
@@ -212,7 +338,7 @@ def sniff_format(payload: bytes) -> str:
 def decode_media(payload: bytes) -> np.ndarray:
     """Real decode for any supported container: image formats -> uint8
     pixel array, WAV -> int16 sample array. Raises on formats that need
-    an external codec (png/jpeg/ogg) — see multimodal.decode_real."""
+    an external codec (jpeg/ogg) — see multimodal.decode_real."""
     fmt = sniff_format(payload)
     if fmt in ("ppm", "pgm"):
         return decode_pnm(payload)
@@ -220,9 +346,11 @@ def decode_media(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "wav":
         return decode_wav(payload)[0]
+    if fmt == "png":
+        return decode_png(payload)
     raise NotImplementedError(
         f"format {fmt!r} needs an external codec library (PIL/ffmpeg); "
-        "supported here: ppm, pgm, bmp, wav"
+        "supported here: ppm, pgm, bmp, png, wav"
     )
 
 

@@ -19,7 +19,7 @@ Decode layer, two tiers:
   pure stdlib+numpy codecs in :mod:`.codecs` (``decode_real`` /
   ``codecs.image_decoder``), exercised end-to-end through
   ``mapInPandas`` in tests on actual bytes;
-* STUB — for codec-library formats (png/jpeg/opus/av1; PIL/ffmpeg are
+* STUB — for codec-library formats (jpeg/opus/av1; PIL/ffmpeg are
   not in this container) ``decode_stub`` derives deterministic fake
   pixels from the payload, keeping features SQL-reproducible for the
   DuckDB oracle. Schemas, batch iteration, output shapes and row
@@ -116,15 +116,16 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 def synth_real_media_table(documents: DataFrame) -> DataFrame:
     """Deterministic REAL-codec media table from the documents fixture:
-    even doc_ids carry an actual binary PPM image (pixel[y, x, c] =
-    x + y + c; dims 8..16 from doc_id), odd doc_ids an actual PCM16 WAV
-    (sample[i] = i % 7 - 3; 50..249 samples from doc_id). The payloads
-    are genuine container bytes produced by :mod:`.codecs` encoders, so
-    downstream operators exercise the full parse-header/reverse-layout
-    decode path — while every derived statistic stays a closed form of
-    doc_id for the DuckDB oracle (see queries_multimodal).
+    doc_id % 3 picks the container — 0: binary PPM (pixel[y, x, c] =
+    x + y + c, dims 8..16 from doc_id), 1: PCM16 WAV (sample[i] =
+    i % 7 - 3, 50..249 samples), 2: non-interlaced grayscale PNG
+    (pixel[y, x] = x + y, DEFLATE IDAT). The payloads are genuine
+    container bytes produced by :mod:`.codecs` encoders, so downstream
+    operators exercise the full parse-header/inflate/unfilter decode
+    path — while every derived statistic stays a closed form of doc_id
+    for the DuckDB oracle (see queries_multimodal).
     Arrow-batched mapInPandas, same plumbing as every decode operator."""
-    from dagster_etl_spark.operators.codecs import encode_ppm, encode_wav
+    from dagster_etl_spark.operators.codecs import encode_png, encode_ppm, encode_wav
 
     schema = StructType(
         [
@@ -138,16 +139,21 @@ def synth_real_media_table(documents: DataFrame) -> DataFrame:
             payloads = []
             for aid in pdf["doc_id"]:
                 aid = int(aid)
-                if aid % 2 == 0:
+                kind = aid % 3
+                if kind == 0:
                     w, h = 8 + aid % 9, 8 + (aid * 3) % 9
                     y, x = np.mgrid[0:h, 0:w]
                     img = (x + y)[:, :, None] + np.arange(3)[None, None, :]
                     payloads.append(encode_ppm(img.astype(np.uint8)))
-                else:
+                elif kind == 1:
                     n = 50 + aid % 200
                     payloads.append(
                         encode_wav((np.arange(n) % 7 - 3).astype(np.int16))
                     )
+                else:
+                    w, h = 8 + aid % 9, 8 + (aid * 3) % 9
+                    y, x = np.mgrid[0:h, 0:w]
+                    payloads.append(encode_png((x + y).astype(np.uint8)))
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "media": payloads})
 
     return df_spread(documents.select("doc_id")).mapInPandas(run, schema=schema)
@@ -216,7 +222,7 @@ def decode_real(payload: bytes, media_type: str) -> np.ndarray:
     """Real decode. PPM/PGM/BMP images and PCM WAV audio decode with
     the pure stdlib+numpy codecs in :mod:`..operators.codecs` — actual
     bytes to actual pixels/samples, no external library. Formats that
-    need a codec library (png/jpeg/opus/av1) raise NotImplementedError
+    need a codec library (jpeg/opus/av1) raise NotImplementedError
     with the production wiring (PIL.Image.open for images,
     soundfile.read for audio, av.open for video); the mapInPandas
     plumbing is decoder-agnostic — pass decoder=."""

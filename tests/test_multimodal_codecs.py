@@ -68,8 +68,9 @@ def test_sniff_format():
 def test_decode_real_dispatch_and_unsupported():
     img = _rgb(3, 3)
     assert np.array_equal(decode_real(codecs.encode_bmp(img), "image"), img)
+    assert np.array_equal(decode_real(codecs.encode_png(img), "image"), img)
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG\r\n\x1a\npretend-png", "image")
+        decode_real(b"\xff\xd8\xffpretend-jpeg", "image")
 
 
 # -- end-to-end through Spark mapInPandas on real bytes ----------------------
@@ -157,18 +158,136 @@ def test_synth_real_media_decode_stats(spark):
         synth_real_media_table,
     )
 
-    docs = spark.createDataFrame([(4,), (7,)], "doc_id long")
+    docs = spark.createDataFrame([(6,), (7,), (8,)], "doc_id long")
     out = {r.asset_id: r for r in decode_stats(synth_real_media_table(docs)).collect()}
 
-    img = out[4]  # w = 8 + 4 % 9 = 12, h = 8 + 12 % 9 = 11
-    w, h = 12, 11
+    img = out[6]  # kind 0: w = 8 + 6 % 9 = 14, h = 8 + 18 % 9 = 8
+    w, h = 14, 8
     assert (img.fmt, img.img_w, img.img_h) == ("ppm", w, h)
     assert img.n_values == w * h * 3
     assert img.sum_val == 3 * (h * w * (w - 1) // 2 + w * h * (h - 1) // 2) + 3 * w * h
     assert (img.min_val, img.max_val) == (0, w + h)
 
-    wav = out[7]  # n = 50 + 7 % 200 = 57, r = 57 % 7 = 1
+    wav = out[7]  # kind 1: n = 50 + 7 % 200 = 57, r = 57 % 7 = 1
     assert (wav.fmt, wav.img_w, wav.img_h) == ("wav", 0, 0)
     assert wav.n_values == 57
     assert wav.sum_val == -3  # one leftover sample: 0 % 7 - 3
     assert (wav.min_val, wav.max_val) == (-3, 3)
+
+    png = out[8]  # kind 2: w = 8 + 8 % 9 = 16, h = 8 + 24 % 9 = 14
+    w, h = 16, 14
+    assert (png.fmt, png.img_w, png.img_h) == ("png", w, h)
+    assert png.n_values == w * h
+    assert png.sum_val == h * w * (w - 1) // 2 + w * h * (h - 1) // 2
+    assert (png.min_val, png.max_val) == (0, w + h - 2)
+
+
+# -- PNG ----------------------------------------------------------------------
+
+def _png_with_filters(img: np.ndarray, ftypes) -> bytes:
+    """Reference PNG writer applying a GIVEN filter type per row —
+    exercises the decoder's Sub/Up/Average/Paeth reversal, which the
+    engine's encoder (always filter 0) never produces."""
+    import struct as st
+    import zlib
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    raw = img.reshape(h, w * ch).astype(np.int32)
+    lines = bytearray()
+    for y, ft in zip(range(h), ftypes):
+        cur = raw[y]
+        prev = raw[y - 1] if y > 0 else np.zeros(w * ch, np.int32)
+        filt = np.empty(w * ch, np.int32)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b, c = prev[x], (prev[x - ch] if x >= ch else 0)
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        lines += bytes([ft]) + filt.astype(np.uint8).tobytes()
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip_gray_rgb_rgba():
+    gray = _rgb(6, 5)[:, :, 0]
+    rgb = _rgb(4, 7, seed=11)
+    rgba = np.dstack([_rgb(3, 4, seed=13), _rgb(3, 4, seed=17)[:, :, :1]])
+    for img in (gray, rgb, rgba):
+        assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+    assert codecs.sniff_format(codecs.encode_png(rgb)) == "png"
+
+
+def test_png_all_filter_types_reverse():
+    """Every PNG row filter (None/Sub/Up/Average/Paeth) must reverse to
+    the original pixels, gray and RGB."""
+    for img in (_rgb(5, 6, seed=23)[:, :, 0], _rgb(5, 6, seed=29)):
+        payload = _png_with_filters(img, [0, 1, 2, 3, 4])
+        assert np.array_equal(codecs.decode_png(payload), img)
+
+
+def test_png_unsupported_variants_raise():
+    import struct as st
+    import zlib
+
+    def png(depth=8, color=0, interlace=0):
+        ihdr = st.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        def chunk(tag, body):
+            return st.pack(">I", len(body)) + tag + body + st.pack(
+                ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+            )
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)
+        ) + chunk(b"IEND", b"")
+
+    with pytest.raises(ValueError, match="16-bit"):
+        codecs.decode_png(png(depth=16))
+    with pytest.raises(ValueError, match="palette"):
+        codecs.decode_png(png(color=3))
+    with pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_png(png(interlace=1))
+
+
+def test_png_flows_through_spark_operators(spark):
+    """PNG payloads decode for real inside mapInPandas: features from
+    true pixel values and a golden nearest-neighbor resize."""
+    img = _rgb(8, 8, seed=31)
+    rows = [(1, codecs.encode_png(img), ("image", 8, 8, 0, "png"))]
+    feats = (
+        extract_features(_media_df(spark, rows), dim=2, decoder=codecs.image_decoder)
+        .collect()
+    )
+    lum = img.mean(axis=2).astype(np.uint8).ravel().astype(np.float32)
+    want = [float(b.mean()) for b in np.array_split(lum, 2)]
+    assert feats[0].features == pytest.approx(want, abs=1e-4)
+
+    out = resize_media(
+        _media_df(spark, rows), out_w=4, out_h=4, decoder=codecs.image_decoder
+    ).collect()[0]
+    got = np.frombuffer(out.media, np.uint8).reshape(4, 4)
+    lum2 = img.mean(axis=2).astype(np.uint8)
+    yi = (np.arange(4) * 8) // 4
+    assert np.array_equal(got, lum2[np.ix_(yi, yi)])
