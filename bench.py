@@ -116,6 +116,9 @@ def main() -> None:
                 "queries": timings,
                 "extra": extra,
                 "sf": sf_of(SF_DIR),
+                # sampling mode, for round-over-round comparability:
+                # r1-r3 were single warm samples, r4+ best-of-2
+                "samples": 2,
             }
         )
     )

@@ -328,10 +328,17 @@ def connected_components(
     cluster_id = min doc id of the component.
 
     This is the step after pair generation in a real dedup pipeline
-    (keep one doc per cluster). Each iteration is one join + one
-    aggregate on (node, label) — the standard large-graph CC shape;
-    near-dup graphs converge in a few rounds because components are
-    tiny (dup clusters), so the loop exits early on a fixpoint check.
+    (keep one doc per cluster). Each iteration hops the min label one
+    edge (join + aggregate on (node, label)) and then POINTER-JUMPS:
+    ``label <- label(label)`` via a self-join of the label table, the
+    hash-min + path-compression scheme — so convergence is
+    O(log diameter) rounds, not O(diameter). Without the jump a
+    200-node chain needs 200 rounds and a capped loop would return
+    silently wrong labels (caught by the union-find property test);
+    with it the same chain converges in ~8. Near-dup graphs (tiny
+    components) still exit on the fixpoint check after 2-3 rounds.
+    If ``max_iter`` rounds pass without a fixpoint the function raises
+    rather than return a wrong clustering.
 
     Lineage is truncated with ``localCheckpoint`` every
     ``checkpoint_every`` rounds: persist() alone keeps the full
@@ -360,15 +367,26 @@ def connected_components(
         .persist()
     )
     try:
+        converged = False
         for it in range(max_iter):
-            # each node adopts the min label in its closed neighborhood
+            # hop: each node adopts the min label in its closed neighborhood
             neighbor_labels = (
                 edges.join(labels, on=F.col("dst") == F.col("node"))
                 .selectExpr("src AS node", "label")
                 .unionByName(labels)
             )
-            new_labels = neighbor_labels.groupBy("node").agg(
+            hopped = neighbor_labels.groupBy("node").agg(
                 F.min("label").alias("label")
+            )
+            # jump: label <- label(label). Every label value is a node id
+            # (labels are closed-neighborhood minima over symmetric
+            # edges, so the label node always has its own row) and
+            # label(m) <= m, so the inner self-join is total and
+            # monotone — this halves pointer depth each round.
+            jumped = hopped.selectExpr("node AS __jn", "label AS __jl")
+            new_labels = (
+                hopped.join(jumped, on=F.col("label") == F.col("__jn"))
+                .selectExpr("node", "__jl AS label")
             )
             if (it + 1) % checkpoint_every == 0:
                 # materialize + cut the plan: downstream rounds see a
@@ -385,7 +403,13 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not reach a fixpoint in {max_iter} "
+                "rounds — raise max_iter (convergence is O(log diameter))"
+            )
     finally:
         # labels is materialized by the fixpoint count above; dropping
         # the edge cache only costs a recompute if labels is ever evicted

@@ -226,3 +226,76 @@ def test_table_diff_matches_dict_diff(spark, left, right):
         elif left[k] != right[k]:
             want[k] = "different"
     assert got == want
+
+
+# -- connected components vs a union-find model -------------------------------
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find_components(edges):
+    """Model: classic union-find; component label = min node id."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    groups = {}
+    for node in list(parent):
+        groups.setdefault(find(node), set()).add(node)
+    return {node: min(members) for members in groups.values() for node in members}
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label propagation (localCheckpoint lineage
+    truncation included) must agree with a union-find model on random
+    graphs — self-loops, duplicate and reversed edges included."""
+    from dagster_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iter=40).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_connected_components_large_random_graph(spark):
+    """One ~1k-edge seeded graph (long path chains + dense pockets +
+    isolated pairs) — exercises multi-round convergence and the
+    checkpoint cadence, validated against the same union-find model."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(0, 200)]  # one long chain
+    edges += [(rng.randrange(300, 340), rng.randrange(300, 340)) for _ in range(400)]
+    edges += [(1000 + 2 * i, 1001 + 2 * i) for i in range(200)]  # isolated pairs
+    edges += [(rng.randrange(0, 1500), rng.randrange(0, 1500)) for _ in range(200)]
+    from dagster_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iter=60).collect()
+    }
+    assert got == _union_find_components(edges)
