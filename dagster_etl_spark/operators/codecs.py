@@ -16,9 +16,10 @@ Four container formats need no external codec library:
 These give the multimodal operators (multimodal.py) a REAL decode path
 end-to-end: actual image/audio bytes in a ``binary`` column, decoded
 inside ``mapInPandas``, features/resizes computed from true pixel or
-sample values. Formats that genuinely need codec libraries (jpeg,
-opus, av1, palette/16-bit/interlaced PNG) still raise — see
-:func:`sniff_format`.
+sample values. Baseline sequential JPEG decodes too (see
+:mod:`.codecs_jpeg` — Huffman + IDCT in numpy). Formats that genuinely
+need codec libraries (opus, av1, progressive JPEG,
+palette/16-bit/interlaced PNG) still raise — see :func:`sniff_format`.
 
 Encoders for the same formats are provided so tests and fixtures can
 synthesize valid payloads deterministically.
@@ -338,7 +339,7 @@ def sniff_format(payload: bytes) -> str:
 def decode_media(payload: bytes) -> np.ndarray:
     """Real decode for any supported container: image formats -> uint8
     pixel array, WAV -> int16 sample array. Raises on formats that need
-    an external codec (jpeg/ogg) — see multimodal.decode_real."""
+    an external codec (ogg/opus, video) — see multimodal.decode_real."""
     fmt = sniff_format(payload)
     if fmt in ("ppm", "pgm"):
         return decode_pnm(payload)
@@ -348,9 +349,13 @@ def decode_media(payload: bytes) -> np.ndarray:
         return decode_wav(payload)[0]
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jpeg":
+        from dagster_etl_spark.operators.codecs_jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        f"format {fmt!r} needs an external codec library (PIL/ffmpeg); "
-        "supported here: ppm, pgm, bmp, png, wav"
+        f"format {fmt!r} needs an external codec library (ffmpeg/libopus); "
+        "supported here: ppm, pgm, bmp, png, jpeg, wav"
     )
 
 

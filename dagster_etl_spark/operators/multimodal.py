@@ -19,7 +19,7 @@ Decode layer, two tiers:
   pure stdlib+numpy codecs in :mod:`.codecs` (``decode_real`` /
   ``codecs.image_decoder``), exercised end-to-end through
   ``mapInPandas`` in tests on actual bytes;
-* STUB — for codec-library formats (jpeg/opus/av1; PIL/ffmpeg are
+* STUB — for codec-library formats (opus/av1; ffmpeg et al. are
   not in this container) ``decode_stub`` derives deterministic fake
   pixels from the payload, keeping features SQL-reproducible for the
   DuckDB oracle. Schemas, batch iteration, output shapes and row
@@ -116,16 +116,21 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 def synth_real_media_table(documents: DataFrame) -> DataFrame:
     """Deterministic REAL-codec media table from the documents fixture:
-    doc_id % 3 picks the container — 0: binary PPM (pixel[y, x, c] =
+    doc_id % 4 picks the container — 0: binary PPM (pixel[y, x, c] =
     x + y + c, dims 8..16 from doc_id), 1: PCM16 WAV (sample[i] =
     i % 7 - 3, 50..249 samples), 2: non-interlaced grayscale PNG
-    (pixel[y, x] = x + y, DEFLATE IDAT). The payloads are genuine
-    container bytes produced by :mod:`.codecs` encoders, so downstream
-    operators exercise the full parse-header/inflate/unfilter decode
-    path — while every derived statistic stays a closed form of doc_id
-    for the DuckDB oracle (see queries_multimodal).
+    (pixel[y, x] = x + y, DEFLATE IDAT), 3: baseline JPEG at quality
+    100 with per-8x8-block-constant pixels (value = doc_id % 200 +
+    7*bx + 13*by < 256) — DC-only blocks with unit quantization make
+    the lossy codec BIT-EXACT, so even JPEG joins the closed-form
+    oracle. The payloads are genuine container bytes produced by
+    :mod:`.codecs` / :mod:`.codecs_jpeg` encoders, so downstream
+    operators exercise the full parse-header/inflate/unfilter/
+    entropy-decode path — while every derived statistic stays a closed
+    form of doc_id for the DuckDB oracle (see queries_multimodal).
     Arrow-batched mapInPandas, same plumbing as every decode operator."""
     from dagster_etl_spark.operators.codecs import encode_png, encode_ppm, encode_wav
+    from dagster_etl_spark.operators.codecs_jpeg import encode_jpeg
 
     schema = StructType(
         [
@@ -139,7 +144,7 @@ def synth_real_media_table(documents: DataFrame) -> DataFrame:
             payloads = []
             for aid in pdf["doc_id"]:
                 aid = int(aid)
-                kind = aid % 3
+                kind = aid % 4
                 if kind == 0:
                     w, h = 8 + aid % 9, 8 + (aid * 3) % 9
                     y, x = np.mgrid[0:h, 0:w]
@@ -150,10 +155,16 @@ def synth_real_media_table(documents: DataFrame) -> DataFrame:
                     payloads.append(
                         encode_wav((np.arange(n) % 7 - 3).astype(np.int16))
                     )
-                else:
+                elif kind == 2:
                     w, h = 8 + aid % 9, 8 + (aid * 3) % 9
                     y, x = np.mgrid[0:h, 0:w]
                     payloads.append(encode_png((x + y).astype(np.uint8)))
+                else:
+                    wb, hb = 1 + aid % 3, 1 + (aid * 3) % 3
+                    by, bx = np.mgrid[0:hb, 0:wb]
+                    blocks = (aid % 200 + 7 * bx + 13 * by).astype(np.uint8)
+                    img = blocks.repeat(8, axis=0).repeat(8, axis=1)
+                    payloads.append(encode_jpeg(img, quality=100))
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "media": payloads})
 
     return df_spread(documents.select("doc_id")).mapInPandas(run, schema=schema)
@@ -222,7 +233,7 @@ def decode_real(payload: bytes, media_type: str) -> np.ndarray:
     """Real decode. PPM/PGM/BMP images and PCM WAV audio decode with
     the pure stdlib+numpy codecs in :mod:`..operators.codecs` — actual
     bytes to actual pixels/samples, no external library. Formats that
-    need a codec library (jpeg/opus/av1) raise NotImplementedError
+    need a codec library (opus/av1) raise NotImplementedError
     with the production wiring (PIL.Image.open for images,
     soundfile.read for audio, av.open for video); the mapInPandas
     plumbing is decoder-agnostic — pass decoder=."""

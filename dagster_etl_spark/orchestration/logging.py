@@ -202,3 +202,22 @@ def get_logger(component: str, **fields: Any) -> EtlLogger:
     ``etl_logger`` but namespaced (extract/transform/load/validate each
     get their own logger name under the engine root)."""
     return EtlLogger(component, fields)
+
+
+def log_records_hook(log: EtlLogger | None = None):
+    """The reverse bridge: a ``RunContext`` step hook that emits every
+    ``ctx.record(...)`` as a JSON log event, so an existing
+    PipelineRunner gains structured logging with zero changes —
+    ``RunContext(hooks=[log_records_hook()])``. Failure records log at
+    ERROR, everything else at INFO."""
+    log = log or get_logger("pipeline")
+
+    def hook(rec: dict[str, Any]) -> None:
+        fields = {k: v for k, v in rec.items() if k != "ts"}
+        stage = rec.get("stage", "step")
+        if rec.get("status") == "failure":
+            log.error(f"{stage} failed", **fields)
+        else:
+            log.info(f"{stage} {rec.get('status', 'event')}", **fields)
+
+    return hook

@@ -118,31 +118,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Real-codec decode stats — every statistic is a closed form of doc_id
 # (see synth_real_media_table: PPM pixel[y,x,c] = x+y+c, WAV sample[i]
-# = i%7-3, PNG gray pixel[y,x] = x+y), so the oracle recomputes the
-# decoded content analytically. Integer-only output: no float summation
-# order to match.
+# = i%7-3, PNG gray pixel[y,x] = x+y, JPEG q100 block-constant value
+# v0 + 7*bx + 13*by with v0 = doc_id % 200 — DC-only + unit quant =
+# bit-exact), so the oracle recomputes the decoded content
+# analytically. Integer-only output: no float summation order to match.
 _DECODE_STATS_ORACLE = """
 WITH p AS (
-  SELECT doc_id, CAST(doc_id % 3 AS INT) AS kind,
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS kind,
          CAST(8 + doc_id % 9 AS BIGINT) AS w,
          CAST(8 + (doc_id * 3) % 9 AS BIGINT) AS h,
-         CAST(50 + doc_id % 200 AS BIGINT) AS n
+         CAST(50 + doc_id % 200 AS BIGINT) AS n,
+         CAST(1 + doc_id % 3 AS BIGINT) AS wb,
+         CAST(1 + (doc_id * 3) % 3 AS BIGINT) AS hb,
+         CAST(doc_id % 200 AS BIGINT) AS v0
   FROM documents
 )
 SELECT doc_id AS asset_id,
-       CASE kind WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'png' END AS fmt,
-       CAST(CASE WHEN kind = 1 THEN 0 ELSE w END AS INT) AS img_w,
-       CAST(CASE WHEN kind = 1 THEN 0 ELSE h END AS INT) AS img_h,
-       CAST(CASE kind WHEN 0 THEN w * h * 3 WHEN 1 THEN n ELSE w * h
-            END AS BIGINT) AS n_values,
+       CASE kind WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'png'
+            ELSE 'jpeg' END AS fmt,
+       CAST(CASE kind WHEN 1 THEN 0 WHEN 3 THEN 8 * wb ELSE w END AS INT) AS img_w,
+       CAST(CASE kind WHEN 1 THEN 0 WHEN 3 THEN 8 * hb ELSE h END AS INT) AS img_h,
+       CAST(CASE kind WHEN 0 THEN w * h * 3 WHEN 1 THEN n WHEN 2 THEN w * h
+            ELSE 64 * wb * hb END AS BIGINT) AS n_values,
        CAST(CASE kind
             WHEN 0 THEN 3 * (h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2)) + 3 * w * h
             WHEN 1 THEN ((n % 7) * ((n % 7) - 1)) // 2 - 3 * (n % 7)
-            ELSE h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2)
+            WHEN 2 THEN h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2)
+            ELSE 64 * (wb * hb * v0 + 7 * hb * ((wb * (wb - 1)) // 2)
+                       + 13 * wb * ((hb * (hb - 1)) // 2))
             END AS BIGINT) AS sum_val,
-       CAST(CASE WHEN kind = 1 THEN -3 ELSE 0 END AS INT) AS min_val,
-       CAST(CASE kind WHEN 0 THEN w + h WHEN 1 THEN 3 ELSE w + h - 2
-            END AS INT) AS max_val
+       CAST(CASE kind WHEN 1 THEN -3 WHEN 3 THEN v0 ELSE 0 END AS INT) AS min_val,
+       CAST(CASE kind WHEN 0 THEN w + h WHEN 1 THEN 3 WHEN 2 THEN w + h - 2
+            ELSE v0 + 7 * (wb - 1) + 13 * (hb - 1) END AS INT) AS max_val
 FROM p
 """
 
@@ -151,12 +158,14 @@ FROM p
     "media_decode_stats",
     oracle=_DECODE_STATS_ORACLE,
     tags=("llm", "multimodal", "codecs"),
-    doc="REAL codec round-trip: genuine PPM/WAV/PNG container bytes "
-    "(codecs.encode_*) decoded back by magic-byte dispatch "
-    "(codecs.decode_media) inside Arrow-batched mapInPandas; integer "
-    "content stats (count/sum/min/max over every pixel/sample) match "
-    "the closed-form oracle, proving header parse, DEFLATE inflate, "
-    "filter reversal, row layout and sample width end-to-end.",
+    doc="REAL codec round-trip: genuine PPM/WAV/PNG/JPEG container "
+    "bytes (codecs/codecs_jpeg encoders) decoded back by magic-byte "
+    "dispatch (codecs.decode_media) inside Arrow-batched mapInPandas; "
+    "integer content stats (count/sum/min/max over every pixel/sample) "
+    "match the closed-form oracle, proving header parse, DEFLATE "
+    "inflate, filter reversal, Huffman entropy decode + IDCT (JPEG "
+    "made bit-exact via q100 DC-only blocks), row layout and sample "
+    "width end-to-end.",
 )
 def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.multimodal import (

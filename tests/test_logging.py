@@ -105,3 +105,19 @@ def test_configure_idempotent(capture):
     configure(stream=capture)
     get_logger("x").info("once")
     assert len(events(capture)) == 1
+
+
+def test_log_records_hook_bridges_runner_records(capture):
+    """An existing RunContext gains JSON logging with zero runner
+    changes: records fan out through the hook as structured events."""
+    from dagster_etl_spark.orchestration.logging import log_records_hook
+
+    ctx = RunContext(hooks=[log_records_hook()])
+    ctx.record(tenant="t1", pipeline="orders", stage="extract",
+               status="success", rows=120, elapsed_sec=0.8)
+    ctx.record(tenant="t1", pipeline="orders", stage="run",
+               status="failure", error="boom")
+    ev = events(capture)
+    assert ev[0]["message"] == "extract success"
+    assert (ev[0]["rows"], ev[0]["tenant"]) == (120, "t1")
+    assert ev[1]["level"] == "error" and ev[1]["error"] == "boom"

@@ -70,7 +70,7 @@ def test_decode_real_dispatch_and_unsupported():
     assert np.array_equal(decode_real(codecs.encode_bmp(img), "image"), img)
     assert np.array_equal(decode_real(codecs.encode_png(img), "image"), img)
     with pytest.raises(NotImplementedError):
-        decode_real(b"\xff\xd8\xffpretend-jpeg", "image")
+        decode_real(b"OggSpretend-opus", "audio")
 
 
 # -- end-to-end through Spark mapInPandas on real bytes ----------------------
@@ -158,28 +158,35 @@ def test_synth_real_media_decode_stats(spark):
         synth_real_media_table,
     )
 
-    docs = spark.createDataFrame([(6,), (7,), (8,)], "doc_id long")
+    docs = spark.createDataFrame([(8,), (5,), (6,), (7,)], "doc_id long")
     out = {r.asset_id: r for r in decode_stats(synth_real_media_table(docs)).collect()}
 
-    img = out[6]  # kind 0: w = 8 + 6 % 9 = 14, h = 8 + 18 % 9 = 8
-    w, h = 14, 8
+    img = out[8]  # kind 0: w = 8 + 8 % 9 = 16, h = 8 + 24 % 9 = 14
+    w, h = 16, 14
     assert (img.fmt, img.img_w, img.img_h) == ("ppm", w, h)
     assert img.n_values == w * h * 3
     assert img.sum_val == 3 * (h * w * (w - 1) // 2 + w * h * (h - 1) // 2) + 3 * w * h
     assert (img.min_val, img.max_val) == (0, w + h)
 
-    wav = out[7]  # kind 1: n = 50 + 7 % 200 = 57, r = 57 % 7 = 1
+    wav = out[5]  # kind 1: n = 50 + 5 % 200 = 55, r = 55 % 7 = 6
     assert (wav.fmt, wav.img_w, wav.img_h) == ("wav", 0, 0)
-    assert wav.n_values == 57
-    assert wav.sum_val == -3  # one leftover sample: 0 % 7 - 3
+    assert wav.n_values == 55
+    assert wav.sum_val == 6 * 5 // 2 - 3 * 6  # leftover samples 0..5 -> -3
     assert (wav.min_val, wav.max_val) == (-3, 3)
 
-    png = out[8]  # kind 2: w = 8 + 8 % 9 = 16, h = 8 + 24 % 9 = 14
-    w, h = 16, 14
+    png = out[6]  # kind 2: w = 8 + 6 % 9 = 14, h = 8 + 18 % 9 = 8
+    w, h = 14, 8
     assert (png.fmt, png.img_w, png.img_h) == ("png", w, h)
     assert png.n_values == w * h
     assert png.sum_val == h * w * (w - 1) // 2 + w * h * (h - 1) // 2
     assert (png.min_val, png.max_val) == (0, w + h - 2)
+
+    jpg = out[7]  # kind 3: wb = 1 + 7 % 3 = 2, hb = 1 + 21 % 3 = 1, v0 = 7
+    wb, hb, v0 = 2, 1, 7
+    assert (jpg.fmt, jpg.img_w, jpg.img_h) == ("jpeg", 8 * wb, 8 * hb)
+    assert jpg.n_values == 64 * wb * hb
+    assert jpg.sum_val == 64 * (wb * hb * v0 + 7 * hb * (wb * (wb - 1) // 2))
+    assert (jpg.min_val, jpg.max_val) == (v0, v0 + 7 * (wb - 1))
 
 
 # -- PNG ----------------------------------------------------------------------
