@@ -47,6 +47,79 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def compaction_plan(
+    spark, path: str, target_file_mb: int = 128, slack: float = 1.2
+) -> dict:
+    """Inspect a parquet directory and decide whether a compaction
+    rewrite pays: returns file count, data bytes, the target file
+    count at ``target_file_mb``, and ``rewrite`` (True when the
+    directory has more than ``slack``× the target count). Driver-side
+    metadata listing only — no data is read."""
+    fs, hpath = _hadoop_fs(spark, path)
+    files = [
+        s
+        for s in fs.listStatus(hpath)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    total = sum(s.getLen() for s in files)
+    target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    return {
+        "files": len(files),
+        "bytes": total,
+        "target_files": int(target),
+        "rewrite": len(files) > target * slack,
+    }
+
+
+def compact_parquet(
+    spark, path: str, target_file_mb: int = 128, slack: float = 1.2
+) -> dict:
+    """Small-file compaction — the lake-maintenance op every streaming
+    or per-partition ingest needs at scale (micro-batches and daily
+    partition appends accrete kilobyte files whose per-file open/seek
+    cost eventually dominates scans; open-table formats run the same
+    rewrite as OPTIMIZE / rewrite_data_files).
+
+    Coalesces the directory to ``ceil(bytes / target_file_mb)`` files
+    via ``coalesce`` (no shuffle — partitions merge on read) written to
+    a sibling temp dir, then swaps it in. The temp write fully
+    materializes BEFORE the original is touched, so a mid-swap failure
+    leaves either the old or the new complete data, never a mix of
+    half-written state; the directory swap itself is two FS renames and
+    is not atomic on object stores — run from a single maintenance job
+    (the same operational contract as Delta/Iceberg compaction).
+    No-ops (rewrite=False) when the directory is already within
+    ``slack``× of target, so scheduling it idempotently is free."""
+    plan = compaction_plan(spark, path, target_file_mb, slack)
+    if not plan["rewrite"]:
+        return {**plan, "rewritten": False}
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        spark.read.parquet(path)
+        .coalesce(plan["target_files"])
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    fs, hpath = _hadoop_fs(spark, path)
+    jvm = spark._jvm
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__pre_compact")
+    fs.delete(old, True)
+    if not fs.rename(hpath, old):
+        raise IOError(f"compaction swap failed renaming {path}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compaction swap failed installing {tmp}")
+    fs.delete(old, True)
+    return {**plan, "rewritten": True}
+
+
 def zvalue_expr(cols: Sequence[str], bits: int = 16) -> Column:
     """Z-order (Morton) interleave of up to 4 numeric columns, as pure
     JVM expressions: each column is rank-normalized OUTSIDE this

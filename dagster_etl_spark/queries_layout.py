@@ -185,3 +185,36 @@ def q_dbt_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.createOrReplaceTempView("src_orders_batch")
     out = compiled.run(spark, lake_root=lake)["inc_orders"]
     return out.select("o_orderkey", "o_custkey", "o_totalprice", "priority_class")
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction: content preservation proven against the source.
+
+_COMPACT_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@register(
+    "compacted_scan",
+    oracle=_COMPACT_ORACLE,
+    tags=("layout", "maintenance"),
+    doc="Lake maintenance: the documents table is exploded into ~48 "
+    "kilobyte-scale files (the accreted-micro-batch pathology), "
+    "compact_parquet coalesces them to the byte-target file count via "
+    "a materialize-then-swap rewrite, and the compacted directory must "
+    "scan back row-identical to the source table.",
+)
+def q_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dagster_etl_spark.plans.layout import compact_parquet, compaction_plan
+
+    path = tempfile.mkdtemp(prefix="compact_scan_") + "/documents"
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(48).write.mode("overwrite").parquet(path)
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["rewritten"] and compaction_plan(spark, path)["files"] < 48
+    return spark.read.parquet(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

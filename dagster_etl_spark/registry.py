@@ -84,6 +84,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "zorder_span_stats",
     "dbt_incremental_orders",
     "media_decode_stats",
+    "compacted_scan",
     "priority_wip",
     "equipment_unpivot",
     "funnel_conversion",

@@ -116,3 +116,42 @@ def test_zvalue_bits_overflow_guard():
     with pytest.raises(ValueError, match="63"):
         zvalue_expr(["a", "b", "c", "d"], bits=16)
     zvalue_expr(["a", "b", "c"], bits=21)  # 63 exactly: allowed
+
+
+def test_compact_parquet_preserves_content_and_reduces_files(spark, tmp_path):
+    """64 tiny files -> compaction merges them to the byte-target count,
+    content row-identical, and an immediate re-run no-ops."""
+    from dagster_etl_spark.plans.layout import compact_parquet, compaction_plan
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS k", "md5(string(id)) AS v")
+    df.repartition(64).write.parquet(path)
+    before = sorted((r.id, r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert compaction_plan(spark, path)["files"] == 64
+
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["rewritten"] and stats["target_files"] == 1
+    after_plan = compaction_plan(spark, path)
+    assert after_plan["files"] == 1
+    after = sorted((r.id, r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert after == before
+
+    again = compact_parquet(spark, path, target_file_mb=128)
+    assert not again["rewritten"]  # idempotent no-op
+
+
+def test_compact_parquet_respects_target_size(spark, tmp_path):
+    """A directory larger than one target file compacts to multiple
+    files sized by the byte budget, not to a single giant file."""
+    from dagster_etl_spark.plans.layout import compact_parquet, compaction_plan
+
+    path = str(tmp_path / "big")
+    spark.range(200_000).selectExpr(
+        "id", "md5(string(id)) AS a", "md5(string(id + 1)) AS b"
+    ).repartition(40).write.parquet(path)
+    total_mb = compaction_plan(spark, path)["bytes"] / 1024 / 1024
+    target_mb = max(1, int(total_mb / 3) + 1)
+    stats = compact_parquet(spark, path, target_file_mb=target_mb)
+    assert stats["rewritten"]
+    got = compaction_plan(spark, path)["files"]
+    assert 2 <= got <= 4
