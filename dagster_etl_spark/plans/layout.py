@@ -79,7 +79,11 @@ def compaction_plan(
 
 
 def compact_parquet(
-    spark, path: str, target_file_mb: int = 128, slack: float = 1.2
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    slack: float = 1.2,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict:
     """Small-file compaction — the lake-maintenance op every streaming
     or per-partition ingest needs at scale (micro-batches and daily
@@ -96,17 +100,29 @@ def compact_parquet(
     is not atomic on object stores — run from a single maintenance job
     (the same operational contract as Delta/Iceberg compaction).
     No-ops (rewrite=False) when the directory is already within
-    ``slack``× of target, so scheduling it idempotently is free."""
+    ``slack``× of target, so scheduling it idempotently is free.
+
+    ``zorder_by`` makes the rewrite also RE-CLUSTER (the full
+    ``OPTIMIZE ZORDER BY`` analog): the temp write goes through
+    :func:`zorder_write` at the same target file count — one rewrite
+    pays for both the file-count repair and multi-dimensional min/max
+    locality. A z-ordered rewrite always runs (the clustering, not the
+    file count, is the point), so it skips the slack no-op."""
     plan = compaction_plan(spark, path, target_file_mb, slack)
-    if not plan["rewrite"]:
+    if not plan["rewrite"] and not zorder_by:
         return {**plan, "rewritten": False}
     tmp = path.rstrip("/") + "__compacting"
-    (
-        spark.read.parquet(path)
-        .coalesce(plan["target_files"])
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    if zorder_by:
+        zorder_write(
+            spark.read.parquet(path), tmp, zorder_by, files=plan["target_files"]
+        )
+    else:
+        (
+            spark.read.parquet(path)
+            .coalesce(plan["target_files"])
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
     fs, hpath = _hadoop_fs(spark, path)
     jvm = spark._jvm
     old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__pre_compact")

@@ -155,3 +155,22 @@ def test_compact_parquet_respects_target_size(spark, tmp_path):
     assert stats["rewritten"]
     got = compaction_plan(spark, path)["files"]
     assert 2 <= got <= 4
+
+
+def test_compact_with_zorder_reclusters(spark, tmp_path):
+    """compact_parquet(zorder_by=...) = OPTIMIZE ZORDER analog: one
+    rewrite repairs file count AND clusters; content row-identical."""
+    from dagster_etl_spark.plans.layout import compact_parquet, compaction_plan
+
+    path = str(tmp_path / "t")
+    df = spark.range(20_000).selectExpr(
+        "id", "(id * 7919) % 997 AS a", "(id * 104729) % 997 AS b"
+    )
+    df.repartition(32).write.parquet(path)
+    before = sorted((r.id, r.a, r.b) for r in spark.read.parquet(path).collect())
+
+    stats = compact_parquet(spark, path, target_file_mb=128, zorder_by=["a", "b"])
+    assert stats["rewritten"]
+    assert compaction_plan(spark, path)["files"] < 32
+    after = sorted((r.id, r.a, r.b) for r in spark.read.parquet(path).collect())
+    assert after == before
