@@ -218,6 +218,47 @@ def decode_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL audio analysis over decoded PCM samples: per asset the
+    sample count, integer energy (sum of squares — RMS's numerator),
+    integer absolute sum (mean-amplitude numerator) and peak magnitude.
+    Integer outputs keep the oracle exact; callers derive RMS/mean in
+    whatever float width they want. Non-audio payloads are skipped (0
+    output rows), so the operator composes with mixed media tables."""
+    from dagster_etl_spark.operators.codecs import decode_wav, sniff_format
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_sq", LongType()),
+            StructField("sum_abs", LongType()),
+            StructField("peak", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["media"]):
+                raw = bytes(payload)
+                if sniff_format(raw) != "wav":
+                    continue
+                samples = decode_wav(raw)[0].astype(np.int64).ravel()
+                rows.append(
+                    (
+                        int(aid),
+                        samples.size,
+                        int((samples * samples).sum()),
+                        int(np.abs(samples).sum()),
+                        int(np.abs(samples).max()) if samples.size else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema=schema)
+
+
 # -- decode layer -------------------------------------------------------------
 
 def decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:

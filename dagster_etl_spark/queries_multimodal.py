@@ -175,3 +175,47 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_stats(synth_real_media_table(docs))
+
+
+# Audio analysis over REAL decoded PCM: the synthetic waveform is
+# sample[i] = i % 7 - 3 over n = 50 + doc_id % 200 samples (WAV assets
+# are doc_id % 4 == 1), so energy and amplitude sums decompose into
+# full 7-sample cycles (sum_sq 28, sum_abs 12 per cycle) plus a CASE on
+# the remainder r = n % 7.
+_AUDIO_ORACLE = """
+WITH p AS (
+  SELECT doc_id, CAST(50 + doc_id % 200 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 4 = 1
+)
+SELECT doc_id AS asset_id,
+       n AS n_samples,
+       CAST(28 * (n // 7) + CASE n % 7
+            WHEN 0 THEN 0 WHEN 1 THEN 9 WHEN 2 THEN 13 WHEN 3 THEN 14
+            WHEN 4 THEN 14 WHEN 5 THEN 15 ELSE 19 END AS BIGINT) AS sum_sq,
+       CAST(12 * (n // 7) + CASE n % 7
+            WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 5 WHEN 3 THEN 6
+            WHEN 4 THEN 6 WHEN 5 THEN 7 ELSE 9 END AS BIGINT) AS sum_abs,
+       CAST(3 AS INT) AS peak
+FROM p
+"""
+
+
+@register(
+    "audio_feature_stats",
+    oracle=_AUDIO_ORACLE,
+    tags=("llm", "multimodal", "codecs"),
+    doc="REAL audio feature extraction: PCM16 WAV bytes decode inside "
+    "Arrow-batched mapInPandas to integer energy (sum of squares), "
+    "absolute amplitude sum and peak per asset — the RMS/mean-amplitude "
+    "numerators — matching the closed-form waveform oracle exactly. "
+    "Non-audio payloads in the same table are skipped (composable with "
+    "mixed media).",
+)
+def q_audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.multimodal import (
+        audio_stats,
+        synth_real_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(synth_real_media_table(docs))

@@ -85,6 +85,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dbt_incremental_orders",
     "media_decode_stats",
     "compacted_scan",
+    "audio_feature_stats",
     "priority_wip",
     "equipment_unpivot",
     "funnel_conversion",

@@ -298,3 +298,21 @@ def test_png_flows_through_spark_operators(spark):
     lum2 = img.mean(axis=2).astype(np.uint8)
     yi = (np.arange(4) * 8) // 4
     assert np.array_equal(got, lum2[np.ix_(yi, yi)])
+
+
+def test_audio_stats_skips_non_audio(spark):
+    """audio_stats over a mixed media table: only WAV assets produce
+    rows, with exact integer energy/amplitude/peak."""
+    from dagster_etl_spark.operators.multimodal import (
+        audio_stats,
+        synth_real_media_table,
+    )
+
+    docs = spark.createDataFrame([(4,), (5,), (6,)], "doc_id long")  # only 5 is wav
+    rows = audio_stats(synth_real_media_table(docs)).collect()
+    assert len(rows) == 1 and rows[0].asset_id == 5
+    n = 50 + 5 % 200  # 55 samples, 7 full cycles + remainder 6
+    assert rows[0].n_samples == n
+    assert rows[0].sum_sq == 28 * (n // 7) + 19
+    assert rows[0].sum_abs == 12 * (n // 7) + 9
+    assert rows[0].peak == 3
