@@ -218,6 +218,39 @@ def decode_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def byte_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Integer stats (count / sum / min / max) over a raw-byte payload
+    column — the oracle-checkable fingerprint of any byte-producing
+    operator (resize output, extracted frames). Arrow-batched."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("n_values", LongType()),
+            StructField("sum_val", LongType()),
+            StructField("min_val", IntegerType()),
+            StructField("max_val", IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf[media_col]):
+                b = np.frombuffer(bytes(payload), np.uint8).astype(np.int64)
+                rows.append(
+                    (
+                        int(aid),
+                        b.size,
+                        int(b.sum()),
+                        int(b.min()) if b.size else 0,
+                        int(b.max()) if b.size else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
     """REAL audio analysis over decoded PCM samples: per asset the
     sample count, integer energy (sum of squares — RMS's numerator),

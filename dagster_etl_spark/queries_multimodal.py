@@ -219,3 +219,64 @@ def q_audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_stats(synth_real_media_table(docs))
+
+
+# Resize verification: for the synthetic PNG gradient (pixel = x + y),
+# nearest-neighbor output pixel [yo, xo] is exactly
+# (yo*h)//OH + (xo*w)//OW, so per-asset stats of the RESIZED bytes are
+# floor-sum closed forms DuckDB folds with list_transform.
+_RESIZE_OUT = 4
+
+_RESIZE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(8 + (doc_id * 3) % 9 AS BIGINT) AS h
+  FROM documents WHERE doc_id % 4 = 2
+)
+SELECT doc_id AS asset_id,
+       CAST({_RESIZE_OUT * _RESIZE_OUT} AS BIGINT) AS n_values,
+       CAST({_RESIZE_OUT} * list_sum(list_transform(range(0, {_RESIZE_OUT}), i -> (i * h) // {_RESIZE_OUT}))
+          + {_RESIZE_OUT} * list_sum(list_transform(range(0, {_RESIZE_OUT}), i -> (i * w) // {_RESIZE_OUT}))
+          AS BIGINT) AS sum_val,
+       CAST(0 AS INT) AS min_val,
+       CAST((({_RESIZE_OUT - 1} * h) // {_RESIZE_OUT}) + (({_RESIZE_OUT - 1} * w) // {_RESIZE_OUT}) AS INT) AS max_val
+FROM p
+"""
+
+
+@register(
+    "media_resize_stats",
+    oracle=_RESIZE_ORACLE,
+    tags=("llm", "multimodal", "codecs"),
+    doc="REAL decode -> nearest-neighbor resize verified value-exactly: "
+    "PNG gradient assets resize to 4x4 through image_decoder inside "
+    "mapInPandas, and the resized pixel bytes match the floor-sum "
+    "closed form of the sampling arithmetic (a wrong stride, axis "
+    "order, or index mapping changes the sums).",
+)
+def q_media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators import codecs
+    from dagster_etl_spark.operators.multimodal import (
+        byte_stats,
+        resize_media,
+        synth_real_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 4 = 2")
+    # resize_media samples with the meta dims; carry the true ones
+    media = synth_real_media_table(docs).withColumn(
+        "meta",
+        F.expr(
+            "named_struct('media_type', 'image', "
+            "'width', CAST(8 + asset_id % 9 AS INT), "
+            "'height', CAST(8 + (asset_id * 3) % 9 AS INT), "
+            "'duration_ms', CAST(0 AS BIGINT), 'codec', 'png')"
+        ),
+    )
+    resized = resize_media(
+        media, out_w=_RESIZE_OUT, out_h=_RESIZE_OUT, decoder=codecs.image_decoder
+    )
+    return byte_stats(resized)

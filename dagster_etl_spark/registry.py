@@ -86,6 +86,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "media_decode_stats",
     "compacted_scan",
     "audio_feature_stats",
+    "media_resize_stats",
     "priority_wip",
     "equipment_unpivot",
     "funnel_conversion",
