@@ -29,6 +29,11 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     shuffle this triggers is orders of magnitude cheaper than the
     single-core compute it prevents; when the input is already split
     (large tables, many files), returns ``df`` unchanged."""
+    if df.isStreaming:
+        # micro-batch parallelism comes from the source's trigger
+        # splitting; the file/RDD probes below are illegal on a
+        # streaming frame
+        return df
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
     # fast path: enough input files -> the scan is already parallel, and

@@ -165,3 +165,54 @@ def q_streaming_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.windowed import streaming_error_bursts
 
     return streaming_error_bursts(spark, sf_dir)
+
+
+# Streaming media decode: same closed forms as the batch
+# media_decode_stats oracle (multimodal.synth_real_media_table) — the
+# streaming run must produce the identical typed rows.
+_STREAM_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS kind,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(8 + (doc_id * 3) % 9 AS BIGINT) AS h,
+         CAST(50 + doc_id % 200 AS BIGINT) AS n,
+         CAST(1 + doc_id % 3 AS BIGINT) AS wb,
+         CAST(1 + (doc_id * 3) % 3 AS BIGINT) AS hb,
+         CAST(doc_id % 200 AS BIGINT) AS v0
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE kind WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' WHEN 2 THEN 'png'
+            ELSE 'jpeg' END AS fmt,
+       CAST(CASE kind WHEN 1 THEN 0 WHEN 3 THEN 8 * wb ELSE w END AS INT) AS img_w,
+       CAST(CASE kind WHEN 1 THEN 0 WHEN 3 THEN 8 * hb ELSE h END AS INT) AS img_h,
+       CAST(CASE kind WHEN 0 THEN w * h * 3 WHEN 1 THEN n WHEN 2 THEN w * h
+            ELSE 64 * wb * hb END AS BIGINT) AS n_values,
+       CAST(CASE kind
+            WHEN 0 THEN 3 * (h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2)) + 3 * w * h
+            WHEN 1 THEN ((n % 7) * ((n % 7) - 1)) // 2 - 3 * (n % 7)
+            WHEN 2 THEN h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2)
+            ELSE 64 * (wb * hb * v0 + 7 * hb * ((wb * (wb - 1)) // 2)
+                       + 13 * wb * ((hb * (hb - 1)) // 2))
+            END AS BIGINT) AS sum_val,
+       CAST(CASE kind WHEN 1 THEN -3 WHEN 3 THEN v0 ELSE 0 END AS INT) AS min_val,
+       CAST(CASE kind WHEN 0 THEN w + h WHEN 1 THEN 3 WHEN 2 THEN w + h - 2
+            ELSE v0 + 7 * (wb - 1) + 13 * (hb - 1) END AS INT) AS max_val
+FROM p
+"""
+
+
+@register(
+    "streaming_media_decode",
+    oracle=_STREAM_DECODE_ORACLE,
+    tags=("streaming", "multimodal", "codecs"),
+    doc="Streaming media ingest: documents stream through Arrow-batched "
+    "mapInPandas synth + REAL codec decode (ppm/wav/png/jpeg) inside a "
+    "Structured Streaming pipeline (availableNow, append sink) — the "
+    "batch decode operators run unchanged on the stream and match the "
+    "same closed-form oracle.",
+)
+def q_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.media import streaming_media_decode
+
+    return streaming_media_decode(spark, sf_dir)

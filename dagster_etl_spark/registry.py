@@ -87,6 +87,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "compacted_scan",
     "audio_feature_stats",
     "media_resize_stats",
+    "streaming_media_decode",
     "priority_wip",
     "equipment_unpivot",
     "funnel_conversion",

@@ -371,3 +371,27 @@ def test_error_bursts_cross_batch_updates(spark, tmp_path):
     got = {(r.window_start, r.user_id): r.n_errors for r in final.collect()}
     want = {(r.window_start, r.user_id): r.n_errors for r in expected.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_media_decode_equals_batch(spark):
+    """The real-codec decode operators run unchanged on a streaming
+    frame: streaming rows == batch rows, typed identically."""
+    from dagster_etl_spark.operators.multimodal import (
+        decode_stats,
+        synth_real_media_table,
+    )
+    from dagster_etl_spark.streaming.media import streaming_media_decode
+    from tests.conftest import SF_SMALL
+
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    stream_rows = sorted(
+        tuple(r) for r in streaming_media_decode(spark, SF_SMALL).collect()
+    )
+    batch_rows = sorted(
+        tuple(r)
+        for r in decode_stats(
+            synth_real_media_table(load_table(spark, SF_SMALL, "documents"))
+        ).collect()
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
