@@ -1,7 +1,8 @@
 """Driver-green queries for the physical-layout and dbt-template
-layers: the Z-order interleave math with an exact DuckDB oracle, and a
+layers: the Z-order interleave math with an exact DuckDB oracle, a
 two-run dbt incremental materialization whose merged end state equals a
-plain SQL query over the source table.
+plain SQL query over the source table, and a small-file compaction
+rewrite proven row-identical to its source.
 
 Reference anchors: dbt model tree + materializations
 (etl/tenants/project_01/dbt/models/transform/

@@ -299,3 +299,40 @@ def test_connected_components_large_random_graph(spark):
         for r in connected_components(pairs, max_iter=60).collect()
     }
     assert got == _union_find_components(edges)
+
+
+# -- Morton interleave vs a bit-twiddling model -------------------------------
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_zvalue_expr_matches_python_interleave(spark, pairs):
+    """The JVM bit-expression Morton code must equal a direct Python
+    interleave (bit i of column j at position i*n+j) — and therefore be
+    injective over distinct bucket pairs."""
+    from dagster_etl_spark.plans.layout import zvalue_expr
+
+    def model(a, b, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zvalue_expr(["a", "b"], bits=8)).collect()
+    }
+    want = {(a, b): model(a, b) for a, b in pairs}
+    assert got == want
+    assert len(set(got.values())) == len(pairs)  # injective
