@@ -65,6 +65,7 @@ AUDITED = [
     "major_suppliers",
     "order_price_window_stats",
     "lineitem_moment_stats",
+    "zorder_span_stats",
 ]
 
 
