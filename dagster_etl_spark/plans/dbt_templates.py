@@ -222,6 +222,50 @@ def render(
     return RenderResult(sql.strip(), tuple(refs), materialize[0], config_kw)
 
 
+def parse_schema_yml(text: str) -> dict[str, tuple[ColumnTest, ...]]:
+    """dbt ``schema.yml`` test declarations -> per-model ColumnTest
+    tuples (reference: etl/tenants/project_01/dbt/models/transform/
+    _transform__schema.yml — not_null / accepted_values on model
+    columns). Supported test forms, exactly dbt's YAML shapes:
+
+    * bare string: ``- not_null`` / ``- unique``
+    * mapping: ``- accepted_values: {values: [a, b]}``
+
+    Unknown test names raise (a typo'd test silently never failing is
+    worse than an error); anything else in the file (descriptions,
+    sources) is ignored like dbt does for execution purposes."""
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    out: dict[str, tuple[ColumnTest, ...]] = {}
+    for model in doc.get("models", []) or []:
+        tests: list[ColumnTest] = []
+        for col in model.get("columns", []) or []:
+            cname = col.get("name")
+            for t in col.get("tests", []) or []:
+                if isinstance(t, str):
+                    name, cfg = t, {}
+                elif isinstance(t, dict) and len(t) == 1:
+                    name, cfg = next(iter(t.items()))
+                    cfg = cfg or {}
+                else:
+                    raise ValueError(f"unparseable test entry {t!r} on {cname!r}")
+                if name == "accepted_values":
+                    tests.append(
+                        ColumnTest(cname, name, tuple(cfg.get("values", ())))
+                    )
+                elif name in ("not_null", "unique"):
+                    tests.append(ColumnTest(cname, name))
+                else:
+                    raise ValueError(
+                        f"unknown schema test {name!r} on column {cname!r} "
+                        "(supported: not_null, unique, accepted_values)"
+                    )
+        if tests:
+            out[model["name"]] = tuple(tests)
+    return out
+
+
 @dataclass
 class DbtProject:
     """A tenant's templated model tree: the dbt-shaped front end whose
@@ -239,8 +283,20 @@ class DbtProject:
         self.models[name] = template
         return self
 
+    def with_schema_yml(self, text: str) -> "DbtProject":
+        """Attach a dbt ``schema.yml``: its declared column tests merge
+        into the project's hard-fail test gate (tests for models not in
+        this project are validated at compile time)."""
+        self.tests.update(parse_schema_yml(text))
+        return self
+
     def compile(self) -> SqlModelProject:
         macros = parse_macros(self.macros_sql)
+        untargeted = [m for m in self.tests if m not in self.models]
+        if untargeted:
+            raise KeyError(
+                f"schema tests declared for unknown model(s) {untargeted}"
+            )
         project = SqlModelProject()
         for name, template in self.models.items():
             r = render(template, self.sources, self.variables, macros)

@@ -244,3 +244,64 @@ def test_direct_incremental_without_unique_key_raises(spark, tmp_path):
     lake = str(tmp_path / "lake")
     with pytest.raises(ValueError, match="unique_key"):
         proj.run(spark, lake_root=lake)
+
+
+_SCHEMA_YML = """
+version: 2
+models:
+  - name: stg_a
+    description: staging
+    columns:
+      - name: k
+        tests:
+          - not_null
+          - unique
+      - name: cls
+        tests:
+          - accepted_values:
+              values: ['hi', 'lo']
+"""
+
+
+def test_schema_yml_tests_gate_the_build(spark):
+    """dbt schema.yml declarations become hard-fail ColumnTests: a
+    passing model materializes, a violating one raises with the test
+    label (reference: _transform__schema.yml)."""
+    from dagster_etl_spark.plans.dbt_templates import parse_schema_yml
+    from dagster_etl_spark.plans.sql_models import SqlModelTestError
+
+    parsed = parse_schema_yml(_SCHEMA_YML)
+    assert [t.test for t in parsed["stg_a"]] == ["not_null", "unique", "accepted_values"]
+
+    spark.createDataFrame(
+        [(1, "hi"), (2, "lo")], "k int, cls string"
+    ).createOrReplaceTempView("src_ab")
+    good = (
+        DbtProject()
+        .add("stg_a", "select k, cls from src_ab")
+        .with_schema_yml(_SCHEMA_YML)
+        .compile()
+    )
+    assert good.run(spark)["stg_a"].count() == 2
+
+    spark.createDataFrame(
+        [(1, "hi"), (1, "bad")], "k int, cls string"
+    ).createOrReplaceTempView("src_ab")
+    with pytest.raises(SqlModelTestError, match="cls__accepted_values"):
+        good.run(spark)
+
+
+def test_schema_yml_unknown_model_and_test_raise():
+    from dagster_etl_spark.plans.dbt_templates import parse_schema_yml
+
+    with pytest.raises(ValueError, match="unknown schema test"):
+        parse_schema_yml(
+            "models:\n- name: m\n  columns:\n  - name: c\n    tests: [relationships]\n"
+        )
+    bad = (
+        DbtProject()
+        .add("other", "select 1 as k")
+        .with_schema_yml("models:\n- name: missing\n  columns:\n  - name: k\n    tests: [not_null]\n")
+    )
+    with pytest.raises(KeyError, match="unknown model"):
+        bad.compile()
