@@ -179,3 +179,59 @@ def cosine(a: str, b: str, dim: int, d: str) -> str:
     if d == SPARK:
         return f"({dot_fold(a, b, d)} / ({norm_fold(a, d)} * {norm_fold(b, d)}))"
     return f"({dot_chain(a, b, dim, d)} / ({norm_chain(a, dim, d)} * {norm_chain(b, dim, d)}))"
+
+
+# -- int8 symmetric quantization (the 4x-memory ANN scale path) --------------
+
+
+def _half_away(t: str, d: str) -> str:
+    """Round-half-away-from-zero of a double expr -> BIGINT, in each
+    engine's established idiom (Spark CAST truncates toward zero so the
+    +/-0.5 shift reproduces it; DuckDB round() is half-away natively —
+    the same pairing scaled_long/money oracles already rely on)."""
+    if d == SPARK:
+        return (
+            f"CAST(CASE WHEN ({t}) >= 0.0 THEN ({t}) + 0.5 "
+            f"ELSE ({t}) - 0.5 END AS BIGINT)"
+        )
+    return f"CAST(round({t}) AS BIGINT)"
+
+
+def qscale(a: str, d: str) -> str:
+    """Per-vector symmetric int8 scale: max|v| / 127 (epsilon-floored so
+    zero vectors quantize to all-zero instead of dividing by zero)."""
+    body = xform(a, "e", "abs(CAST(e AS DOUBLE))", d)
+    mx = xmax(body, d)
+    return f"(greatest({mx}, 1e-30) / 127.0)"
+
+
+def quantize8(a: str, d: str) -> str:
+    """Float array -> int8-range BIGINT array (q_i in [-127, 127])."""
+    s = qscale(a, d)
+    return xform(a, "e", _half_away(f"CAST(e AS DOUBLE) / {s}", d), d)
+
+
+def qdot(a: str, b: str, d: str) -> str:
+    """Exact integer dot product of two quantized arrays — BIGINT sums
+    are order-independent, so no IEEE-sequencing care is needed."""
+    if d == SPARK:
+        return (
+            f"aggregate(zip_with({a}, {b}, (p, q) -> p * q), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+        f"z -> z[1] * z[2])) AS BIGINT)"
+    )
+
+
+def qcosine(a: str, b: str, d: str) -> str:
+    """Cosine over int8-quantized vectors: integer dot and norms (exact)
+    with ONE final double division — engine-identical by construction."""
+    num = qdot(a, b, d)
+    na = qdot(a, a, d)
+    nb = qdot(b, b, d)
+    return (
+        f"(CAST({num} AS DOUBLE) / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+    )

@@ -257,3 +257,47 @@ def lsh_cosine_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantized_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors over int8-quantized vectors — the 4x-memory scale
+    path for embedding search (the standard serving trade: symmetric
+    per-vector quantization costs ~1% cosine error at float32->int8 but
+    quarters the bytes scanned, broadcast, and cached).
+
+    Every vector quantizes to q_i = round(v_i / (max|v|/127)); dot
+    products and norms are then EXACT integer arithmetic (BIGINT sums,
+    order-independent), with one final double division — so unlike the
+    float baseline, even the approximate scores are bit-reproducible in
+    any engine, and the DuckDB oracle verifies the quantized top-k
+    exactly. Quantized arrays and integer norms are computed once per
+    side before the join.
+    """
+    q8 = x.quantize8(vec_col, x.SPARK)
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{q8} AS qv"
+    ).selectExpr("query_id", "qv", f"{x.qdot('qv', 'qv', x.SPARK)} AS qn")
+    c = spread(corpus).selectExpr(
+        f"{id_col} AS neighbor_id", f"{q8} AS cv"
+    ).selectExpr("neighbor_id", "cv", f"{x.qdot('cv', 'cv', x.SPARK)} AS cn")
+    score = (
+        f"(CAST({x.qdot('qv', 'cv', x.SPARK)} AS DOUBLE) / "
+        f"(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))))"
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{score} AS qcosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -391,3 +391,47 @@ def q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"coalesce(n_hit, 0) >= {IVF_RECALL_FLOOR} AS recall_ok",
         )
     )
+
+
+def _quantized_ann_oracle() -> str:
+    q8 = x.quantize8("embedding", x.DUCK)
+    score = (
+        f"(CAST({x.qdot('q.qv', 'c.cv', x.DUCK)} AS DOUBLE) / "
+        f"(sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))))"
+    )
+    return f"""
+WITH qz AS (
+  SELECT vec_id, {q8} AS v FROM embeddings
+), nz AS (
+  SELECT vec_id, v, {x.qdot('v', 'v', x.DUCK)} AS n FROM qz
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, n AS qn FROM nz WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv, n AS cn FROM nz
+), scored AS (
+  SELECT q.query_id, c.neighbor_id, {score} AS qcosine
+  FROM q, c WHERE q.query_id <> c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, qcosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, qcosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "quantized_ann_topk",
+    oracle=_quantized_ann_oracle(),
+    tags=("llm", "similarity"),
+    doc="int8-quantized cosine top-10 (the 4x-memory ANN scale path): "
+    "per-vector symmetric quantization, EXACT integer dot/norms with "
+    "one final double division — the quantized scores themselves are "
+    "bit-reproducible, so the oracle verifies the approximate result "
+    "exactly, not just its shape.",
+)
+def q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)

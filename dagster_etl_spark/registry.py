@@ -76,11 +76,11 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 5: front the three round-4/5 components needing their FIRST
-    # driver-green row (zorder_span_stats, dbt_incremental_orders,
-    # media_decode_stats), then the 37 queries whose last driver row is
-    # round 3; the r4-green set fills the remaining window slots in
-    # registration order behind them.
+    # round 5: front the eight round-5 queries needing their FIRST
+    # driver-green row (zorder/dbt/codec/compaction/audio/resize/
+    # streaming-decode/quantized-ann), then the 37 queries whose last
+    # driver row is round 3; the r4-green set fills the remaining
+    # window slots in registration order behind them.
     "zorder_span_stats",
     "dbt_incremental_orders",
     "media_decode_stats",
@@ -88,6 +88,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "audio_feature_stats",
     "media_resize_stats",
     "streaming_media_decode",
+    "quantized_ann_topk",
     "priority_wip",
     "equipment_unpivot",
     "funnel_conversion",

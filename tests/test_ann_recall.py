@@ -100,3 +100,28 @@ def test_hash_quantizer_recall_floor_on_clustered(clustered):
         queries, corpus, dim=DIM, k=K, nlist=N_CLUSTERS, nprobe=8, quantizer="hash"
     ).collect()
     assert _recall(rows, exact) >= 0.5
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must preserve neighbor quality: recall@10 of
+    the quantized top-k against the float32-exact top-k stays high (the
+    ~1% cosine error rarely reorders the neighborhood)."""
+    from dagster_etl_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter("vec_id < 5")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, emb, dim=64, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in quantized_cosine_topk(q, emb, dim=64, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall

@@ -66,6 +66,7 @@ AUDITED = [
     "order_price_window_stats",
     "lineitem_moment_stats",
     "zorder_span_stats",
+    "quantized_ann_topk",
 ]
 
 
