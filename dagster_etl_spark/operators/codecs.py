@@ -265,6 +265,10 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError(f"PNG color type {color} unsupported (palette needs PIL)")
             if interlace != 0:
                 raise ValueError("Adam7-interlaced PNG unsupported")
+            if comp != 0:
+                raise ValueError(f"PNG compression method {comp} unsupported (0 only)")
+            if filt != 0:
+                raise ValueError(f"PNG filter method {filt} unsupported (0 only)")
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":

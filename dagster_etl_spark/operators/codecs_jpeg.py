@@ -174,7 +174,10 @@ class _BitReader:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
+        # mask off consumed high bits so the int stays bounded (an
+        # unmasked accumulator grows 8 bits per byte and makes decode
+        # time quadratic in scan size)
+        self.bitbuf = ((self.bitbuf & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -225,7 +228,19 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 array: (h, w) grayscale or
-    (h, w, 3) RGB."""
+    (h, w, 3) RGB.
+
+    Malformed input surfaces only as ValueError: truncated payloads
+    (IndexError/struct.error internally) and mid-block restart markers
+    are wrapped at this boundary.
+    """
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated JPEG payload") from exc
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -308,41 +323,46 @@ def _decode_scan(data, pos, frame, scan_sel, qtables, htables, restart_interval)
     preds = {c["id"]: 0 for c in comps}
     mcu = 0
     total_mcus = mcus_x * mcus_y
-    while mcu < total_mcus:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            r.byte_align()
-            r.skip_restart()
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in comps:
-            td, ta = sel[c["id"]]
-            dc_tab = htables[(0, td)]
-            ac_tab = htables[(1, ta)]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    blk = np.zeros(64, np.int32)
-                    t = _huff_decode(r, dc_tab)
-                    diff = _extend(r.read_bits(t), t) if t else 0
-                    preds[c["id"]] += diff
-                    blk[0] = preds[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(r, ac_tab)
-                        rrrr, ssss = rs >> 4, rs & 0xF
-                        if ssss == 0:
-                            if rrrr == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += rrrr
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        blk[k] = _extend(r.read_bits(ssss), ssss)
-                        k += 1
-                    row = my * c["v"] + by
-                    col = mx * c["h"] + bx
-                    c["blocks"][row * c["bw"] + col] = blk
-        mcu += 1
+    try:
+        while mcu < total_mcus:
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.byte_align()
+                r.skip_restart()
+                preds = {c["id"]: 0 for c in comps}
+            my, mx = divmod(mcu, mcus_x)
+            for c in comps:
+                td, ta = sel[c["id"]]
+                dc_tab = htables[(0, td)]
+                ac_tab = htables[(1, ta)]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int32)
+                        t = _huff_decode(r, dc_tab)
+                        diff = _extend(r.read_bits(t), t) if t else 0
+                        preds[c["id"]] += diff
+                        blk[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, ac_tab)
+                            rrrr, ssss = rs >> 4, rs & 0xF
+                            if ssss == 0:
+                                if rrrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrrr
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            blk[k] = _extend(r.read_bits(ssss), ssss)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["blocks"][row * c["bw"] + col] = blk
+            mcu += 1
+    except _RestartMarker as exc:
+        raise ValueError(
+            "corrupt JPEG: restart marker inside an entropy-coded block"
+        ) from exc
 
     # dequantize + dezigzag + IDCT, vectorized over all blocks at once
     planes = []
@@ -432,9 +452,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b,  # Cb - 128 centered
             0.5 * r - 0.418688 * g - 0.081312 * b,  # Cr - 128 centered
         ]
-    qt = [_scaled_quant(QUANT_LUMA, quality)]
+    # Annex-K tables are declared in natural (row-major) order; both the
+    # DQT wire format and the per-coefficient division operate in zigzag
+    # order, so permute once here. This keeps quality-N frequency
+    # weighting identical to libjpeg's interpretation of the same table.
+    qt = [_scaled_quant(QUANT_LUMA, quality)[ZIGZAG]]
     if not gray:
-        qt.append(_scaled_quant(QUANT_CHROMA, quality))
+        qt.append(_scaled_quant(QUANT_CHROMA, quality)[ZIGZAG])
 
     enc_dc = [_canonical_codes(*STD_DC_LUMA), _canonical_codes(*STD_DC_CHROMA)]
     enc_ac = [_canonical_codes(*STD_AC_LUMA), _canonical_codes(*STD_AC_CHROMA)]

@@ -161,11 +161,10 @@ _MACROS = (
     "lake state must equal the one-shot SQL over all orders.",
 )
 def q_dbt_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from dagster_etl_spark.plans.dbt_templates import DbtProject
+    from dagster_etl_spark.scratch import scratch_dir
 
-    lake = tempfile.mkdtemp(prefix="dbt_inc_orders_")
+    lake = scratch_dir("dbt_inc_orders")
     orders = load_table(spark, sf_dir, "orders")
     project = DbtProject(
         sources={("lake", "orders"): "src_orders_batch"},
@@ -207,15 +206,19 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
     "scan back row-identical to the source table.",
 )
 def q_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from dagster_etl_spark.plans.layout import compact_parquet, compaction_plan
+    from dagster_etl_spark.scratch import scratch_dir
 
-    path = tempfile.mkdtemp(prefix="compact_scan_") + "/documents"
+    path = scratch_dir("compact_scan") + "/documents"
     docs = load_table(spark, sf_dir, "documents")
     docs.repartition(48).write.mode("overwrite").parquet(path)
     stats = compact_parquet(spark, path, target_file_mb=128)
-    assert stats["rewritten"] and compaction_plan(spark, path)["files"] < 48
+    # explicit raise, not assert: the rewrite check must survive python -O
+    if not stats["rewritten"]:
+        raise RuntimeError("compact_parquet did not rewrite the directory")
+    files_after = compaction_plan(spark, path)["files"]
+    if files_after >= 48:
+        raise RuntimeError(f"compaction left {files_after} files (expected < 48)")
     return spark.read.parquet(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

@@ -82,6 +82,62 @@ def test_unsupported_variants_raise():
         decode_jpeg(b"nope")
 
 
+def test_truncated_payload_raises_value_error():
+    """Cutting the payload anywhere must surface as ValueError, never a
+    bare IndexError / struct.error from the parsing internals."""
+    payload = encode_jpeg(_gradient(16, 16), quality=90)
+    for cut in (4, len(payload) // 2, len(payload) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[:cut])
+
+
+def test_stray_restart_marker_raises_value_error():
+    """An RSTn marker inside an entropy-coded block (no DRI declared) is
+    a corrupt stream and must raise ValueError, not leak the internal
+    _RestartMarker exception type."""
+    payload = bytearray(encode_jpeg(_gradient(32, 32), quality=90))
+    sos = payload.index(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", payload, sos + 2)
+    scan_start = sos + 2 + seglen
+    # plant a restart marker a few bytes into the entropy stream
+    payload[scan_start + 4 : scan_start + 4] = b"\xff\xd0"
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bytes(payload))
+
+
+def test_decode_time_linear_in_scan_size():
+    """The bit reader masks consumed bits, so decode cost per pixel must
+    not grow with image size (the unmasked accumulator was quadratic)."""
+    import time
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    big = rng.integers(0, 256, size=(128, 128), dtype=np.uint8)  # 16x pixels
+    p_small, p_big = encode_jpeg(small, 95), encode_jpeg(big, 95)
+    t0 = time.perf_counter()
+    decode_jpeg(p_small)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decode_jpeg(p_big)
+    t_big = time.perf_counter() - t0
+    # linear scaling => ~16x; quadratic in scan bytes => ~256x. Allow a
+    # wide margin for interpreter noise.
+    assert t_big < t_small * 80
+
+
+def test_dqt_emitted_in_zigzag_order():
+    """The DQT segment must carry the quality-scaled Annex-K table in
+    zigzag order (the wire format), so position 1 of the stream is the
+    natural-order [0,1] entry — for luma quality-50 exactly 11 — and a
+    conforming decoder sees libjpeg's frequency weighting."""
+    from dagster_etl_spark.operators.codecs_jpeg import QUANT_LUMA, ZIGZAG
+
+    payload = encode_jpeg(_gradient(8, 8), quality=50)  # scale factor 1.0
+    dqt = payload.index(b"\xff\xdb")
+    table = payload[dqt + 5 : dqt + 5 + 64]  # skip marker, length, Pq/Tq
+    assert list(table) == [int(QUANT_LUMA[z]) for z in ZIGZAG]
+
+
 def test_dispatch_through_decode_media():
     img = _gradient(16, 16)
     payload = encode_jpeg(img, quality=95)

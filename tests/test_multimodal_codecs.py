@@ -278,6 +278,30 @@ def test_png_unsupported_variants_raise():
         codecs.decode_png(png(interlace=1))
 
 
+def test_png_nonzero_methods_raise():
+    """A PNG declaring a nonstandard compression or filter METHOD (the
+    IHDR fields, not the per-row filter type) must error precisely, not
+    silently decode as method 0 and emit garbage pixels."""
+    import struct as st
+    import zlib
+
+    def png(comp=0, filt=0):
+        ihdr = st.pack(">IIBBBBB", 2, 2, 8, 0, comp, filt, 0)
+        def chunk(tag, body):
+            return st.pack(">I", len(body)) + tag + body + st.pack(
+                ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+            )
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)
+        ) + chunk(b"IEND", b"")
+
+    assert codecs.decode_png(png()).shape == (2, 2)  # control: method 0 decodes
+    with pytest.raises(ValueError, match="compression method"):
+        codecs.decode_png(png(comp=1))
+    with pytest.raises(ValueError, match="filter method"):
+        codecs.decode_png(png(filt=1))
+
+
 def test_png_flows_through_spark_operators(spark):
     """PNG payloads decode for real inside mapInPandas: features from
     true pixel values and a golden nearest-neighbor resize."""
