@@ -58,6 +58,84 @@ def drop_exact_duplicates(
     return df.join(canon, on=id_col, how="left_semi")
 
 
+def drop_key_duplicates(
+    df: DataFrame, key_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Metadata-keyed dedup — the URL/source-hash stage that opens every
+    public corpus pipeline: keep the min-id row per key value. Same
+    shape as :func:`drop_exact_duplicates` (one hash-groupBy + semi-join
+    on unique ids, no window), keyed on a metadata column instead of
+    content. Reference anchor: the per-source extract dedup in the
+    reference's transfer step (etl/assets/transfer.py) — here as a
+    first-class operator.
+    """
+    canon = (
+        df.groupBy(key_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(canon, on=id_col, how="left_semi")
+
+
+# -- corpus line dedup (C4-style boilerplate removal) -------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    min_docs: int = 2,
+    broadcast_max_lines: int = 2_000_000,
+) -> DataFrame:
+    """C4-style boilerplate line removal: drop every line whose
+    normalized form occurs in >= ``min_docs`` DISTINCT documents, then
+    reassemble each document from its surviving lines (original order).
+
+    Returns (id_col, text_col, n_lines, n_dropped) — the rebuilt text
+    plus per-document audit counts.
+
+    Scale design: one explode (no shuffle), one map-side-combining
+    aggregate for the document-frequency table, then the boilerplate
+    set — tiny by construction, it holds only lines frequent across
+    documents — is broadcast back (runtime-counted with a shuffle-join
+    fallback above ``broadcast_max_lines``, the same adaptive pattern
+    as :func:`minhash_neardup_pairs`), and one aggregate on the doc id
+    rebuilds the text. Blank lines are document structure, not
+    boilerplate: they are never counted or dropped.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("line_no", "line"),
+    )
+    fp = "md5(trim(lower(line)))"
+    boiler = pin(
+        lines.filter("trim(line) <> ''")
+        .selectExpr(f"{fp} AS fp", id_col)
+        .groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp")
+    )
+    small = boiler.count() <= broadcast_max_lines
+    marked = boiler.withColumn("__boiler", F.lit(True))
+    flagged = lines.withColumn("fp", F.expr(fp)).join(
+        F.broadcast(marked) if small else marked, on="fp", how="left"
+    )
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("__boiler").isNull(), F.struct("line_no", "line"))
+        )
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["line"]), line_sep).alias(
+            text_col
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+        # count of a nullable column = number of boilerplate instances
+        F.count(F.col("__boiler")).alias("n_dropped"),
+    )
+
+
 # -- shingle / MinHash machinery ---------------------------------------------
 
 def shingled(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
@@ -437,6 +515,51 @@ def dedup_clusters(
     )
     return clustered.withColumn(
         "is_canonical", (F.col("doc_id") == F.col("cluster_id")).cast("boolean")
+    )
+
+
+def cluster_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Quality-based cluster survivor selection: where
+    :func:`dedup_clusters` keeps the MIN-ID doc per near-dup cluster, a
+    production curation pipeline keeps the HIGHEST-QUALITY one. Joins
+    the per-doc quality score (text.doc_stats composite) onto the
+    cluster assignment and picks, per cluster, the max-score doc with a
+    deterministic min-id tiebreak — as ONE aggregate via lexicographic
+    struct max over (score, -id): score ties resolve to the smallest
+    id, and no window sort is needed.
+
+    Returns (cluster_id, kept_doc, best_score, n_docs, n_dropped);
+    singleton clusters appear with n_dropped = 0.
+    """
+    from dagster_etl_spark.operators.text import doc_stats_exprs, _let_cols
+
+    clustered = dedup_clusters(
+        df, text_col=text_col, id_col=id_col, threshold=threshold, **minhash_kwargs
+    ).select(id_col, "cluster_id")
+    q = {"quality_score": doc_stats_exprs(text_col, x.SPARK, tok="_t")["quality_score"]}
+    scored = df.selectExpr(id_col, *_let_cols(q, text_col, "_t"))
+    j = clustered.join(scored, on=id_col)
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.expr(
+                f"max(struct(quality_score AS s, -{id_col} AS nid))"
+            ).alias("m"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .selectExpr(
+            "cluster_id",
+            "-m.nid AS kept_doc",
+            "m.s AS best_score",
+            "n_docs",
+            "n_docs - 1 AS n_dropped",
+        )
     )
 
 

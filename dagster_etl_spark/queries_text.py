@@ -149,13 +149,14 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clusters_oracle(threshold: float = 0.5) -> str:
-    """Transitive closure over the (oracle-verified) MinHash pair set:
-    ``walk`` enumerates every label reachable from a node through the
-    bidirected edge set, so MIN(label) per node is the component
-    minimum — exactly the fixpoint the Spark min-label propagation
-    converges to. Terminates because UNION dedups (node, label) rows
-    and near-dup components are tiny."""
+def _cc_ctes(threshold: float = 0.5) -> str:
+    """WITH RECURSIVE prefix computing connected components over the
+    (oracle-verified) MinHash pair set: ``walk`` enumerates every label
+    reachable from a node through the bidirected edge set, so MIN(label)
+    per node is the component minimum — exactly the fixpoint the Spark
+    min-label propagation converges to. Terminates because UNION dedups
+    (node, label) rows and near-dup components are tiny. Shared by the
+    clusters and survivors oracles."""
     from dagster_etl_spark.queries_llm import _minhash_oracle
 
     pairs_sql = _minhash_oracle(threshold=threshold)
@@ -172,7 +173,12 @@ WITH RECURSIVE pairs AS (
   SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
 ), comp AS (
   SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
-)
+)"""
+
+
+def _clusters_oracle(threshold: float = 0.5) -> str:
+    return f"""
+{_cc_ctes(threshold)}
 SELECT d.doc_id,
        COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
@@ -748,4 +754,134 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = gopher_quality(deduped).filter("keep = 1")
     return hash_sample(flagged, 0.5, id_col="doc_id", salt="cur:").select(
         "doc_id", "n_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus line dedup: the one staple of public LLM-corpus
+# pipelines beyond document-level dedup — boilerplate lines (nav bars,
+# license headers) recur across MANY documents and are removed at line
+# granularity. The flat documents fixture has no newlines, so the query
+# first reshapes each text into deterministic 10-token lines (both
+# engines identically), then runs the generic operator.
+
+_DEDUP_LINES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), lines AS (
+  SELECT doc_id, i - 1 AS line_no,
+         array_to_string(list_slice(tk, (i-1)*10+1, (i-1)*10+10), ' ') AS line
+  FROM toks, unnest(range(1, CAST(ceil(len(tk)/10.0) AS BIGINT) + 1)) u(i)
+), boiler AS (
+  SELECT md5(trim(lower(line))) AS fp
+  FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT l.doc_id, l.line_no, l.line, b.fp IS NOT NULL AS is_boiler
+  FROM lines l LEFT JOIN boiler b ON b.fp = md5(trim(lower(l.line)))
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list(line ORDER BY line_no) FILTER (WHERE NOT is_boiler), chr(10)
+       ), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(CASE WHEN is_boiler THEN 1 END) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_lines",
+    oracle=_DEDUP_LINES_ORACLE,
+    tags=("llm", "dedup", "text"),
+    doc="C4-style boilerplate line removal: lines occurring (normalized-"
+    "md5) in >= 2 distinct documents are dropped and documents are "
+    "rebuilt from surviving lines. One explode, one map-side-combining "
+    "document-frequency aggregate, broadcast of the (small) boilerplate "
+    "set with runtime shuffle fallback, one reassembly aggregate.",
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = "split(text, ' ')"
+    lines_arr = (
+        f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
+        f"i -> array_join(slice({tk}, i*10+1, 10), ' '))"
+    )
+    relined = docs.select(
+        "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")
+    )
+    return dedup_lines(relined, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Quality-based cluster survivor selection: production curation keeps
+# the highest-quality doc per near-dup cluster, not the min-id one.
+
+def _survivors_oracle(threshold: float = 0.5) -> str:
+    quality = doc_stats_exprs("text", x.DUCK, tok="_tok")["quality_score"]
+    pick = "max(struct_pack(s := s.quality_score, nid := -s.doc_id))"
+    return f"""
+{_cc_ctes(threshold)},
+clustered AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), scored AS (
+  SELECT doc_id, {quality} AS quality_score
+  FROM (SELECT doc_id, text, {x.tokens("text", x.DUCK)} AS _tok FROM documents)
+)
+SELECT cl.cluster_id,
+       ({pick}).nid * -1 AS kept_doc,
+       ({pick}).s AS best_score,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM clustered cl JOIN scored s USING (doc_id)
+GROUP BY cl.cluster_id
+"""
+
+
+@register(
+    "dedup_survivors",
+    oracle=_survivors_oracle(),
+    tags=("llm", "dedup"),
+    doc="Cluster survivor selection: per near-dup cluster keep the "
+    "max-quality doc (doc_stats composite score, min-id tiebreak) via "
+    "ONE lexicographic struct-max aggregate — no window sort. DuckDB "
+    "twin shares the WITH RECURSIVE component closure with "
+    "dedup_clusters, so the survivor pick is hash-verified end-to-end.",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import cluster_survivors
+
+    return cluster_survivors(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# URL/source-keyed dedup: the first stage of every public corpus
+# pipeline — one representative document per source URL.
+
+_URL_DEDUP_ORACLE = """
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY source) k
+  USING (doc_id)
+"""
+
+
+@register(
+    "url_dedup",
+    oracle=_URL_DEDUP_ORACLE,
+    tags=("llm", "dedup"),
+    doc="Metadata-keyed (URL/source) dedup: keep the min-id document "
+    "per source value — hash-groupBy + semi-join on unique ids, no "
+    "window over the corpus.",
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import drop_key_duplicates
+
+    return drop_key_duplicates(
+        load_table(spark, sf_dir, "documents"), key_col="source"
     )

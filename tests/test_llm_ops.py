@@ -7,7 +7,10 @@ import pytest
 from pyspark.sql import Row
 
 from dagster_etl_spark.operators.dedup import (
+    cluster_survivors,
+    dedup_lines,
     drop_exact_duplicates,
+    drop_key_duplicates,
     exact_dedup_stats,
     minhash_neardup_pairs,
     ngram_jaccard_pairs,
@@ -367,3 +370,79 @@ def test_table_diff_identical_tables_empty_and_null_sensitivity(spark):
     )
     d = {r.id: r.status for r in table_diff(a, b, ["id"]).collect()}
     assert d == {2: "different"}
+
+
+def test_dedup_lines_drops_cross_doc_boilerplate(spark):
+    rows = [
+        Row(doc_id=1, text="COOKIE BANNER\nunique alpha content\n\nfooter text"),
+        Row(doc_id=2, text="cookie banner\nunique beta content\nfooter text"),
+        Row(doc_id=3, text="totally original document"),
+    ]
+    out = {r.doc_id: r for r in dedup_lines(spark.createDataFrame(rows)).collect()}
+    # "COOKIE BANNER" ~ "cookie banner" (normalized) and "footer text"
+    # occur in 2 docs -> dropped; the blank line is structure, kept;
+    # surviving lines keep their original order
+    assert out[1].text == "unique alpha content\n"
+    assert (out[1].n_lines, out[1].n_dropped) == (4, 2)
+    assert out[2].text == "unique beta content"
+    assert (out[2].n_lines, out[2].n_dropped) == (3, 2)
+    assert out[3].text == "totally original document"
+    assert out[3].n_dropped == 0
+
+
+def test_dedup_lines_min_docs_gate(spark):
+    rows = [
+        Row(doc_id=1, text="shared line\nalpha"),
+        Row(doc_id=2, text="shared line\nbeta"),
+    ]
+    df = spark.createDataFrame(rows)
+    # at min_docs=3 a 2-doc line is below the gate: nothing dropped
+    out = {r.doc_id: r for r in dedup_lines(df, min_docs=3).collect()}
+    assert out[1].text == "shared line\nalpha" and out[1].n_dropped == 0
+    # repeated instances of a boilerplate line are each counted dropped
+    rows3 = rows + [Row(doc_id=3, text="shared line\nshared line\ngamma")]
+    out3 = {
+        r.doc_id: r
+        for r in dedup_lines(spark.createDataFrame(rows3), min_docs=2).collect()
+    }
+    assert out3[3].text == "gamma" and out3[3].n_dropped == 2
+
+
+def test_cluster_survivors_picks_quality_not_min_id(spark):
+    rows = [
+        # near-identical pair: doc 1 carries an extra all-punctuation
+        # token, which costs it more quality (punct_ratio) than the
+        # extra token count earns -> doc 2 must win despite its larger id
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta iota kappa !!!"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        Row(doc_id=3, text="unrelated content entirely about spark engines today"),
+    ]
+    out = {
+        r.cluster_id: r
+        for r in cluster_survivors(spark.createDataFrame(rows), threshold=0.3).collect()
+    }
+    assert out[1].kept_doc == 2  # quality beats min-id
+    assert (out[1].n_docs, out[1].n_dropped) == (2, 1)
+    assert out[3].kept_doc == 3 and out[3].n_dropped == 0  # singleton
+
+
+def test_cluster_survivors_tiebreak_min_id(spark):
+    rows = [
+        Row(doc_id=11, text="one two three four five six seven eight nine ten"),
+        Row(doc_id=10, text="one two three four five six seven eight nine ten"),
+    ]
+    out = cluster_survivors(spark.createDataFrame(rows), threshold=0.3).collect()
+    assert len(out) == 1 and out[0].kept_doc == 10  # equal scores -> min id
+
+
+def test_drop_key_duplicates(spark):
+    rows = [
+        Row(doc_id=5, url="a.com", text="x"),
+        Row(doc_id=2, url="a.com", text="y"),
+        Row(doc_id=7, url="b.com", text="z"),
+    ]
+    kept = sorted(
+        r.doc_id
+        for r in drop_key_duplicates(spark.createDataFrame(rows), key_col="url").collect()
+    )
+    assert kept == [2, 7]
