@@ -67,6 +67,8 @@ AUDITED = [
     "lineitem_moment_stats",
     "zorder_span_stats",
     "quantized_ann_topk",
+    "dedup_lines",
+    "url_dedup",
 ]
 
 

@@ -191,3 +191,32 @@ def test_priority_wip_preagg_equals_single_pass(spark):
     fb = {key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot, r.high_priority_count)
           for r in b.collect()}
     assert fa == fb
+
+
+def test_wip_probe_job_only_on_auto_path(spark):
+    """The regime probe is an eager LIMIT-distinct mini-job at BUILD
+    time. Library callers that pass single_shuffle explicitly must not
+    pay it: building the DataFrame with an explicit regime launches
+    ZERO Spark jobs, while the auto (None) path launches the probe."""
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    kw = dict(
+        group_cols=("l_linestatus", "l_suppkey"), qty_col="l_quantity",
+        lot_col="l_orderkey", status_col="l_returnflag",
+        active_statuses=("N", "A"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def last_job():
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
+    # warm the fixture read (load_table may probe parquet metadata)
+    li.schema
+    before = last_job()
+    wip_aggregate(li, single_shuffle=True, **kw)   # build only, no action
+    wip_aggregate(li, single_shuffle=False, **kw)
+    assert last_job() == before, "explicit single_shuffle ran a probe job"
+    wip_aggregate(li, **kw)  # single_shuffle=None -> bounded probe
+    assert last_job() > before, "auto path did not run its probe job"

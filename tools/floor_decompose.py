@@ -2,16 +2,27 @@
 2x the single-process DuckDB baseline (BASELINE.md gate analysis).
 
 For each query this measures, on the same warm session and scale
-factor, min-of-N wall clock for:
+factor:
 
 * ``floor``  — a no-op pass over the SAME input tables shaped like the
   query's skeleton (scan -> cheap filter -> one-shuffle groupBy), i.e.
   the constant scheduling/shuffle-barrier price any Spark plan pays on
   this box regardless of the work inside;
 * ``query``  — the registered query itself (noop sink);
-* ``compute`` = query - floor — the part that scales with data and is
-  the honest comparison against a single-process engine (which pays
-  neither task scheduling nor shuffle serialization).
+* ``compute`` — the part that scales with data and is the honest
+  comparison against a single-process engine (which pays neither task
+  scheduling nor shuffle serialization).
+
+Methodology (round 6, replacing the separately-measured min-of-3 that
+the r5 verdict flagged): floor and query are sampled INTERLEAVED in
+the same session — F,Q,F,Q,... for ``RUNS`` pairs after a warm-up of
+each — so host drift hits both sides of the subtraction equally.
+``compute_sec`` is the MEDIAN of the per-pair differences (drift
+cancels within a pair), and every entry carries an uncertainty bound
+(``compute_spread_sec`` = max-min of the pair differences). A floor
+that exceeds its query beyond that bound is reported as INVALID
+(``compute_sec`` still carries the signed value — no clamping to 0)
+and the tool exits nonzero listing the affected queries.
 
 Usage: python tools/floor_decompose.py [sf_dir] [query ...]
 Prints one JSON line; paste the table into BASELINE.md.
@@ -20,6 +31,7 @@ Prints one JSON line; paste the table into BASELINE.md.
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -29,7 +41,7 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 QUERIES = sys.argv[2:]  # default: every bench-tagged query
-RUNS = 3
+RUNS = 5
 
 
 def _scanned_tables(df) -> tuple[str, ...]:
@@ -54,19 +66,25 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _timed(build, runs: int = RUNS) -> float:
-    _noop(build())  # warm: plan + code-gen + page cache
-    best = float("inf")
+def _paired(build_floor, build_query, runs: int = RUNS):
+    """Interleaved paired sampling: one floor run immediately followed
+    by one query run, ``runs`` times, after warming both. Returns the
+    two sample lists."""
+    _noop(build_floor())  # warm: plan + code-gen + page cache
+    _noop(build_query())
+    floors: list[float] = []
+    queries: list[float] = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        _noop(build())
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        _noop(build_floor())
+        floors.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _noop(build_query())
+        queries.append(time.perf_counter() - t0)
+    return floors, queries
 
 
-def main() -> None:
-    from pyspark.sql import functions as F
-
+def main() -> int:
     from dagster_etl_spark import registry
     from dagster_etl_spark.session import get_spark
     from dagster_etl_spark.sources.fixtures import load_table
@@ -77,6 +95,7 @@ def main() -> None:
         n for n, e in registry.all_queries().items() if "bench" in e.tags
     ]
     out = {}
+    invalid: list[str] = []
     for name in names:
         tables = _scanned_tables(qs[name](spark, SF_DIR))
 
@@ -94,15 +113,43 @@ def main() -> None:
                 first = first.unionByName(other)
             return first
 
-        floor_s = _timed(floor_skeleton)
-        query_s = _timed(lambda: qs[name](spark, SF_DIR))
-        out[name] = {
-            "floor_sec": floor_s,
-            "query_sec": query_s,
-            "compute_sec": round(max(0.0, query_s - floor_s), 3),
+        floors, queries = _paired(floor_skeleton, lambda: qs[name](spark, SF_DIR))
+        diffs = [q - f for f, q in zip(floors, queries)]
+        compute = statistics.median(diffs)
+        spread = max(diffs) - min(diffs)
+        entry = {
+            "floor_sec": round(min(floors), 3),
+            "query_sec": round(min(queries), 3),
+            "compute_sec": round(compute, 3),  # signed — never clamped
+            "compute_spread_sec": round(spread, 3),
+            "pairs": RUNS,
         }
-    print(json.dumps({"sf_dir": SF_DIR, "runs": RUNS, "queries": out}))
+        if compute < 0 and -compute > spread:
+            # the floor consistently exceeds the query beyond measured
+            # noise: the skeleton is not a lower bound for this plan —
+            # the decomposition is invalid, say so loudly
+            entry["invalid"] = True
+            invalid.append(name)
+            print(
+                f"floor_decompose: INVALID decomposition for {name}: "
+                f"floor exceeds query by {-compute:.3f}s "
+                f"(> spread {spread:.3f}s)",
+                file=sys.stderr,
+            )
+        out[name] = entry
+    print(
+        json.dumps(
+            {
+                "sf_dir": SF_DIR,
+                "runs": RUNS,
+                "methodology": "paired-interleaved median-of-diffs",
+                "invalid": invalid,
+                "queries": out,
+            }
+        )
+    )
+    return 1 if invalid else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
