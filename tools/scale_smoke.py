@@ -146,10 +146,26 @@ def main() -> None:
             )
         )
 
+    from dagster_etl_spark.operators.dedup import dedup_lines
+
+    def relined_dedup_lines(d):
+        # same reshape as the registered query: deterministic 10-token
+        # lines, then C4-style cross-doc boilerplate removal
+        tk = "split(text, ' ')"
+        lines_arr = (
+            f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
+            f"i -> array_join(slice({tk}, i*10+1, 10), ' '))"
+        )
+        relined = d.select(
+            "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")
+        )
+        return dedup_lines(relined, min_docs=2)
+
     doc_ops = {
         "doc_stats": doc_stats,
         "fingerprints": fingerprints,
         "exact_dedup": exact_dedup_stats,
+        "dedup_lines": relined_dedup_lines,
         "minhash_neardup": lambda d: minhash_neardup_pairs(d, threshold=0.5),
         "dedup_clusters": lambda d: dedup_clusters(d, threshold=0.5),
         "packed_sequences": lambda d: pack_chunks(chunk_docs(d)),
