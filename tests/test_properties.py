@@ -336,3 +336,95 @@ def test_zvalue_expr_matches_python_interleave(spark, pairs):
     want = {(a, b): model(a, b) for a, b in pairs}
     assert got == want
     assert len(set(got.values())) == len(pairs)  # injective
+
+
+# -- dedup_lines vs a pure-Python model ---------------------------------------
+
+line_token = st.sampled_from(["shared", "nav", "alpha", "beta", "gamma", ""])
+doc_lines = st.lists(
+    st.lists(line_token, min_size=0, max_size=3).map(lambda t: " ".join(t)),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(corpus=st.lists(doc_lines, min_size=1, max_size=6), min_docs=st.integers(2, 3))
+@settings(**SETTINGS)
+def test_dedup_lines_matches_python_model(spark, corpus, min_docs):
+    """For arbitrary small corpora (shared lines, blank lines, repeated
+    lines within one doc): the operator must equal a direct Python
+    implementation of the spec — count DISTINCT docs per normalized
+    non-blank line, drop lines at or above the gate, rebuild in order."""
+    from collections import defaultdict
+
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.dedup import dedup_lines
+
+    docs = {i: lines for i, lines in enumerate(corpus)}
+    freq = defaultdict(set)
+    for i, lines in docs.items():
+        for ln in lines:
+            if ln.strip():
+                freq[ln.strip().lower()].add(i)
+    boiler = {k for k, d in freq.items() if len(d) >= min_docs}
+    want = {}
+    for i, lines in docs.items():
+        kept = [ln for ln in lines if ln.strip().lower() not in boiler]
+        dropped = len(lines) - len(kept)
+        want[i] = ("\n".join(kept), len(lines), dropped)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="\n".join(lines)) for i, lines in docs.items()]
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_dropped)
+        for r in dedup_lines(df, min_docs=min_docs).collect()
+    }
+    assert got == want
+
+
+# -- cluster_survivors invariants ---------------------------------------------
+
+surv_texts = st.lists(
+    st.sampled_from(
+        [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa !!!",
+            "one two three four five six seven eight nine ten",
+            "unrelated content entirely about spark engines today",
+        ]
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=surv_texts)
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cluster_survivors_invariants(spark, texts):
+    """For any corpus: every document lands in exactly one cluster row's
+    accounting (sum n_docs == corpus size), each kept_doc is a member of
+    its own cluster, and its score is the cluster max (ties -> min id)."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.dedup import cluster_survivors, dedup_clusters
+    from dagster_etl_spark.operators.text import doc_stats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    membership = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(df, threshold=0.3).collect()
+    }
+    scores = {r.doc_id: r.quality_score for r in doc_stats(df).collect()}
+    out = cluster_survivors(df, threshold=0.3).collect()
+    assert sum(r.n_docs for r in out) == len(texts)
+    for r in out:
+        members = [d for d, c in membership.items() if c == r.cluster_id]
+        assert r.kept_doc in members
+        best = max(scores[d] for d in members)
+        assert r.best_score == best
+        assert r.kept_doc == min(d for d in members if scores[d] == best)
+        assert r.n_dropped == r.n_docs - 1 == len(members) - 1
