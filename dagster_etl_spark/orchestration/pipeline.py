@@ -139,7 +139,8 @@ class PipelineRunner:
         overwrite) into the warehouse path."""
         t0 = time.time()
         cfg = resolve_load_config(self.tenant.tenant_id, p.name) or p.load
-        assert cfg is not None, f"load stage without load config: {p.name}"
+        if cfg is None:  # explicit raise, not assert: survives python -O
+            raise ValueError(f"load stage without load config: {p.name}")
         df = with_tenant(staged["df"], self.tenant.tenant_id)
         target = f"{self.warehouse_base.rstrip('/')}/{cfg.table}"
         if cfg.mode == "upsert":
