@@ -94,14 +94,20 @@ def dedup_lines(
     Returns (id_col, text_col, n_lines, n_dropped) — the rebuilt text
     plus per-document audit counts.
 
-    Scale design: one explode (no shuffle), one map-side-combining
-    aggregate for the document-frequency table, then the boilerplate
-    set — tiny by construction, it holds only lines frequent across
-    documents — is broadcast back (runtime-counted with a shuffle-join
-    fallback above ``broadcast_max_lines``, the same adaptive pattern
-    as :func:`minhash_neardup_pairs`), and one aggregate on the doc id
-    rebuilds the text. Blank lines are document structure, not
-    boilerplate: they are never counted or dropped.
+    Scale design: TWO passes over the corpus — a frequency pass
+    (explode -> distinct-doc count per normalized line hash) and a
+    rebuild pass (explode -> broadcast-join the boilerplate set ->
+    reassembly aggregate). The explode is deliberately recomputed in
+    the second pass rather than cached: the exploded line table is
+    corpus-sized, and at the 100 TB design point re-running a
+    projection+explode over columnar parquet is cheaper than
+    materializing it (contrast minhash, which pins only slim
+    (id, band) scalar rows). The boilerplate set — tiny by
+    construction, it holds only lines frequent across documents — is
+    broadcast (runtime-counted with a shuffle-join fallback above
+    ``broadcast_max_lines``, the same adaptive pattern as
+    :func:`minhash_neardup_pairs`). Blank lines are document
+    structure, not boilerplate: they are never counted or dropped.
     """
     lines = df.select(
         F.col(id_col),
