@@ -65,9 +65,10 @@ def drop_key_duplicates(
     public corpus pipeline: keep the min-id row per key value. Same
     shape as :func:`drop_exact_duplicates` (one hash-groupBy + semi-join
     on unique ids, no window), keyed on a metadata column instead of
-    content. Reference anchor: the per-source extract dedup in the
-    reference's transfer step (etl/assets/transfer.py) — here as a
-    first-class operator.
+    content. Reference anchor: the reference only VALIDATES key
+    uniqueness (duplicate count per column,
+    etl/utils/validation.py:72-81); this operator enforces it as a
+    first-class dedup step.
     """
     canon = (
         df.groupBy(key_col)
