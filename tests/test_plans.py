@@ -69,6 +69,35 @@ AUDITED = [
     "quantized_ann_topk",
     "dedup_lines",
     "url_dedup",
+    # r6 sweep widening: every remaining batch query that is cheap to
+    # plan (excluded: streaming — executes on build; ivf/dedup_clusters/
+    # dedup_survivors — iterative fit or CC jobs on build; media_* —
+    # Arrow mapInPandas is their sanctioned shape; dbt/compaction —
+    # materialize on build)
+    "item_master_enrich",
+    "events_lag",
+    "customers_without_urgent_orders",
+    "validation_report",
+    "customer_segment_setops",
+    "rolling_customer_spend",
+    "events_json_percentiles",
+    "shipping_priority",
+    "late_shipment_priority",
+    "priority_shipping_mix",
+    "promo_revenue_share",
+    "revenue_cube",
+    "value_band_range_join",
+    "lang_id",
+    "tfidf_top_terms",
+    "null_profile_orders",
+    "decontaminate_vs_benchmark",
+    "train_val_test_split",
+    "corpus_mixture",
+    "quality_deciles",
+    "corpus_bigram_counts",
+    "gopher_quality_flags",
+    "ngram_jaccard_pairs",
+    "embedding_neardup",
 ]
 
 
