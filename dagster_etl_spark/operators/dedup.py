@@ -109,10 +109,18 @@ def dedup_lines(
     ``broadcast_max_lines``, the same adaptive pattern as
     :func:`minhash_neardup_pairs`). Blank lines are document
     structure, not boilerplate: they are never counted or dropped.
+
+    ``line_sep`` is a LITERAL separator (it is also what the rebuilt
+    text is joined with); it is regex-quoted before hitting ``split``,
+    so ``"|"`` or ``"."`` split on the character, not the pattern.
     """
+    # Pattern.quote-style literal quoting: split() interprets its
+    # separator as a Java regex but array_join emits it verbatim, so an
+    # unquoted "|" would split-on-anything yet join-with-pipe
+    sep_rx = "\\Q" + line_sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("line_no", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("line_no", "line"),
     )
     fp = "md5(trim(lower(line)))"
     boiler = pin(
@@ -537,9 +545,15 @@ def cluster_survivors(
     production curation pipeline keeps the HIGHEST-QUALITY one. Joins
     the per-doc quality score (text.doc_stats composite) onto the
     cluster assignment and picks, per cluster, the max-score doc with a
-    deterministic min-id tiebreak — as ONE aggregate via lexicographic
-    struct max over (score, -id): score ties resolve to the smallest
-    id, and no window sort is needed.
+    deterministic min-id tiebreak.
+
+    Numeric ids take ONE aggregate via lexicographic struct max over
+    (score, -id): score ties resolve to the smallest id, and no window
+    sort is needed. Non-numeric ids (string URL hashes etc.) can't be
+    negated, so they take a two-phase form — max score per cluster,
+    then ``min(id)`` over the argmax rows (exact equality is safe: the
+    max is drawn from the very same computed values) — one extra
+    cluster-keyed join that reuses the aggregate's partitioning.
 
     Returns (cluster_id, kept_doc, best_score, n_docs, n_dropped);
     singleton clusters appear with n_dropped = 0.
@@ -552,18 +566,39 @@ def cluster_survivors(
     q = {"quality_score": doc_stats_exprs(text_col, x.SPARK, tok="_t")["quality_score"]}
     scored = df.selectExpr(id_col, *_let_cols(q, text_col, "_t"))
     j = clustered.join(scored, on=id_col)
-    return (
-        j.groupBy("cluster_id")
-        .agg(
-            F.expr(
-                f"max(struct(quality_score AS s, -{id_col} AS nid))"
-            ).alias("m"),
-            F.count(F.lit(1)).alias("n_docs"),
+    numeric_id = dict(df.dtypes)[id_col] in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+    if numeric_id:
+        return (
+            j.groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    f"max(struct(quality_score AS s, -{id_col} AS nid))"
+                ).alias("m"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .selectExpr(
+                "cluster_id",
+                "-m.nid AS kept_doc",
+                "m.s AS best_score",
+                "n_docs",
+                "n_docs - 1 AS n_dropped",
+            )
         )
+    best = j.groupBy("cluster_id").agg(
+        F.max("quality_score").alias("best_score"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        j.join(best, on="cluster_id")
+        .filter(F.col("quality_score") == F.col("best_score"))
+        .groupBy("cluster_id", "best_score", "n_docs")
+        .agg(F.min(id_col).alias("kept_doc"))
         .selectExpr(
             "cluster_id",
-            "-m.nid AS kept_doc",
-            "m.s AS best_score",
+            "kept_doc",
+            "best_score",
             "n_docs",
             "n_docs - 1 AS n_dropped",
         )

@@ -446,3 +446,44 @@ def test_drop_key_duplicates(spark):
         for r in drop_key_duplicates(spark.createDataFrame(rows), key_col="url").collect()
     )
     assert kept == [2, 7]
+
+
+def test_dedup_lines_literal_separator(spark):
+    # line_sep is a literal, not a regex: "|" must split on pipes, and
+    # the rebuilt text must round-trip through the same separator
+    rows = [
+        Row(doc_id=1, text="nav bar|real content one|footer"),
+        Row(doc_id=2, text="nav bar|real content two|footer"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in dedup_lines(spark.createDataFrame(rows), line_sep="|").collect()
+    }
+    assert out[1].text == "real content one"
+    assert (out[1].n_lines, out[1].n_dropped) == (3, 2)
+    assert out[2].text == "real content two"
+
+
+def test_cluster_survivors_string_ids(spark):
+    # string ids can't take the numeric struct-max tiebreak; the
+    # two-phase fallback must pick the same quality winner with a
+    # lexicographic min-id tiebreak
+    rows = [
+        Row(doc_id="doc-b", text="alpha beta gamma delta epsilon zeta eta theta iota kappa !!!"),
+        Row(doc_id="doc-a", text="alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        Row(doc_id="doc-z", text="unrelated content entirely about spark engines today"),
+    ]
+    out = {
+        r.cluster_id: r
+        for r in cluster_survivors(spark.createDataFrame(rows), threshold=0.3).collect()
+    }
+    assert out["doc-a"].kept_doc == "doc-a"  # quality beats the '!!!' doc
+    assert (out["doc-a"].n_docs, out["doc-a"].n_dropped) == (2, 1)
+    assert out["doc-z"].kept_doc == "doc-z" and out["doc-z"].n_dropped == 0
+    # exact score tie -> lexicographic min id
+    tie = [
+        Row(doc_id="k2", text="one two three four five six seven eight nine ten"),
+        Row(doc_id="k1", text="one two three four five six seven eight nine ten"),
+    ]
+    t = cluster_survivors(spark.createDataFrame(tie), threshold=0.3).collect()
+    assert len(t) == 1 and t[0].kept_doc == "k1"
