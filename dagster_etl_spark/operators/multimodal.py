@@ -170,14 +170,30 @@ def synth_real_media_table(documents: DataFrame) -> DataFrame:
     return df_spread(documents.select("doc_id")).mapInPandas(run, schema=schema)
 
 
-def decode_stats(df: DataFrame) -> DataFrame:
+def _skip_errors(on_error: str) -> bool:
+    """Validate the shared corrupt-payload policy knob. ``"fail"``
+    (default) propagates decode errors — one bad asset fails the task,
+    the right contract for oracle-checked fixtures. ``"skip"`` drops
+    undecodable assets and keeps the batch going — the right contract
+    for a 100 TB crawl corpus, where corrupt files are a statistical
+    certainty and must not kill a 1000-executor job; callers monitor
+    the input-vs-output row-count delta."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    return on_error == "skip"
+
+
+def decode_stats(df: DataFrame, on_error: str = "fail") -> DataFrame:
     """REAL decode -> integer content statistics per asset: format (by
     magic bytes), image dims (0 for audio), value count / sum / min /
     max over every decoded pixel or sample. All-integer output keeps the
     contract bit-exact against a SQL oracle — no float summation order
     to worry about. Proves the codec path end-to-end: a wrong header
-    parse, row stride, or channel order changes the sums."""
+    parse, row stride, or channel order changes the sums. See
+    :func:`_skip_errors` for the ``on_error`` contract."""
     from dagster_etl_spark.operators.codecs import decode_media, sniff_format
+
+    skip = _skip_errors(on_error)
 
     schema = StructType(
         [
@@ -197,7 +213,12 @@ def decode_stats(df: DataFrame) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["media"]):
                 raw = bytes(payload)
-                arr = decode_media(raw)
+                try:
+                    arr = decode_media(raw)
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
                 flat = arr.ravel().astype(np.int64)
                 img_w = arr.shape[1] if arr.ndim >= 2 else 0
                 img_h = arr.shape[0] if arr.ndim >= 2 else 0
@@ -251,14 +272,17 @@ def byte_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
-def audio_stats(df: DataFrame) -> DataFrame:
+def audio_stats(df: DataFrame, on_error: str = "fail") -> DataFrame:
     """REAL audio analysis over decoded PCM samples: per asset the
     sample count, integer energy (sum of squares — RMS's numerator),
     integer absolute sum (mean-amplitude numerator) and peak magnitude.
     Integer outputs keep the oracle exact; callers derive RMS/mean in
     whatever float width they want. Non-audio payloads are skipped (0
-    output rows), so the operator composes with mixed media tables."""
+    output rows), so the operator composes with mixed media tables;
+    corrupt WAVs follow ``on_error`` (:func:`_skip_errors`)."""
     from dagster_etl_spark.operators.codecs import decode_wav, sniff_format
+
+    skip = _skip_errors(on_error)
 
     schema = StructType(
         [
@@ -277,7 +301,12 @@ def audio_stats(df: DataFrame) -> DataFrame:
                 raw = bytes(payload)
                 if sniff_format(raw) != "wav":
                     continue
-                samples = decode_wav(raw)[0].astype(np.int64).ravel()
+                try:
+                    samples = decode_wav(raw)[0].astype(np.int64).ravel()
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
                 rows.append(
                     (
                         int(aid),
@@ -334,7 +363,9 @@ def stub_features(payload: bytes, dim: int) -> list[float]:
     return [sum(band_bytes_stub(payload, j)) / 16.0 for j in range(dim)]
 
 
-def extract_features(df: DataFrame, dim: int = 16, decoder=None) -> DataFrame:
+def extract_features(
+    df: DataFrame, dim: int = 16, decoder=None, on_error: str = "fail"
+) -> DataFrame:
     """Fixed-dim float feature vector per asset from decoded content.
     Arrow-batched; output schema (asset_id, features array<float>)
     feeds the similarity operators.
@@ -343,8 +374,10 @@ def extract_features(df: DataFrame, dim: int = 16, decoder=None) -> DataFrame:
     md5 stub contract of :func:`stub_features` — SQL-reproducible, see
     the ``media_features`` oracle. Passing a real decoder (production:
     PIL/soundfile/PyAV via :func:`decode_real`) switches to per-band
-    pixel means of the decoded array; plumbing is identical.
+    pixel means of the decoded array; plumbing is identical. Corrupt
+    payloads follow ``on_error`` (:func:`_skip_errors`).
     """
+    skip = _skip_errors(on_error)
     out_schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -354,36 +387,59 @@ def extract_features(df: DataFrame, dim: int = 16, decoder=None) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload, meta in zip(pdf["media"], pdf["meta"]):
+            ids, feats = [], []
+            for aid, payload, meta in zip(pdf["asset_id"], pdf["media"], pdf["meta"]):
                 raw = bytes(payload)
                 if decoder is None:
                     feats.append(stub_features(raw, dim))
                 else:
-                    img = decoder(raw, int(meta["width"]) % 64 + 8, 8)
+                    try:
+                        img = decoder(raw, int(meta["width"]) % 64 + 8, 8)
+                    except (ValueError, NotImplementedError):
+                        if skip:
+                            continue
+                        raise
                     bands = np.array_split(img.ravel().astype(np.float32), dim)
                     feats.append([float(b.mean()) for b in bands])
-            yield pd.DataFrame({"asset_id": pdf["asset_id"], "features": feats})
+                ids.append(aid)
+            yield pd.DataFrame(
+                {"asset_id": np.asarray(ids, dtype=np.int64), "features": feats}
+            )
 
     return df.mapInPandas(run, schema=out_schema)
 
 
-def resize_media(df: DataFrame, out_w: int = 32, out_h: int = 32, decoder=decode_stub) -> DataFrame:
+def resize_media(
+    df: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    decoder=decode_stub,
+    on_error: str = "fail",
+) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode (raw bytes).
     Output payload is exactly out_w*out_h bytes; resize itself is pure
-    NumPy striding (no codec needed), so only decode is stubbed."""
+    NumPy striding (no codec needed), so only decode is stubbed.
+    Corrupt payloads follow ``on_error`` (:func:`_skip_errors`)."""
+    skip = _skip_errors(on_error)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for payload, meta in zip(pdf["media"], pdf["meta"]):
+            ids, out = [], []
+            for aid, payload, meta in zip(pdf["asset_id"], pdf["media"], pdf["meta"]):
                 w, h = int(meta["width"]), int(meta["height"])
-                img = decoder(bytes(payload), w, h)
+                try:
+                    img = decoder(bytes(payload), w, h)
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
                 yi = (np.arange(out_h) * h) // out_h
                 xi = (np.arange(out_w) * w) // out_w
                 out.append(img[np.ix_(yi, xi)].tobytes())
+                ids.append(aid)
             yield pd.DataFrame(
                 {
-                    "asset_id": pdf["asset_id"],
+                    "asset_id": np.asarray(ids, dtype=np.int64),
                     "media": out,
                     "width": out_w,
                     "height": out_h,

@@ -381,3 +381,55 @@ def test_decode_media_malformed_payloads_raise_valueerror_only():
             codecs.decode_media(p)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_decode_operators_on_error_skip(spark):
+    """One corrupt payload in a batch: on_error='fail' (default) fails
+    the job; on_error='skip' drops just that asset and the batch —
+    including a now-empty Arrow batch — still converts cleanly."""
+    import pytest as _pytest
+
+    from dagster_etl_spark.operators.codecs_jpeg import encode_jpeg
+    from dagster_etl_spark.operators.multimodal import (
+        audio_stats,
+        decode_stats,
+        decode_real,
+        resize_media,
+    )
+
+    img = (np.arange(8 * 8 * 3) % 256).reshape(8, 8, 3).astype(np.uint8)
+    good = encode_jpeg(img)
+    corrupt = good[:20]  # truncated mid-header
+    rows = [(1, good), (2, corrupt)]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+
+    with _pytest.raises(Exception):
+        decode_stats(df).collect()
+    got = decode_stats(df, on_error="skip").collect()
+    assert [r.asset_id for r in got] == [1]
+
+    # corrupt WAV: sniffs as wav, then fails to parse
+    audio = (np.sin(np.arange(200) / 7) * 1000).astype(np.int16)
+    wav = codecs.encode_wav(audio, 8000)
+    bad_wav = wav[:30]
+    adf = spark.createDataFrame(
+        [(1, wav), (2, bad_wav)], "asset_id long, media binary"
+    )
+    assert [r.asset_id for r in audio_stats(adf, on_error="skip").collect()] == [1]
+    with _pytest.raises(Exception):
+        audio_stats(adf).collect()
+
+    # resize with the real decoder: the all-corrupt partition yields an
+    # empty Arrow batch, which must still satisfy the output schema
+    def real_img_decoder(payload, w, h):
+        arr = decode_real(payload, "image")
+        return arr.mean(axis=2).astype(np.uint8) if arr.ndim == 3 else arr
+
+    rdf = spark.createDataFrame([(2, corrupt)], "asset_id long, media binary")
+    rdf = rdf.selectExpr(
+        "asset_id", "media", "named_struct('width', 8, 'height', 8) AS meta"
+    )
+    assert resize_media(rdf, decoder=real_img_decoder, on_error="skip").count() == 0
+
+    with _pytest.raises(ValueError, match="on_error"):
+        decode_stats(df, on_error="ignore")
