@@ -175,10 +175,21 @@ def norm_chain(a: str, dim: int, d: str) -> str:
 
 def cosine(a: str, b: str, dim: int, d: str) -> str:
     """Cosine similarity. Spark uses fold form (codegen-friendly at any
-    dim); DuckDB keeps the explicit chain (identical IEEE sequence)."""
+    dim); DuckDB keeps the explicit chain (identical IEEE sequence).
+    The denominator is nullif-guarded in both dialects: a zero-norm
+    vector (padding row, failed encode — guaranteed to appear in a
+    crawl-scale corpus) yields NULL cosine instead of aborting the job
+    under ANSI mode with DIVIDE_BY_ZERO; NULLs sort after every real
+    score in the desc top-k rank, so zero vectors simply never win."""
     if d == SPARK:
-        return f"({dot_fold(a, b, d)} / ({norm_fold(a, d)} * {norm_fold(b, d)}))"
-    return f"({dot_chain(a, b, dim, d)} / ({norm_chain(a, dim, d)} * {norm_chain(b, dim, d)}))"
+        return (
+            f"({dot_fold(a, b, d)} / "
+            f"nullif({norm_fold(a, d)} * {norm_fold(b, d)}, 0.0d))"
+        )
+    return (
+        f"({dot_chain(a, b, dim, d)} / "
+        f"nullif({norm_chain(a, dim, d)} * {norm_chain(b, dim, d)}, 0.0))"
+    )
 
 
 # -- int8 symmetric quantization (the 4x-memory ANN scale path) --------------
@@ -231,7 +242,8 @@ def qcosine(a: str, b: str, d: str) -> str:
     num = qdot(a, b, d)
     na = qdot(a, a, d)
     nb = qdot(b, b, d)
+    zero = "0.0d" if d == SPARK else "0.0"
     return (
         f"(CAST({num} AS DOUBLE) / "
-        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))))"
+        f"nullif(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)), {zero}))"
     )

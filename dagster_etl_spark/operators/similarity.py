@@ -287,9 +287,11 @@ def quantized_cosine_topk(
     c = spread(corpus).selectExpr(
         f"{id_col} AS neighbor_id", f"{q8} AS cv"
     ).selectExpr("neighbor_id", "cv", f"{x.qdot('cv', 'cv', x.SPARK)} AS cn")
+    # nullif: an all-zero vector quantizes to qn/cn = 0; NULL score
+    # ranks after every real one instead of aborting under ANSI mode
     score = (
         f"(CAST({x.qdot('qv', 'cv', x.SPARK)} AS DOUBLE) / "
-        f"(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))))"
+        f"nullif(sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)), 0.0d))"
     )
     scored = (
         F.broadcast(q)

@@ -125,3 +125,40 @@ def test_quantized_topk_recall_vs_exact(spark):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_zero_and_null_vectors_do_not_abort(spark):
+    """A crawl corpus will contain zero-norm (padding/failed-encode)
+    and NULL embeddings; cosine must yield NULL for them under ANSI
+    mode — not abort the job with DIVIDE_BY_ZERO — and NULL scores must
+    rank after every real score."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.6, 0.8, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 0.0, 0.0]),
+            Row(vec_id=4, embedding=None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for fn, col in ((cosine_topk, "cosine"), (quantized_cosine_topk, "qcosine")):
+        rows = fn(queries, corpus, k=4).collect()
+        by_rank = sorted(rows, key=lambda r: r.rank)
+        scores = [getattr(r, col) for r in by_rank]
+        assert scores[0] == 1.0  # identical vector wins
+        assert all(s is None for s in scores if s is None)  # no crash
+        # every real score ranks before every NULL one
+        first_null = next((i for i, s in enumerate(scores) if s is None), len(scores))
+        assert all(s is not None for s in scores[:first_null])
+        assert all(s is None for s in scores[first_null:])
