@@ -38,7 +38,11 @@ def hash_sample(
     df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = ""
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by id hash — the same rows
-    every run, on every engine, at every scale."""
+    every run, on every engine, at every scale. NULL-id rows hash to
+    NULL and are always dropped (a NULL id has no stable identity to
+    sample by)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     cut = int(round(fraction * _BUCKETS))
     return df.filter(F.expr(f"{_bucket_expr(id_col, x.SPARK, salt)} < {cut}"))
 
@@ -54,9 +58,15 @@ def split_expr(
     salt: str = "",
 ) -> str:
     """CASE expression assigning each row a split label by hash-bucket
-    range; identical SQL shape in both dialects."""
+    range; identical SQL shape in both dialects. NULL ids get a NULL
+    label explicitly — without the guard the NULL bucket comparison
+    falls through every WHEN into the ELSE arm, silently dumping every
+    null-id row into the LAST split (for train/val/test that is
+    test-set contamination, the worst possible default)."""
+    if not weights:
+        raise ValueError("split weights must name at least one split")
     bucket = _bucket_expr(id_col, d, salt)
-    clauses, lo = [], 0
+    clauses, lo = [f"WHEN {id_col} IS NULL THEN NULL"], 0
     for name, w in weights[:-1]:
         hi = lo + int(round(w * _BUCKETS))
         clauses.append(f"WHEN {bucket} < {hi} THEN '{name}'")
@@ -106,6 +116,11 @@ def weighted_mix(
     web) as a pure per-row projection: no shuffle, no RNG, identical
     output on every rerun and engine. The per-source salt decorrelates
     the fractional picks from each other and from hash_split."""
+    if not sources:
+        raise ValueError("weighted_mix requires at least one source")
+    for name, (_, w) in sources.items():
+        if w < 0:
+            raise ValueError(f"mixture weight for {name!r} must be >= 0, got {w}")
     parts = []
     for name, (df, w) in sources.items():
         n = _copies_expr(id_col, x.SPARK, w, salt + name)
@@ -132,9 +147,10 @@ def stratified_sample_expr(
     (id, stratum), no RNG, no shuffle."""
     bucket = _bucket_expr(id_col, d, salt)
     clauses = [
-        # '' -> escaped quote: stratum values are arbitrary strings and
-        # must not alter the predicate (same literal syntax both engines)
-        f"WHEN {strata_col} = '{v.replace(chr(39), chr(39) * 2)}' "
+        # '' -> escaped quote: stratum values are arbitrary (str()-
+        # coerced) and must not alter the predicate (same literal
+        # syntax both engines)
+        f"WHEN {strata_col} = '{str(v).replace(chr(39), chr(39) * 2)}' "
         f"THEN {bucket} < {int(round(r * _BUCKETS))}"
         for v, r in rates.items()
     ]

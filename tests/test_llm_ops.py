@@ -487,3 +487,44 @@ def test_cluster_survivors_string_ids(spark):
     ]
     t = cluster_survivors(spark.createDataFrame(tie), threshold=0.3).collect()
     assert len(t) == 1 and t[0].kept_doc == "k1"
+
+
+def test_sampling_edge_cases(spark):
+    """NULL ids, empty/negative mixtures, non-string strata: the
+    degenerate inputs a crawl pipeline will eventually feed in."""
+    import pytest as _pytest
+
+    from dagster_etl_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+        stratified_sample,
+        weighted_mix,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=None, text="orphan")] + [Row(doc_id=i, text="t") for i in range(50)],
+        "doc_id long, text string",
+    )
+    # null ids are always dropped from samples...
+    assert all(
+        r.doc_id is not None for r in hash_sample(df, 0.9).collect()
+    )
+    # ...and get a NULL split label, NOT the last (test) split
+    labels = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert labels[None] is None
+    assert set(labels.values()) - {None} <= {"train", "val", "test"}
+
+    with _pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, 1.5)
+    with _pytest.raises(ValueError, match="at least one source"):
+        weighted_mix({})
+    with _pytest.raises(ValueError, match=">= 0"):
+        weighted_mix({"web": (df, -0.5)})
+
+    # integer strata values coerce to string literals
+    idf = spark.createDataFrame(
+        [Row(doc_id=i, grp=str(i % 2)) for i in range(40)],
+        "doc_id long, grp string",
+    )
+    kept = stratified_sample(idf, {0: 1.0, 1: 0.0}, "grp").collect()
+    assert kept and all(r.grp == "0" for r in kept)
