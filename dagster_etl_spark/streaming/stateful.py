@@ -77,7 +77,9 @@ def _sessionize_group(
 
 def sessionize_stateful(events: DataFrame) -> DataFrame:
     """Per-user session/event counts as an update-mode stateful stream."""
-    prepped = events.selectExpr(
+    # a NULL event time cannot be sessionized — and would reach the
+    # state function as NaN, crashing int() mid-batch
+    prepped = events.filter("ts IS NOT NULL").selectExpr(
         "user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS ts_sec"
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
@@ -159,8 +161,10 @@ def sessionize_with_timeout(events: DataFrame, watermark: str = "1 hour") -> Dat
     """Per-user closed sessions emitted as the event-time watermark
     passes each session's gap — the production shape (results stream
     out continuously; state is bounded by open sessions only)."""
-    prepped = events.withWatermark("ts", watermark).selectExpr(
-        "ts", "user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS ts_sec"
+    prepped = (
+        events.filter("ts IS NOT NULL")  # same NaN guard as sessionize_stateful
+        .withWatermark("ts", watermark)
+        .selectExpr("ts", "user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS ts_sec")
     )
     return prepped.groupBy("user_id").applyInPandasWithState(
         _emit_closed_sessions,

@@ -395,3 +395,31 @@ def test_streaming_media_decode_equals_batch(spark):
         ).collect()
     )
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_stateful_sessionizer_survives_null_timestamps(spark, tmp_path):
+    """An event with a NULL timestamp reaches the state function as
+    NaN and would crash int() mid-batch; it must be dropped (a null
+    event time cannot be sessionized) without affecting other rows."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.streaming.stateful import sessionize_stateful
+    from dagster_etl_spark.streaming.windowed import run_stream_to_batch
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        Row(user_id=1, ts=t0),
+        Row(user_id=1, ts=None),
+        Row(user_id=1, ts=t0 + dt.timedelta(hours=2)),  # new session
+        Row(user_id=2, ts=None),  # user with ONLY null ts: no output row
+    ]
+    src = str(tmp_path / "null_ts_events")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in run_stream_to_batch(sessionize_stateful(stream), mode="update").collect()
+    }
+    assert out == {1: (2, 2)}
