@@ -433,3 +433,56 @@ def test_decode_operators_on_error_skip(spark):
 
     with _pytest.raises(ValueError, match="on_error"):
         decode_stats(df, on_error="ignore")
+
+
+# -- property-based round-trips (hypothesis) ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_dims = st.tuples(st.integers(1, 17), st.integers(1, 17))
+
+
+@settings(max_examples=25, deadline=None)
+@given(dims=_dims, seed=st.integers(0, 2**31 - 1))
+def test_lossless_image_codecs_round_trip_any_shape(dims, seed):
+    """PPM/BMP/PNG are lossless: encode->decode must be the identity
+    for arbitrary shapes (odd widths exercise BMP row padding and PNG
+    per-row filters) and arbitrary pixel content."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_pnm(codecs.encode_ppm(rgb)), rgb)
+    assert np.array_equal(codecs.decode_pnm(codecs.encode_pgm(gray)), gray)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(rgb)), rgb)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(gray)), gray)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_round_trips_any_pcm16(n, rate, seed):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, n, dtype=np.int16)
+    got, got_rate = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert got_rate == rate
+    assert np.array_equal(got.ravel(), samples)
+
+
+@settings(max_examples=15, deadline=None)
+@given(dims=st.tuples(st.integers(1, 24), st.integers(1, 24)), val=st.integers(0, 255))
+def test_jpeg_round_trip_constant_image_near_exact(dims, val):
+    """JPEG is lossy, but a constant image is pure DC: round-trip error
+    must be within quantization rounding (and shape/dtype exact)."""
+    from dagster_etl_spark.operators.codecs_jpeg import decode_jpeg, encode_jpeg
+
+    h, w = dims
+    img = np.full((h, w, 3), val, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert int(np.abs(out.astype(int) - int(val)).max()) <= 3
