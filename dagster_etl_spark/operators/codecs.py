@@ -55,6 +55,25 @@ _MALFORMED = (
 )
 
 
+# Allocation-bomb guard: a few hundred crafted bytes can DECLARE a
+# multi-gigapixel image (huge SOF/IHDR dims + a zlib bomb or truncated
+# scan) and OOM-kill an executor before any data-size check fires.
+# 2^26 pixels (~8192x8192, 192 MiB decoded RGB) is far beyond any
+# training-data asset; decoders raise ValueError past it BEFORE
+# allocating. Override per call via ``max_pixels=``.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def check_decode_dims(w: int, h: int, fmt: str, max_pixels: int | None) -> None:
+    limit = MAX_DECODE_PIXELS if max_pixels is None else max_pixels
+    if w <= 0 or h <= 0 or w * h > limit:
+        raise ValueError(
+            f"{fmt} declares {w}x{h} pixels — outside (0, {limit}] "
+            "(allocation-bomb guard; raise max_pixels for legitimate "
+            "oversized assets)"
+        )
+
+
 def _valueerror_boundary(fmt: str, *extra: type[BaseException]):
     # ``extra`` widens the net for one decoder only — e.g. stdlib
     # wave/chunk raises a bare RuntimeError seeking past a corrupt
@@ -282,9 +301,12 @@ def _png_unfilter(data: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 
 
 @_valueerror_boundary("PNG")
-def decode_png(payload: bytes) -> np.ndarray:
+def decode_png(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Non-interlaced 8-bit PNG bytes -> uint8 array: (h, w) for
-    grayscale, (h, w, 3|2|4) for RGB / gray+alpha / RGBA."""
+    grayscale, (h, w, 3|2|4) for RGB / gray+alpha / RGBA. Declared
+    dimensions are bounded BEFORE the IDAT inflate: a zlib bomb
+    (multi-GB of zeros in a few-MB payload) passes the post-inflate
+    scanline check, so the guard must come first."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -309,6 +331,7 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError(f"PNG compression method {comp} unsupported (0 only)")
             if filt != 0:
                 raise ValueError(f"PNG filter method {filt} unsupported (0 only)")
+            check_decode_dims(w, h, "PNG", max_pixels)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":

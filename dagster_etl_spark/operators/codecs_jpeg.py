@@ -226,17 +226,20 @@ def _extend(v: int, t: int) -> int:
 # -- decoder ------------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 array: (h, w) grayscale or
     (h, w, 3) RGB.
 
     Malformed input surfaces only as ValueError: truncated payloads
     (IndexError/struct.error internally), references to undeclared
     quant/Huffman tables or unknown Huffman codes (KeyError), and
-    mid-block restart markers are wrapped at this boundary.
+    mid-block restart markers are wrapped at this boundary. Declared
+    SOF dimensions are bounded (codecs.MAX_DECODE_PIXELS, override via
+    ``max_pixels``) before the component planes are allocated — a
+    crafted few-hundred-byte SOF can otherwise demand gigabytes.
     """
     try:
-        return _decode_jpeg(payload)
+        return _decode_jpeg(payload, max_pixels)
     except (IndexError, struct.error) as exc:
         raise ValueError("truncated JPEG payload") from exc
     except KeyError as exc:
@@ -247,7 +250,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("corrupt JPEG payload (coefficient overflow)") from exc
 
 
-def _decode_jpeg(payload: bytes) -> np.ndarray:
+def _decode_jpeg(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -290,6 +293,9 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            from dagster_etl_spark.operators.codecs import check_decode_dims
+
+            check_decode_dims(w, h, "JPEG", max_pixels)
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(

@@ -486,3 +486,30 @@ def test_jpeg_round_trip_constant_image_near_exact(dims, val):
     out = decode_jpeg(encode_jpeg(img))
     assert out.shape == img.shape and out.dtype == np.uint8
     assert int(np.abs(out.astype(int) - int(val)).max()) <= 3
+
+
+def test_allocation_bomb_guard():
+    """A few hundred crafted bytes declaring a multi-gigapixel image
+    (huge SOF/IHDR dims) must raise ValueError BEFORE allocating —
+    a zlib-bombed PNG or giant JPEG SOF would otherwise OOM an
+    executor processing untrusted crawl data."""
+    import struct
+
+    from dagster_etl_spark.operators.codecs_jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    jpg = bytearray(encode_jpeg(img))
+    sof = bytes(jpg).find(b"\xff\xc0")
+    struct.pack_into(">HH", jpg, sof + 5, 30000, 30000)
+    with pytest.raises(ValueError, match="allocation-bomb"):
+        decode_jpeg(bytes(jpg))
+
+    png = bytearray(codecs.encode_png(img))
+    struct.pack_into(">II", png, 16, 20000, 20000)  # IHDR w, h
+    with pytest.raises(ValueError, match="allocation-bomb"):
+        codecs.decode_png(bytes(png))
+
+    # override admits legitimately oversized assets / tightens the cap
+    with pytest.raises(ValueError, match="allocation-bomb"):
+        decode_jpeg(encode_jpeg(img), max_pixels=16)
+    assert codecs.decode_png(codecs.encode_png(img), max_pixels=64).shape == (8, 8, 3)
