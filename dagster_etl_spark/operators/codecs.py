@@ -58,9 +58,14 @@ _MALFORMED = (
 # Allocation-bomb guard: a few hundred crafted bytes can DECLARE a
 # multi-gigapixel image (huge SOF/IHDR dims + a zlib bomb or truncated
 # scan) and OOM-kill an executor before any data-size check fires.
-# 2^26 pixels (~8192x8192, 192 MiB decoded RGB) is far beyond any
-# training-data asset; decoders raise ValueError past it BEFORE
-# allocating. Override per call via ``max_pixels=``.
+# 2^26 pixels (~8192x8192) is far beyond any training-data asset;
+# decoders raise ValueError past it BEFORE allocating. Sizing note:
+# the final uint8 RGB at the cap is 192 MiB, but the JPEG decode path
+# materializes float64 intermediates (dequantized coeffs, IDCT einsum
+# output, stacked YCbCr->RGB planes) of ~8-24 bytes/pixel/component,
+# so PEAK working set at the cap is a few GiB per in-flight decode —
+# bounded, but budget executor memory for the float64 peak, not the
+# 192 MiB output. Override per call via ``max_pixels=``.
 MAX_DECODE_PIXELS = 1 << 26
 
 
@@ -304,9 +309,10 @@ def _png_unfilter(data: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 def decode_png(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Non-interlaced 8-bit PNG bytes -> uint8 array: (h, w) for
     grayscale, (h, w, 3|2|4) for RGB / gray+alpha / RGBA. Declared
-    dimensions are bounded BEFORE the IDAT inflate: a zlib bomb
-    (multi-GB of zeros in a few-MB payload) passes the post-inflate
-    scanline check, so the guard must come first."""
+    dimensions are bounded BEFORE the IDAT inflate, and the inflate
+    itself is capped at the declared scanline budget (decompressobj
+    with max_length), so a DEFLATE bomb — tiny declared dims, huge
+    expansion — fails fast without materializing."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -339,8 +345,16 @@ def decode_png(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     ch = _PNG_CHANNELS[color]
-    data = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    if data.size != h * (w * ch + 1):
+    expected = h * (w * ch + 1)
+    # Bounded inflate: decompress at most expected+1 bytes so a DEFLATE
+    # bomb (tiny declared dims, huge expansion) never materializes past
+    # the scanline budget. A correct stream consumes all input exactly.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected or dec.unconsumed_tail or dec.decompress(b"", 1):
+        raise ValueError("PNG IDAT inflates past declared scanline size")
+    data = np.frombuffer(raw, np.uint8)
+    if data.size != expected:
         raise ValueError("PNG scanline data size mismatch")
     return _png_unfilter(data, h, w, ch)
 

@@ -292,7 +292,15 @@ def _decode_jpeg(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                ch, cv = hv >> 4, hv & 0xF
+                # T.81 B.2.2: 1 <= Hi,Vi <= 4. A zero factor would reach
+                # _decode_scan's hmax/vmax divisions as ZeroDivisionError,
+                # escaping the ValueError-only decode boundary.
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(
+                        f"JPEG sampling factor {ch}x{cv} out of range (1..4)"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             from dagster_etl_spark.operators.codecs import check_decode_dims
 
             check_decode_dims(w, h, "JPEG", max_pixels)

@@ -113,6 +113,11 @@ def dedup_lines(
     ``line_sep`` is a LITERAL separator (it is also what the rebuilt
     text is joined with); it is regex-quoted before hitting ``split``,
     so ``"|"`` or ``"."`` split on the character, not the pattern.
+
+    NULL-text documents drop out of the output (``split(NULL)``
+    explodes to nothing) — the same drop-don't-guess convention as
+    hash_sample's NULL-id handling; filter-and-union them back if a
+    pipeline must preserve them.
     """
     # Pattern.quote-style literal quoting: split() interprets its
     # separator as a Java regex but array_join emits it verbatim, so an
@@ -551,9 +556,10 @@ def cluster_survivors(
     (score, -id): score ties resolve to the smallest id, and no window
     sort is needed. Non-numeric ids (string URL hashes etc.) can't be
     negated, so they take a two-phase form — max score per cluster,
-    then ``min(id)`` over the argmax rows (exact equality is safe: the
-    max is drawn from the very same computed values) — one extra
-    cluster-keyed join that reuses the aggregate's partitioning.
+    then ``min(id)`` over the argmax rows (null-safe ``<=>`` equality
+    is exact: the max is drawn from the very same computed values, and
+    an all-NULL-score cluster still elects its min-id survivor) — one
+    extra cluster-keyed join that reuses the aggregate's partitioning.
 
     Returns (cluster_id, kept_doc, best_score, n_docs, n_dropped);
     singleton clusters appear with n_dropped = 0.
@@ -592,7 +598,12 @@ def cluster_survivors(
     )
     return (
         j.join(best, on="cluster_id")
-        .filter(F.col("quality_score") == F.col("best_score"))
+        # null-safe: a cluster whose every member has NULL quality_score
+        # (e.g. NULL text) yields best_score = NULL; plain == would drop
+        # all its rows and the cluster would vanish from the output,
+        # while the numeric struct-max path still emits it. <=> keeps
+        # both paths consistent (all-NULL cluster elects its min id).
+        .filter(F.col("quality_score").eqNullSafe(F.col("best_score")))
         .groupBy("cluster_id", "best_score", "n_docs")
         .agg(F.min(id_col).alias("kept_doc"))
         .selectExpr(

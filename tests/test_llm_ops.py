@@ -528,3 +528,51 @@ def test_sampling_edge_cases(spark):
     )
     kept = stratified_sample(idf, {0: 1.0, 1: 0.0}, "grp").collect()
     assert kept and all(r.grp == "0" for r in kept)
+
+
+def test_cluster_survivors_all_null_score_cluster_survives_both_paths(spark):
+    """Empty text yields quality_score NULL; pre-fix the non-numeric-id
+    fallback's plain == argmax filter dropped any cluster whose every
+    member scored NULL, while the numeric struct-max path kept it. Both
+    paths must emit the cluster with best_score NULL (ADVICE r6)."""
+    real = "real content about spark engines and parquet files"
+    srows = [Row(doc_id="u1", text=""), Row(doc_id="u2", text=""),
+             Row(doc_id="u3", text=real)]
+    sout = {r.kept_doc: r for r in
+            cluster_survivors(spark.createDataFrame(srows), threshold=0.3).collect()}
+    assert set(sout) == {"u1", "u2", "u3"}
+    assert sout["u1"].best_score is None and sout["u3"].best_score is not None
+
+    nrows = [Row(doc_id=1, text=""), Row(doc_id=2, text=""), Row(doc_id=3, text=real)]
+    nout = {r.kept_doc: r for r in
+            cluster_survivors(spark.createDataFrame(nrows), threshold=0.3).collect()}
+    assert set(nout) == {1, 2, 3}
+    assert nout[1].best_score is None and nout[3].best_score is not None
+
+
+def test_dedup_lines_degenerate_inputs(spark):
+    """NULL-text docs drop out of the output (split(NULL) explodes to
+    nothing — same convention as hash_sample's NULL-id drop); an
+    all-identical corpus rebuilds every doc as empty text with full
+    drop counts rather than erroring."""
+    rows = [Row(doc_id=1, text="a\nb"), Row(doc_id=2, text=None),
+            Row(doc_id=3, text="a\nc")]
+    out = {r.doc_id: r for r in dedup_lines(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 3}  # NULL-text doc absent, others unaffected
+    assert out[1].text == "b" and out[1].n_dropped == 1
+
+    same = [Row(doc_id=i, text="same\nlines\nhere") for i in range(5)]
+    allout = dedup_lines(spark.createDataFrame(same)).collect()
+    assert len(allout) == 5
+    assert all(r.text == "" and r.n_dropped == 3 for r in allout)
+
+
+def test_drop_key_duplicates_null_keys_form_one_group(spark):
+    """NULL keys group together under groupBy (SQL GROUP BY semantics):
+    the min-id NULL-key row survives, the rest drop — no row with a
+    NULL key silently passes through unexamined."""
+    rows = [Row(doc_id=4, url=None, text="x"), Row(doc_id=2, url=None, text="y"),
+            Row(doc_id=3, url="b.com", text="z")]
+    kept = sorted(r.doc_id for r in
+                  drop_key_duplicates(spark.createDataFrame(rows), key_col="url").collect())
+    assert kept == [2, 3]

@@ -513,3 +513,47 @@ def test_allocation_bomb_guard():
     with pytest.raises(ValueError, match="allocation-bomb"):
         decode_jpeg(encode_jpeg(img), max_pixels=16)
     assert codecs.decode_png(codecs.encode_png(img), max_pixels=64).shape == (8, 8, 3)
+
+def test_png_zlib_bomb_bounded_inflate():
+    """A PNG declaring tiny dims with a huge DEFLATE stream must fail
+    fast WITHOUT materializing the inflated bytes: zlib expands up to
+    ~1000:1, so an unbounded zlib.decompress of a few-MB payload
+    reaches GBs even when the declared 8x8 dims pass the dim guard."""
+    import struct
+    import zlib
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    png = bytes(codecs.encode_png(img))
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + tag + body + b"\x00" * 4
+
+    ihdr_end = 8 + 12 + 13  # magic + IHDR chunk (len+tag+13-byte body+crc)
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)  # ~50 MB from ~50 KB
+    crafted = (
+        png[:ihdr_end] + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past"):
+        codecs.decode_png(crafted)
+
+    # an IDAT that inflates short still fails the scanline-size check
+    short = png[:ihdr_end] + chunk(b"IDAT", zlib.compress(b"\x00" * 3)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="scanline"):
+        codecs.decode_png(short)
+
+
+def test_jpeg_zero_sampling_factor_raises_value_error():
+    """SOF with sampling factor 0 (hv byte 0x00) must raise ValueError,
+    not ZeroDivisionError, so decode_stats(on_error='skip') survives
+    the payload instead of killing the job."""
+    from dagster_etl_spark.operators.codecs_jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    jpg = bytearray(encode_jpeg(img))
+    sof = bytes(jpg).find(b"\xff\xc0")
+    jpg[sof + 11] = 0x00  # first component's h/v sampling byte
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(jpg))
+    jpg[sof + 11] = 0x55  # 5x5 — above the T.81 max of 4
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(jpg))
