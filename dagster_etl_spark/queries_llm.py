@@ -32,10 +32,11 @@ NEARDUP_COS_T = 0.35  # fixture embeddings are near-random (max pair 0.51)
 NEARDUP_MAX_ID = 300
 
 
-def _duck_shingle_rel(k: int = 3) -> str:
+def _duck_shingle_rel(k: int = 3, rel: str = "documents") -> str:
     """Staged-token shingle relation (doc_id, shingles) — same two-stage
-    shape as operators.dedup.shingled."""
-    staged = f"SELECT doc_id, {x.tokens('text', x.DUCK)} AS _tok FROM documents"
+    shape as operators.dedup.shingled. ``rel`` may be any relation
+    (table or CTE name) exposing (doc_id, text)."""
+    staged = f"SELECT doc_id, {x.tokens('text', x.DUCK)} AS _tok FROM {rel}"
     return (
         f"(SELECT doc_id, {x.shingles('_tok', k, x.DUCK)} AS shingles FROM ({staged}))"
     )
@@ -77,7 +78,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(
-    num_hashes: int = 16, bands: int = 4, threshold: float = JACCARD_T
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = JACCARD_T,
+    rel: str = "documents",
 ) -> str:
     sig_cols = ",\n         ".join(minhash_signature_exprs("hs", x.DUCK, num_hashes))
     band_cols = ",\n         ".join(band_exprs(x.DUCK, num_hashes, bands))
@@ -88,7 +92,7 @@ def _minhash_oracle(
     )
     return f"""
 WITH sh AS (
-  SELECT * FROM {_duck_shingle_rel()}
+  SELECT * FROM {_duck_shingle_rel(rel=rel)}
 ), hashed AS (
   SELECT doc_id, {shingle_hashes_expr('shingles', x.DUCK)} AS hs
   FROM sh WHERE len(shingles) > 0

@@ -149,19 +149,22 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_ctes(threshold: float = 0.5) -> str:
+def _cc_ctes(threshold: float = 0.5, rel: str = "documents", pre: str = "") -> str:
     """WITH RECURSIVE prefix computing connected components over the
     (oracle-verified) MinHash pair set: ``walk`` enumerates every label
     reachable from a node through the bidirected edge set, so MIN(label)
     per node is the component minimum — exactly the fixpoint the Spark
     min-label propagation converges to. Terminates because UNION dedups
     (node, label) rows and near-dup components are tiny. Shared by the
-    clusters and survivors oracles."""
+    clusters, survivors and curation-v2 oracles. ``rel`` selects the
+    (doc_id, text) relation to cluster; ``pre`` injects CTE definitions
+    ahead of ``pairs`` (legal under one WITH RECURSIVE list) so ``rel``
+    may itself be a derived CTE."""
     from dagster_etl_spark.queries_llm import _minhash_oracle
 
-    pairs_sql = _minhash_oracle(threshold=threshold)
+    pairs_sql = _minhash_oracle(threshold=threshold, rel=rel)
     return f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE {pre}pairs AS (
   {pairs_sql}
 ), edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -823,7 +826,11 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _survivors_oracle(threshold: float = 0.5) -> str:
     quality = doc_stats_exprs("text", x.DUCK, tok="_tok")["quality_score"]
-    pick = "max(struct_pack(s := s.quality_score, nid := -s.doc_id))"
+    # NULL-score members: Spark struct comparison sorts a NULL field
+    # SMALLEST (max prefers any real score), DuckDB sorts it LARGEST —
+    # coalesce to a sentinel below any real score so the argmax agrees,
+    # then NULLIF the sentinel back out of best_score.
+    pick = "max(struct_pack(s := COALESCE(s.quality_score, -1e30), nid := -s.doc_id))"
     return f"""
 {_cc_ctes(threshold)},
 clustered AS (
@@ -835,7 +842,7 @@ clustered AS (
 )
 SELECT cl.cluster_id,
        ({pick}).nid * -1 AS kept_doc,
-       ({pick}).s AS best_score,
+       NULLIF(({pick}).s, -1e30) AS best_score,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
 FROM clustered cl JOIN scored s USING (doc_id)
@@ -884,4 +891,114 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return drop_key_duplicates(
         load_table(spark, sf_dir, "documents"), key_col="source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline v2: the flagship composition, upgraded to the full
+# production stage order — URL dedup -> C4 line dedup -> quality-based
+# near-dup survivor selection -> Gopher gates -> deterministic sample.
+# One composed lineage; the bounded iterative CC (min-label propagation)
+# sits in the middle exactly as it does in public corpus pipelines.
+
+def _curation_v2_oracle(threshold: float = 0.5) -> str:
+    from dagster_etl_spark.operators.sampling import _bucket_expr
+    from dagster_etl_spark.operators.text import gopher_quality_exprs
+
+    quality = doc_stats_exprs("text", x.DUCK, tok="_tok")["quality_score"]
+    g = gopher_quality_exprs("text", x.DUCK, tok="_tok")
+    bucket = _bucket_expr("doc_id", x.DUCK, salt="cur2:")
+    # same sentinel trick as _survivors_oracle: Spark struct comparison
+    # sorts a NULL score field smallest, DuckDB largest
+    pick = "max(struct_pack(s := COALESCE(s.quality_score, -1e30), nid := -s.doc_id))"
+    pre = f"""srcdedup AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY source) k
+    USING (doc_id)
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM srcdedup
+), lines AS (
+  SELECT doc_id, i - 1 AS line_no,
+         array_to_string(list_slice(tk, (i-1)*10+1, (i-1)*10+10), ' ') AS line
+  FROM toks, unnest(range(1, CAST(ceil(len(tk)/10.0) AS BIGINT) + 1)) u(i)
+), boiler AS (
+  SELECT md5(trim(lower(line))) AS fp
+  FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), lflag AS (
+  SELECT l.doc_id, l.line_no, l.line, b.fp IS NOT NULL AS is_boiler
+  FROM lines l LEFT JOIN boiler b ON b.fp = md5(trim(lower(l.line)))
+), rebuilt AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(
+           list(line ORDER BY line_no) FILTER (WHERE NOT is_boiler), chr(10)
+         ), '') AS text
+  FROM lflag GROUP BY doc_id
+), """
+    return f"""
+{_cc_ctes(threshold, rel="rebuilt", pre=pre)},
+clustered AS (
+  SELECT r.doc_id, COALESCE(c.cluster_id, r.doc_id) AS cluster_id
+  FROM rebuilt r LEFT JOIN comp c ON c.node = r.doc_id
+), qscored AS (
+  SELECT doc_id, {quality} AS quality_score
+  FROM (SELECT doc_id, text, {x.tokens("text", x.DUCK)} AS _tok FROM rebuilt)
+), kept AS (
+  SELECT ({pick}).nid * -1 AS doc_id
+  FROM clustered cl JOIN qscored s USING (doc_id)
+  GROUP BY cl.cluster_id
+), staged AS (
+  SELECT r.doc_id, r.text, {x.tokens("text", x.DUCK)} AS _tok
+  FROM rebuilt r JOIN kept USING (doc_id)
+), flags AS (
+  SELECT doc_id, {g["n_tokens"]} AS n_tokens, {g["keep"]} AS keep FROM staged
+)
+SELECT doc_id, n_tokens FROM flags WHERE keep = 1 AND {bucket} < 5000
+"""
+
+
+@register(
+    "curation_pipeline_v2",
+    oracle=_curation_v2_oracle(),
+    tags=("llm", "text", "pipeline"),
+    doc="Production curation order in one composed lineage: URL/source "
+    "dedup (min-id per source, semi-join) -> C4 boilerplate line dedup "
+    "(10-token re-lining, cross-doc frequency pass, broadcast "
+    "boilerplate set) -> MinHash near-dup clustering with QUALITY-based "
+    "survivor selection (struct-max argmax, min-id tiebreak) -> Gopher "
+    "quality gate -> deterministic 50% id-hash sample. The DuckDB twin "
+    "shares every dialect-templated fragment (shingles, signatures, "
+    "quality composite, bucket hash) plus the WITH RECURSIVE component "
+    "closure, so the whole five-stage composition is hash-verified "
+    "end-to-end.",
+)
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.dedup import (
+        cluster_survivors,
+        dedup_lines,
+        drop_key_duplicates,
+    )
+    from dagster_etl_spark.operators.sampling import hash_sample
+    from dagster_etl_spark.operators.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcdedup = drop_key_duplicates(docs, key_col="source").select("doc_id", "text")
+    tk = "split(text, ' ')"
+    lines_arr = (
+        f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
+        f"i -> array_join(slice({tk}, i*10+1, 10), ' '))"
+    )
+    relined = srcdedup.select(
+        "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")
+    )
+    rebuilt = dedup_lines(relined, min_docs=2).select("doc_id", "text")
+    surv = cluster_survivors(rebuilt, threshold=0.5)
+    kept = rebuilt.join(
+        surv.select(F.col("kept_doc").alias("doc_id")), on="doc_id", how="left_semi"
+    )
+    flagged = gopher_quality(kept).filter("keep = 1")
+    return hash_sample(flagged, 0.5, id_col="doc_id", salt="cur2:").select(
+        "doc_id", "n_tokens"
     )
