@@ -16,8 +16,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+# argv parsed under the __main__ guard so scale_trend.py can import
+# the inflate helpers without tripping over its own arguments
+MULT = 10
+SF_DIR = "/root/testdata/sf0.1"
 
 
 def inflate(docs, k: int):
@@ -228,4 +230,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1:
+        MULT = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        SF_DIR = sys.argv[2]
     main()
