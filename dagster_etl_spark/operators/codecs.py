@@ -353,6 +353,10 @@ def decode_png(payload: bytes, max_pixels: int | None = None) -> np.ndarray:
     raw = dec.decompress(bytes(idat), expected + 1)
     if len(raw) > expected or dec.unconsumed_tail or dec.decompress(b"", 1):
         raise ValueError("PNG IDAT inflates past declared scanline size")
+    if not dec.eof:
+        raise ValueError("PNG IDAT zlib stream truncated (no stream terminator)")
+    if dec.unused_data:
+        raise ValueError("PNG IDAT has trailing bytes past zlib stream end")
     data = np.frombuffer(raw, np.uint8)
     if data.size != expected:
         raise ValueError("PNG scanline data size mismatch")

@@ -773,7 +773,8 @@ WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents
 ), lines AS (
   SELECT doc_id, i - 1 AS line_no,
-         array_to_string(list_slice(tk, (i-1)*10+1, (i-1)*10+10), ' ') AS line
+         replace(array_to_string(list_slice(tk, (i-1)*10+1, (i-1)*10+10), ' '),
+                 chr(10), ' ') AS line
   FROM toks, unnest(range(1, CAST(ceil(len(tk)/10.0) AS BIGINT) + 1)) u(i)
 ), boiler AS (
   SELECT md5(trim(lower(line))) AS fp
@@ -812,7 +813,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = "split(text, ' ')"
     lines_arr = (
         f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
-        f"i -> array_join(slice({tk}, i*10+1, 10), ' '))"
+        f"i -> replace(array_join(slice({tk}, i*10+1, 10), ' '), chr(10), ' '))"
     )
     relined = docs.select(
         "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")
@@ -919,7 +920,8 @@ def _curation_v2_oracle(threshold: float = 0.5) -> str:
   SELECT doc_id, string_split(text, ' ') AS tk FROM srcdedup
 ), lines AS (
   SELECT doc_id, i - 1 AS line_no,
-         array_to_string(list_slice(tk, (i-1)*10+1, (i-1)*10+10), ' ') AS line
+         replace(array_to_string(list_slice(tk, (i-1)*10+1, (i-1)*10+10), ' '),
+                 chr(10), ' ') AS line
   FROM toks, unnest(range(1, CAST(ceil(len(tk)/10.0) AS BIGINT) + 1)) u(i)
 ), boiler AS (
   SELECT md5(trim(lower(line))) AS fp
@@ -988,7 +990,7 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = "split(text, ' ')"
     lines_arr = (
         f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
-        f"i -> array_join(slice({tk}, i*10+1, 10), ' '))"
+        f"i -> replace(array_join(slice({tk}, i*10+1, 10), ' '), chr(10), ' '))"
     )
     relined = srcdedup.select(
         "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")

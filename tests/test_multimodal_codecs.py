@@ -557,3 +557,36 @@ def test_jpeg_zero_sampling_factor_raises_value_error():
     jpg[sof + 11] = 0x55  # 5x5 — above the T.81 max of 4
     with pytest.raises(ValueError, match="sampling factor"):
         decode_jpeg(bytes(jpg))
+
+
+def test_png_unterminated_or_trailing_idat_stream_raises():
+    """A zlib stream that emits exactly the scanline budget but never
+    reaches its final-block terminator (Z_FULL_FLUSH cut), or one with
+    bytes after the stream end, must be rejected — both were accepted
+    once the bounded-inflate path stopped requiring full-stream decode."""
+    import struct as st
+    import zlib
+
+    lines = b"\x00\xaa\xbb\x00\xcc\xdd"  # 2x2 gray, filter 0 rows
+
+    def chunk(tag, body):
+        return st.pack(">I", len(body)) + tag + body + st.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    def png(idat):
+        ihdr = st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        )
+
+    assert codecs.decode_png(png(zlib.compress(lines))).shape == (2, 2)
+
+    co = zlib.compressobj()
+    unterminated = co.compress(lines) + co.flush(zlib.Z_FULL_FLUSH)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_png(png(unterminated))
+
+    with pytest.raises(ValueError, match="trailing"):
+        codecs.decode_png(png(zlib.compress(lines) + b"\x00garbage"))
