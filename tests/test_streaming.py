@@ -423,3 +423,92 @@ def test_stateful_sessionizer_survives_null_timestamps(spark, tmp_path):
         for r in run_stream_to_batch(sessionize_stateful(stream), mode="update").collect()
     }
     assert out == {1: (2, 2)}
+
+
+def test_checkpoint_stop_restart_recovers_session_state(spark, tmp_path):
+    """Stop a stateful sessionizer mid-corpus, restart from the SAME
+    checkpoint with more input, and require the final per-user sessions
+    to equal the batch oracle over ALL events. If state recovery were
+    broken, sessions spanning the stop boundary would double-count and
+    n_batches would reset to 1 on the restarted run."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.stateful import (
+        SESSION_GAP_SEC,
+        sessionize_stateful,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").filter(
+        "user_id < 30 AND ts IS NOT NULL"
+    )
+    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0].c
+    in_dir = str(tmp_path / "events_ckpt_in")
+    updates = str(tmp_path / "updates")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+        def sink(batch_df, epoch_id):
+            batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(updates)
+
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: first half only, then the query STOPS (availableNow drains)
+    ev.filter(F.col("ts") <= cutoff).coalesce(1).write.parquet(in_dir)
+    run_once()
+    # run 2: second half arrives; restart from the same checkpoint
+    ev.filter(F.col("ts") > cutoff).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    upd = spark.read.parquet(updates)
+    latest = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+    got = {
+        r.user_id: (r.n_sessions, r.n_events, r.n_batches)
+        for r in upd.withColumn("rn", F.row_number().over(latest))
+        .filter("rn = 1")
+        .collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec")
+    oracle = (
+        ev.selectExpr("user_id", "CAST(unix_timestamp(ts) AS BIGINT) AS ts_sec")
+        .withColumn("prev", F.lag("ts_sec").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts_sec") - F.col("prev") > SESSION_GAP_SEC),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .collect()
+    )
+    assert len(oracle) == len(got) > 0
+    for r in oracle:
+        n_sessions, n_events, _ = got[r.user_id]
+        assert (n_sessions, n_events) == (r.n_sessions, r.n_events), r.user_id
+    # state genuinely crossed the restart: at least one user was folded
+    # in BOTH runs (n_batches == 2 only if run 2 loaded run 1's state)
+    assert any(nb == 2 for (_, _, nb) in got.values())
