@@ -76,61 +76,60 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 7: front any NEW round-7 queries needing their first
-    # driver-green row, then the 48 queries whose latest driver row is
-    # round 5 (the exact complement of CORRECTNESS_r06's keys) — per
-    # the standing freshness rule every capability's independent
-    # signal should be <= 1 round old. The 50 r6-green queries ride on
-    # ALLCHECK_r7 behind the window.
-    "curation_pipeline_v2",
-    "priority_wip",
-    "minhash_neardup",
-    "exact_dedup",
-    "clean_corpus",
-    "doc_stats",
-    "curation_pipeline",
-    "compacted_scan",
-    "ngram_jaccard_pairs",
-    "simhash_neardup",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "quantized_ann_topk",
-    "media_decode_stats",
-    "audio_feature_stats",
-    "media_resize_stats",
-    "equipment_unpivot",
-    "funnel_conversion",
-    "cohort_retention",
-    "table_diff_reconcile",
-    "value_percentiles_exact",
-    "user_event_type_map",
-    "fuzzy_part_pairs",
-    "major_suppliers",
-    "order_price_window_stats",
-    "lineitem_moment_stats",
-    "streaming_error_bursts",
-    "streaming_media_decode",
-    "value_band_range_join",
-    "event_rollup_multigrain",
-    "incremental_event_rollup",
-    "gap_filled_user_timeline",
-    "lang_id",
-    "doc_fingerprints",
-    "dedup_clusters",
-    "tfidf_top_terms",
-    "null_profile_orders",
-    "redact_pii",
-    "decontaminate_vs_benchmark",
-    "train_val_test_split",
-    "corpus_mixture",
-    "quality_deciles",
-    "corpus_bigram_counts",
-    "gopher_quality_flags",
-    "doc_chunks",
-    "stratified_event_sample",
-    "bigram_novelty",
-    "vocab_oov",
-    "winnow_fingerprints",
+    # round 8: front the 49 queries whose latest driver-green row is
+    # round 6 (CORRECTNESS_r06 minus zorder_span_stats, which was green
+    # in BOTH r6 and r7) so no query's independent signal ages past
+    # two rounds. The 49 r7-green queries ride behind the 50-slot
+    # window on ALLCHECK_r8; one slot stays free for a new r8 query.
+    "dedup_lines",
+    "dedup_survivors",
+    "url_dedup",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ivf_ann_recall",
+    "media_metadata",
+    "media_frame_sample",
+    "media_features",
+    "wip_aggregate",
+    "priority_wip_join",
+    "cycle_time_stats",
+    "equipment_pivot",
+    "item_master_enrich",
+    "top_customers",
+    "order_rank_window",
+    "events_lag",
+    "sessionize",
+    "customers_without_urgent_orders",
+    "validation_report",
+    "pricing_summary",
+    "regional_revenue",
+    "customer_segment_setops",
+    "rolling_customer_spend",
+    "events_json_percentiles",
+    "shipping_priority",
+    "returned_item_customers",
+    "late_shipment_priority",
+    "priority_shipping_mix",
+    "promo_revenue_share",
+    "revenue_cube",
+    "approx_distinct_gate",
+    "approx_quantile_gate",
+    "latest_order_per_customer",
+    "scd2_user_event_type",
+    "salted_join_revenue",
+    "large_order_customers",
+    "supplier_diversity",
+    "rich_customers_without_low_orders",
+    "events_json_flatten",
+    "customer_priority_baskets",
+    "streaming_windowed_counts",
+    "streaming_user_sessions",
+    "streaming_dedup_counts",
+    "streaming_segment_stats",
+    "streaming_attribution_join",
+    "asof_purchase_prior_view",
+    "packed_sequences",
+    "dbt_incremental_orders",
 )
 
 
