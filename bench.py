@@ -80,31 +80,22 @@ def main() -> None:
             release_pinned()
 
     # informational extras — NOT in the headline total (BASELINE.md's
-    # DuckDB totals cover exactly the `queries` set): the documented
-    # approx_count_distinct knob for the WIP aggregate, the 100 TB path
-    # for count-distinct-heavy rollups.
+    # DuckDB totals cover exactly the `queries` set). Since round 8 the
+    # headline times the approx-distinct WIP queries (the contractual
+    # scale path; scale_trend r8 showed exact plateauing ~5x a single
+    # process); the exact hash-verified forms stay visible here for
+    # round-over-round comparability.
     extra: dict[str, float] = {}
-    try:
-        from dagster_etl_spark.operators.wip import wip_aggregate
-        from dagster_etl_spark.sources.fixtures import load_table
-
-        def approx_wip():
-            return wip_aggregate(
-                load_table(spark, SF_DIR, "lineitem"),
-                group_cols=("l_linestatus", "l_suppkey"),
-                qty_col="l_quantity",
-                lot_col="l_orderkey",
-                status_col="l_returnflag",
-                active_statuses=("N", "A"),
-                approx_distinct=True,
-            )
-
-        approx_wip().write.mode("overwrite").format("noop").save()  # warm
-        t0 = time.time()
-        approx_wip().write.mode("overwrite").format("noop").save()
-        extra["wip_aggregate_approx"] = round(time.time() - t0, 3)
-    except Exception as exc:
-        print(f"bench extra error: {exc}", file=sys.stderr)
+    for name in ("wip_aggregate", "priority_wip"):
+        try:
+            run_one(name)  # warm
+            release_pinned()
+            t0 = time.time()
+            run_one(name)
+            extra[name + "_exact"] = round(time.time() - t0, 3)
+            release_pinned()
+        except Exception as exc:
+            print(f"bench extra error in {name}: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

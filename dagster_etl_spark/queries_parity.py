@@ -43,7 +43,7 @@ GROUP BY l_linestatus, l_suppkey
 @register(
     "wip_aggregate",
     oracle=_WIP_ORACLE,
-    tags=("parity", "agg", "bench"),
+    tags=("parity", "agg"),
     doc="A1/A2: status filter -> groupBy -> sum/countDistinct/avg.",
 )
 def q_wip_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,6 +57,33 @@ def q_wip_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         active_statuses=("N", "A"),
         # known-wide key (status x supplier): skip the regime probe
         single_shuffle=True,
+    )
+
+
+@register(
+    "wip_aggregate_approx",
+    oracle=None,  # HLL estimates cannot hash-match a foreign engine
+    tags=("parity", "agg", "bench", "approx"),
+    doc="A1/A2 on the contractual scale path: approx_count_distinct "
+    "replaces the exact lot count, turning the two-phase distinct into "
+    "ONE partial-aggregating pass whose exchange carries per-group HLL "
+    "sketches instead of (group, lot) tuples. This is the benched "
+    "default for count-distinct rollups (tools/scale_trend.py r8: the "
+    "exact form plateaus ~5x a single-process engine at 10-50x data; "
+    "the estimator is bound-checked against the exact count in "
+    "tests/test_wip.py). The exact form stays registered and "
+    "hash-verified as `wip_aggregate`.",
+)
+def q_wip_aggregate_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return wip_aggregate(
+        li,
+        group_cols=("l_linestatus", "l_suppkey"),
+        qty_col="l_quantity",
+        lot_col="l_orderkey",
+        status_col="l_returnflag",
+        active_statuses=("N", "A"),
+        approx_distinct=True,
     )
 
 
@@ -89,7 +116,7 @@ def _lineitem_with_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "priority_wip",
     oracle=_PRIORITY_WIP_ORACLE,
-    tags=("parity", "agg", "join", "bench"),
+    tags=("parity", "agg", "join"),
     doc="A7 aggregate-before-join: fact pre-aggregated to (group, lot) "
     "grain on ONE shuffle, priority dim reduced to a 0/1 byte before "
     "the broadcast, conditional count folded as sum(rows * flag).",
@@ -107,6 +134,42 @@ def q_priority_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
         status_col="l_returnflag",
         active_statuses=("N", "A"),
     )
+
+
+@register(
+    "priority_wip_approx",
+    oracle=None,  # HLL estimates cannot hash-match a foreign engine
+    tags=("parity", "agg", "join", "bench", "approx"),
+    doc="A7 on the contractual scale path: broadcast the 0/1 priority "
+    "flag onto the fact, then ONE planned aggregate with "
+    "approx_count_distinct — scan -> broadcast join -> map-side "
+    "partial agg -> sketch-sized exchange, no (group, lot) pre-"
+    "aggregation shuffle. Benched default per the r8 scale-trend "
+    "decision; exact form stays registered and hash-verified as "
+    "`priority_wip`.",
+)
+def q_priority_wip_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return priority_wip_aggregate(
+        _lineitem_with_priority_broadcast(spark, sf_dir),
+        priority_col="o_orderpriority",
+        high_value="1-URGENT",
+        group_cols=("l_linestatus", "l_suppkey"),
+        qty_col="l_quantity",
+        lot_col="l_orderkey",
+        status_col="l_returnflag",
+        active_statuses=("N", "A"),
+        approx_distinct=True,
+    )
+
+
+def _lineitem_with_priority_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
 
 
 @register(

@@ -805,20 +805,28 @@ FROM flagged GROUP BY doc_id
     "set with runtime shuffle fallback, one reassembly aggregate.",
 )
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from dagster_etl_spark.operators.dedup import dedup_lines
 
     docs = load_table(spark, sf_dir, "documents")
+    return dedup_lines(reline_10_tokens(docs), min_docs=2)
+
+
+def reline_10_tokens(docs: DataFrame) -> DataFrame:
+    """Reshape flat text into deterministic 10-token '\\n'-joined lines.
+    Newlines embedded INSIDE space-split tokens are scrubbed to spaces
+    here, on both engines' twins, so the downstream re-split on '\\n'
+    can never fragment a line differently than the oracle fingerprints
+    it (r7 ADVICE regression; tests/test_newline_relining.py)."""
+    from pyspark.sql import functions as F
+
     tk = "split(text, ' ')"
     lines_arr = (
         f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
         f"i -> replace(array_join(slice({tk}, i*10+1, 10), ' '), chr(10), ' '))"
     )
-    relined = docs.select(
+    return docs.select(
         "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")
     )
-    return dedup_lines(relined, min_docs=2)
 
 
 # ---------------------------------------------------------------------------
@@ -975,6 +983,13 @@ SELECT doc_id, n_tokens FROM flags WHERE keep = 1 AND {bucket} < 5000
     "end-to-end.",
 )
 def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_v2(load_table(spark, sf_dir, "documents"))
+
+
+def curation_v2(docs: DataFrame) -> DataFrame:
+    """The composed five-stage plan over (doc_id, text, source) — shared
+    by the registered query and tools/scale_smoke.py so the scale smoke
+    exercises exactly the plan the correctness gate hash-verifies."""
     from pyspark.sql import functions as F
 
     from dagster_etl_spark.operators.dedup import (
@@ -985,16 +1000,8 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.sampling import hash_sample
     from dagster_etl_spark.operators.text import gopher_quality
 
-    docs = load_table(spark, sf_dir, "documents")
     srcdedup = drop_key_duplicates(docs, key_col="source").select("doc_id", "text")
-    tk = "split(text, ' ')"
-    lines_arr = (
-        f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
-        f"i -> replace(array_join(slice({tk}, i*10+1, 10), ' '), chr(10), ' '))"
-    )
-    relined = srcdedup.select(
-        "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")
-    )
+    relined = reline_10_tokens(srcdedup)
     rebuilt = dedup_lines(relined, min_docs=2).select("doc_id", "text")
     surv = cluster_survivors(rebuilt, threshold=0.5)
     kept = rebuilt.join(

@@ -76,11 +76,13 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 8: front the 49 queries whose latest driver-green row is
-    # round 6 (CORRECTNESS_r06 minus zorder_span_stats, which was green
-    # in BOTH r6 and r7) so no query's independent signal ages past
-    # two rounds. The 49 r7-green queries ride behind the 50-slot
-    # window on ALLCHECK_r8; one slot stays free for a new r8 query.
+    # round 8: the two NEW approx bench queries need their first
+    # driver row, then the round-6-vintage set (CORRECTNESS_r06 minus
+    # zorder_span_stats, green in both recent windows). 2 + 49 = 51
+    # names for 50 slots: top_customers (trivial ORDER BY/LIMIT,
+    # r6-green, covered by ALLCHECK_r8) sits at 51 and fronts r9.
+    "wip_aggregate_approx",
+    "priority_wip_approx",
     "dedup_lines",
     "dedup_survivors",
     "url_dedup",
@@ -95,7 +97,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "cycle_time_stats",
     "equipment_pivot",
     "item_master_enrich",
-    "top_customers",
     "order_rank_window",
     "events_lag",
     "sessionize",
@@ -130,6 +131,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "asof_purchase_prior_view",
     "packed_sequences",
     "dbt_incremental_orders",
+    "top_customers",
 )
 
 

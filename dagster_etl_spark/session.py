@@ -49,12 +49,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", timezone)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce to the advisory byte size rather than preserving raw
-        # parallelism: post-shuffle partitions land at ~64MB both here
-        # (fewer, fuller tasks at small SF — measured -28% stage-barrier
-        # floor) and on a busy 1000-executor cluster (the documented
-        # better-utilization setting)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at Spark's default (true): with it
+        # false, AQE coalesces every shuffle toward the 64MB advisory
+        # size, and any stage whose shuffle volume is under ~64MB x
+        # cores runs on a fraction of the machine — measured 6x slower
+        # at 10x sf0.1 (6M rows -> 2-3 post-shuffle partitions on 32
+        # cores) and ~1.4x slower even at sf0.1, refuting the r5-era
+        # "-28% floor" reading (tools/scale_trend.py, round 8). On a
+        # real cluster advisory-size coalescing only pays once shuffle
+        # volume >> advisory x slots; set it per-job there, not here.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Driver fixtures are pandas-written TIMESTAMP(MICROS) without

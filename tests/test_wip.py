@@ -220,3 +220,34 @@ def test_wip_probe_job_only_on_auto_path(spark):
     assert last_job() == before, "explicit single_shuffle ran a probe job"
     wip_aggregate(li, **kw)  # single_shuffle=None -> bounded probe
     assert last_job() > before, "auto path did not run its probe job"
+
+
+def test_approx_bench_queries_bound_checked_vs_exact(spark):
+    """The r8 benched default (`*_approx`) has no hashable oracle, so
+    THIS is its correctness gate: every non-distinct column must equal
+    the exact hash-verified twin bit-for-bit, and the HLL lot_count
+    must sit within 3x the default 5% relative standard deviation."""
+    from dagster_etl_spark.registry import queries
+
+    qs = queries()
+    sf = "/root/testdata/sf0.01"
+    for approx_name, exact_name in (
+        ("wip_aggregate_approx", "wip_aggregate"),
+        ("priority_wip_approx", "priority_wip"),
+    ):
+        exact = {
+            (r.l_linestatus, r.l_suppkey): r.asDict()
+            for r in qs[exact_name](spark, sf).collect()
+        }
+        got = {
+            (r.l_linestatus, r.l_suppkey): r.asDict()
+            for r in qs[approx_name](spark, sf).collect()
+        }
+        assert set(got) == set(exact) and len(got) > 0, approx_name
+        for key, a in got.items():
+            e = exact[key]
+            assert abs(a["lot_count"] - e["lot_count"]) <= max(
+                1, 0.15 * e["lot_count"]
+            ), (approx_name, key, a["lot_count"], e["lot_count"])
+            for col in set(a) - {"lot_count"}:
+                assert a[col] == e[col], (approx_name, key, col)

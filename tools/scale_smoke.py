@@ -149,19 +149,24 @@ def main() -> None:
         )
 
     from dagster_etl_spark.operators.dedup import dedup_lines
+    from dagster_etl_spark.queries_text import curation_v2, reline_10_tokens
 
     def relined_dedup_lines(d):
         # same reshape as the registered query: deterministic 10-token
         # lines, then C4-style cross-doc boilerplate removal
-        tk = "split(text, ' ')"
-        lines_arr = (
-            f"transform(sequence(0, cast(ceil(size({tk})/10.0) as int) - 1), "
-            f"i -> array_join(slice({tk}, i*10+1, 10), ' '))"
+        return dedup_lines(reline_10_tokens(d), min_docs=2)
+
+    def curation_v2_salted(d):
+        # the registered composed plan needs a source column; salt it
+        # per inflated copy so URL dedup keeps the corpus K-sized
+        # instead of collapsing every copy back to 1x
+        return curation_v2(
+            d.withColumn(
+                "source",
+                F.concat(F.lit("https://h"), (F.col("doc_id") % 1000).cast("string"),
+                         F.lit("/p"), F.col("doc_id").cast("string")),
+            )
         )
-        relined = d.select(
-            "doc_id", F.array_join(F.expr(lines_arr), "\n").alias("text")
-        )
-        return dedup_lines(relined, min_docs=2)
 
     doc_ops = {
         "doc_stats": doc_stats,
@@ -173,6 +178,7 @@ def main() -> None:
         "packed_sequences": lambda d: pack_chunks(chunk_docs(d)),
         "winnow_fingerprints": winnow_fingerprints,
         "bigram_novelty": bigram_novelty,
+        "curation_pipeline_v2": curation_v2_salted,
     }
     ev_ops = {
         "gap_fill_timeline": lambda e: fill_time_gaps(

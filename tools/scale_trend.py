@@ -39,7 +39,17 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 MULTS = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
 RUNS = 5
-QUERY_NAMES = ("wip_aggregate", "priority_wip")
+# exact forms AND their approx twins: the trend table must show both
+# the exact-distinct plateau and the scale path's ratio on the same
+# inflated data. Approx twins have no registered oracle (HLL values
+# can't hash-match); DuckDB runs the exact twin's SQL — what a single-
+# process user actually computes.
+QUERY_NAMES = (
+    "wip_aggregate",
+    "wip_aggregate_approx",
+    "priority_wip",
+    "priority_wip_approx",
+)
 
 
 def _noop(df) -> None:
@@ -75,7 +85,11 @@ def main() -> None:
 
     spark = get_spark("scale-trend")
     qs = registry.queries()
-    oracles = {n: registry.all_queries()[n].oracle for n in QUERY_NAMES}
+    specs = registry.all_queries()
+    oracles = {
+        n: specs[n].oracle or specs[n.removesuffix("_approx")].oracle
+        for n in QUERY_NAMES
+    }
 
     result: dict[str, dict] = {n: {} for n in QUERY_NAMES}
     rows = {}
