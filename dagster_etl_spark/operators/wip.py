@@ -192,18 +192,21 @@ def priority_wip_preagg(
 
     * the fact side is pre-aggregated to (group, lot) grain FIRST —
       same single shuffle as ``wip_aggregate(single_shuffle=True)`` —
-      so the broadcast-hash-join probes pre-aggregated tuples of
-      narrow ints instead of raw rows, and the priority string never
-      enters the fact pipeline;
+      so the join probes pre-aggregated tuples of narrow ints instead
+      of raw rows, and the priority string never enters the fact
+      pipeline;
     * the dimension's priority column is reduced to a 0/1 byte BEFORE
-      the broadcast: the broadcast table and the join output both
-      carry one tinyint instead of a categorical string, and the
-      per-group count folds in as ``sum(row_count * flag)``.
+      the join: the join build side and output both carry one tinyint
+      instead of a categorical string, and the per-group count folds
+      in as ``sum(row_count * flag)``.
 
     Inner-join semantics on ``dim_key`` (lots without a dimension row
-    drop), identical to the join-then-aggregate form. One Exchange plus
-    one BroadcastExchange total; the final aggregate reuses the
-    pre-shuffle partitioning, so it is exchange-free.
+    drop), identical to the join-then-aggregate form. The join is NOT
+    hinted: the lot-keyed dim grows with the fact, so Catalyst's
+    threshold decides broadcast vs shuffle (r8 scale trend — a forced
+    broadcast cost seconds at 50x). While it broadcasts, the plan is
+    one Exchange plus one BroadcastExchange, and the final aggregate
+    reuses the pre-shuffle partitioning, so it is exchange-free.
     """
     if status_col is not None:
         df = df.filter(F.col(status_col).isin(list(active_statuses)))
@@ -223,7 +226,12 @@ def priority_wip_preagg(
         dim_key,
         flag(F.col(priority_col) == high_value).cast("tinyint").alias("__urgent"),
     )
-    joined = pre.join(F.broadcast(dim), pre[lot_col] == dim[dim_key])
+    # no broadcast hint: the priority dim is lot-keyed, so it GROWS
+    # with the fact — forcing a broadcast turned into a scale bug at
+    # 50x sf0.1 (7.5M-row broadcast build; r8 scale trend). Catalyst
+    # auto-broadcasts while the reduced (key, tinyint) dim fits the
+    # threshold and shifts to a shuffle join beyond it.
+    joined = pre.join(dim, pre[lot_col] == dim[dim_key])
     total = F.sum("__q100").cast("double") / 100.0
     return joined.groupBy(*group_cols).agg(
         total.alias("wip_qty"),

@@ -140,17 +140,18 @@ def q_priority_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_wip_approx",
     oracle=None,  # HLL estimates cannot hash-match a foreign engine
     tags=("parity", "agg", "join", "bench", "approx"),
-    doc="A7 on the contractual scale path: broadcast the 0/1 priority "
-    "flag onto the fact, then ONE planned aggregate with "
-    "approx_count_distinct — scan -> broadcast join -> map-side "
-    "partial agg -> sketch-sized exchange, no (group, lot) pre-"
-    "aggregation shuffle. Benched default per the r8 scale-trend "
-    "decision; exact form stays registered and hash-verified as "
-    "`priority_wip`.",
+    doc="A7 on the contractual scale path: join the priority dim onto "
+    "the fact (Catalyst/AQE picks broadcast while the dim fits the "
+    "64MB threshold, shuffle join beyond — orders GROWS with the fact, "
+    "so a forced broadcast is a scale bug, r8 trend), then ONE planned "
+    "aggregate with approx_count_distinct: map-side partial agg -> "
+    "sketch-sized exchange, no (group, lot) pre-aggregation shuffle. "
+    "Benched default per the r8 scale-trend decision; exact form stays "
+    "registered and hash-verified as `priority_wip`.",
 )
 def q_priority_wip_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_wip_aggregate(
-        _lineitem_with_priority_broadcast(spark, sf_dir),
+        _lineitem_with_priority(spark, sf_dir),
         priority_col="o_orderpriority",
         high_value="1-URGENT",
         group_cols=("l_linestatus", "l_suppkey"),
@@ -160,16 +161,6 @@ def q_priority_wip_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         active_statuses=("N", "A"),
         approx_distinct=True,
     )
-
-
-def _lineitem_with_priority_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderpriority"
-    )
-    return li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
 
 
 @register(
