@@ -449,11 +449,21 @@ def connected_components(
     batch. (Iterative -> the SQL oracle is a WITH RECURSIVE twin, see
     queries_text.)
     """
+    # localCheckpoint (not persist) the edge set: persist() caches the
+    # PHYSICAL result but every iteration's plan still embeds pairs'
+    # full LOGICAL tree, and Catalyst re-analyzes it per fixpoint-count
+    # job — composed downstream of a deep pipeline (curation_v2) that
+    # analysis cost was 478 s of a 480 s run at 10x sf0.1 (r8), with
+    # the actual jobs taking under 2 s. Checkpointing makes each
+    # iteration a leaf scan; blocks are freed by the ContextCleaner
+    # when the frame goes out of scope. At the 100 TB design point use
+    # a reliable checkpoint() here for lost-executor recovery (same
+    # trade documented above for the label chain).
     edges = (
         pairs.selectExpr(f"{id_a} AS src", f"{id_b} AS dst")
         .unionByName(pairs.selectExpr(f"{id_b} AS src", f"{id_a} AS dst"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # initial label = min of the closed neighborhood — exactly what
     # round 1 of the propagation would compute from identity labels,
@@ -509,8 +519,9 @@ def connected_components(
                 "rounds — raise max_iter (convergence is O(log diameter))"
             )
     finally:
-        # labels is materialized by the fixpoint count above; dropping
-        # the edge cache only costs a recompute if labels is ever evicted
+        # labels is materialized by the fixpoint count above; the
+        # checkpointed edge blocks drop via unpersist (localCheckpoint
+        # stores them under the frame's storage level)
         edges.unpersist()
     return track(labels).selectExpr("node AS doc_id", "label AS cluster_id")
 

@@ -1000,9 +1000,23 @@ def curation_v2(docs: DataFrame) -> DataFrame:
     from dagster_etl_spark.operators.sampling import hash_sample
     from dagster_etl_spark.operators.text import gopher_quality
 
-    srcdedup = drop_key_duplicates(docs, key_col="source").select("doc_id", "text")
+    from dagster_etl_spark.plans.cache import pin
+
+    # pin the two multiply-consumed intermediates: dedup_lines reads
+    # its input TWICE (frequency + rebuild pass — cheap for a parquet
+    # scan, not for this groupBy+semi-join), and `rebuilt` feeds the
+    # clustering, the survivor join, and the quality gate. These pins
+    # plus connected_components' edge lineage checkpoint took the r8
+    # 10x smoke of this composition from 1282 s to 30 s — the bulk was
+    # Catalyst RE-ANALYZING the full five-stage logical tree inside
+    # every CC fixpoint job (see dedup.py connected_components).
+    # persist() is MEMORY_AND_DISK, so at corpus scale this spills
+    # rather than OOMs; harnesses release via release_pinned().
+    srcdedup = pin(
+        drop_key_duplicates(docs, key_col="source").select("doc_id", "text")
+    )
     relined = reline_10_tokens(srcdedup)
-    rebuilt = dedup_lines(relined, min_docs=2).select("doc_id", "text")
+    rebuilt = pin(dedup_lines(relined, min_docs=2).select("doc_id", "text"))
     surv = cluster_survivors(rebuilt, threshold=0.5)
     kept = rebuilt.join(
         surv.select(F.col("kept_doc").alias("doc_id")), on="doc_id", how="left_semi"

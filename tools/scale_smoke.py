@@ -214,6 +214,8 @@ def main() -> None:
             priority_col="o_orderpriority", high_value="1-URGENT", **_wip_kw,
         ),
     }
+    from dagster_etl_spark.plans.cache import release_pinned
+
     out = {}
     for name, fn, d1, dk in [
         *[(n, f, docs1, docsk) for n, f in doc_ops.items()],
@@ -223,9 +225,11 @@ def main() -> None:
         t0 = time.time()
         fn(d1).write.mode("overwrite").format("noop").save()
         t1 = round(time.time() - t0, 2)
-        t0 = time.time()
-        fn(dk).write.mode("overwrite").format("noop").save()
+        release_pinned()  # same hygiene as bench.py: operators pin
+        t0 = time.time()  # self-join intermediates; don't let them
+        fn(dk).write.mode("overwrite").format("noop").save()  # accrete
         tk = round(time.time() - t0, 2)
+        release_pinned()
         out[name] = {
             "x1_sec": t1,
             f"x{MULT}_sec": tk,
