@@ -576,3 +576,34 @@ def test_drop_key_duplicates_null_keys_form_one_group(spark):
     kept = sorted(r.doc_id for r in
                   drop_key_duplicates(spark.createDataFrame(rows), key_col="url").collect())
     assert kept == [2, 3]
+
+
+def test_connected_components_truncates_edge_lineage(spark, tmp_path):
+    """The edge set must be CHECKPOINTED, not persisted: persist caches
+    execution but every fixpoint iteration still re-ANALYZES the pairs
+    frame's full logical tree, which dominated wall-clock 100:1 when CC
+    ran downstream of the composed curation pipeline (r8). A CC built
+    over a deep multi-join lineage must yield a plan with no trace of
+    the upstream source and a bounded join count."""
+    import pandas as pd
+
+    from dagster_etl_spark.operators.dedup import connected_components
+
+    pd.DataFrame({"id": list(range(1, 10))}).to_parquet(tmp_path / "ids.parquet")
+    ids = spark.read.parquet(str(tmp_path / "ids.parquet"))
+    # contrived deep lineage: self-joins + aggregate feeding the pairs
+    a = ids.selectExpr("id AS id_a")
+    b = ids.selectExpr("id AS id_b")
+    pairs = (
+        a.join(b, a.id_a + 1 == b.id_b)  # path edges 1-2, ..., 8-9
+        .join(ids, ids.id == a.id_a)
+        .groupBy("id_a", "id_b")
+        .agg({})
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    labels = {r.doc_id: r.cluster_id for r in comp.collect()}
+    assert labels == {i: 1 for i in range(1, 10)}
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" not in plan.lower(), plan  # upstream gone: leaf scan
+    assert plan.count("Join") <= 6, plan
