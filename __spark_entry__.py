@@ -52,6 +52,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # release the PREVIOUS query's pinned intermediates (its
+            # terminal action has run by the time the driver builds the
+            # next query) so a 50-query driver session never accretes
+            # cached blocks — same hygiene as bench.py
+            from dagster_etl_spark.plans.cache import release_pinned
+
+            release_pinned()
             return fn(_configure(spark), sf_dir)
 
         run.__doc__ = fn.__doc__
