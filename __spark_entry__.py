@@ -29,6 +29,14 @@ def _configure(spark: SparkSession) -> SparkSession:
     session (the driver builds its own SparkSession)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
+        # the driver's plain session defaults to 200 shuffle partitions;
+        # at the sf0.001-0.01 gate scale that is task-launch overhead
+        # (a 400-task stage for an 858-edge CC iteration). Runtime conf,
+        # so it applies to a provided session; AQE still right-sizes up.
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+    try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # immutable on some sessions; fixtures then rely on the footer sniff
