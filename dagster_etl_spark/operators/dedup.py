@@ -86,7 +86,6 @@ def dedup_lines(
     id_col: str = "doc_id",
     line_sep: str = "\n",
     min_docs: int = 2,
-    broadcast_max_lines: int = 2_000_000,
 ) -> DataFrame:
     """C4-style boilerplate line removal: drop every line whose
     normalized form occurs in >= ``min_docs`` DISTINCT documents, then
@@ -105,9 +104,9 @@ def dedup_lines(
     materializing it (contrast minhash, which pins only slim
     (id, band) scalar rows). The boilerplate set — tiny by
     construction, it holds only lines frequent across documents — is
-    broadcast (runtime-counted with a shuffle-join fallback above
-    ``broadcast_max_lines``, the same adaptive pattern as
-    :func:`minhash_neardup_pairs`). Blank lines are document
+    broadcast while it fits Spark's threshold; the decision is AQE's,
+    made at runtime from actual sizes (r8 — replaces a build-time
+    count job, same pattern as :func:`minhash_neardup_pairs`). Blank lines are document
     structure, not boilerplate: they are never counted or dropped.
 
     ``line_sep`` is a LITERAL separator (it is also what the rebuilt
@@ -136,11 +135,13 @@ def dedup_lines(
         .filter(F.col("n_docs") >= min_docs)
         .select("fp")
     )
-    small = boiler.count() <= broadcast_max_lines
+    # join strategy deferred to AQE (r8, same reasoning as the minhash
+    # band join): the build-time boiler.count() paid an eager job per
+    # build to approximate what AQE decides at runtime from actual
+    # sizes — broadcast the (small by construction) boilerplate set,
+    # shuffle join past the threshold
     marked = boiler.withColumn("__boiler", F.lit(True))
-    flagged = lines.withColumn("fp", F.expr(fp)).join(
-        F.broadcast(marked) if small else marked, on="fp", how="left"
-    )
+    flagged = lines.withColumn("fp", F.expr(fp)).join(marked, on="fp", how="left")
     kept = F.array_sort(
         F.collect_list(
             F.when(F.col("__boiler").isNull(), F.struct("line_no", "line"))
@@ -227,7 +228,6 @@ def minhash_neardup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
-    broadcast_max_band_rows: int = 2_000_000,
 ) -> DataFrame:
     """MinHash+LSH candidate generation, verified with exact Jaccard.
 
@@ -267,16 +267,17 @@ def minhash_neardup_pairs(
     melted = pin(
         banded.selectExpr(id_col, f"posexplode({band_arr}) AS (band_idx, bh)")
     )
-    # runtime-adaptive join strategy: melted is persisted, so counting it
-    # is a cheap cached scan; under the bound, broadcasting the band table
-    # removes both shuffle exchanges of the self-join (measured 2.6x at
-    # sf0.1). Above it — the 100 TB regime — the shuffle join is the only
-    # correct choice and kicks in automatically.
-    small = melted.count() <= broadcast_max_band_rows
+    # join strategy DEFERRED to AQE (r8): the previous build-time
+    # melted.count() paid an eager job — with cold whole-stage-codegen
+    # compile of the 16-signature md5 chain, ~6 s per BUILD even on a
+    # 500-doc gate corpus — to approximate what AQE decides at runtime
+    # from actual byte sizes: broadcast the band table while it is
+    # small, shuffle join in the 100 TB regime. Unhinted is both
+    # cheaper (zero eager jobs at build) and better-informed.
     a, b = melted.alias("a"), melted.alias("b")
     cands = (
         a.join(
-            F.broadcast(b) if small else b,
+            b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
@@ -287,8 +288,6 @@ def minhash_neardup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    if small:  # candidate set is bounded by the band table size
-        cands = F.broadcast(cands)
     # verify: re-attach hash sets for the (few) candidates only
     ha = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
     hb = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
@@ -358,7 +357,6 @@ def simhash_neardup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
-    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """SimHash banding: pairs sharing any of ``bands`` byte-bands of the
     simhash, kept when Hamming distance <= max_hamming."""
@@ -387,14 +385,14 @@ def simhash_neardup_pairs(
     melted = hashed.selectExpr(
         id_col, "simhash", f"posexplode({band_arr}) AS (band_idx, bh)"
     )
-    # hashed is persisted -> counting is a cached scan; broadcast the
-    # band side below the bound (removes both self-join shuffles), fall
-    # back to the shuffle join at corpus scale
-    small = hashed.count() * bands <= broadcast_max_rows
+    # join strategy deferred to AQE (r8, same reasoning as the minhash
+    # band join): broadcast the band side while it fits the threshold,
+    # shuffle join at corpus scale — decided at runtime from actual
+    # sizes, with no eager count job at build
     a, b = melted.alias("a"), melted.alias("b")
     cands = (
         a.join(
-            F.broadcast(b) if small else b,
+            b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
