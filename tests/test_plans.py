@@ -180,3 +180,29 @@ def test_registry_fronts_driver_window_priority():
     # builder's full ALLCHECK sweep and front the next round) — allow
     # at most one so a bloated list can't silently starve the window
     assert len(pri) <= 51
+
+
+def test_driver_window_rotates_vs_last_round():
+    """Rotation invariant (round-agnostic): the 50 names the driver
+    will check next must be disjoint from the most recent
+    CORRECTNESS_r*.json window — re-checking last round's set while
+    older queries age to 2+ rounds stale is exactly the r8 freshness
+    bug. With 101 registered queries and a 50-slot window, perfect
+    disjointness is always achievable."""
+    import json
+    import re
+    from pathlib import Path
+
+    from dagster_etl_spark import registry
+
+    root = Path(__file__).resolve().parents[1]
+    arts = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not arts:
+        pytest.skip("no correctness artifacts yet")
+    last_window = set(json.loads(arts[-1].read_text()))
+    next_window = set(list(registry.all_queries())[:50])
+    overlap = next_window & last_window
+    assert not overlap, f"window repeats last round's queries: {sorted(overlap)}"
