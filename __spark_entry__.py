@@ -32,8 +32,16 @@ def _configure(spark: SparkSession) -> SparkSession:
         # the driver's plain session defaults to 200 shuffle partitions;
         # at the sf0.001-0.01 gate scale that is task-launch overhead
         # (a 400-task stage for an 858-edge CC iteration). Runtime conf,
-        # so it applies to a provided session; AQE still right-sizes up.
+        # so it applies to a provided session. AQE coalesce only merges
+        # DOWNWARD from the initial partition number, so 32 alone would
+        # cap shuffle parallelism for any larger run through this entry
+        # point — keep the default 200 as the AQE ceiling and let it
+        # coalesce down to the data (initialPartitionNum is what AQE
+        # actually starts from when set).
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", "200"
+        )
     except Exception:
         pass
     try:
@@ -60,10 +68,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # release the PREVIOUS query's pinned intermediates (its
-            # terminal action has run by the time the driver builds the
-            # next query) so a 50-query driver session never accretes
-            # cached blocks — same hygiene as bench.py
+            # SEQUENCING ASSUMPTION (driver contract): the driver
+            # strictly interleaves build -> execute -> build -> ...,
+            # so by the time it builds query N+1, query N's terminal
+            # action has run and its pinned self-join intermediates are
+            # safe to release here. A driver that built several
+            # DataFrames before acting on any would still get CORRECT
+            # results (pins are a perf cache, plans recompute), but the
+            # earlier queries would recompute their pinned stages and
+            # the final query's pins would only be freed by session
+            # teardown. Same hygiene as bench.py, which releases after
+            # each timed action.
             from dagster_etl_spark.plans.cache import release_pinned
 
             release_pinned()

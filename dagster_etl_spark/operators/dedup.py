@@ -517,9 +517,14 @@ def connected_components(
                 "rounds — raise max_iter (convergence is O(log diameter))"
             )
     finally:
-        # labels is materialized by the fixpoint count above; the
-        # checkpointed edge blocks drop via unpersist (localCheckpoint
-        # stores them under the frame's storage level)
+        # NOTE on block release: unpersist() frees CacheManager entries,
+        # i.e. the persist()-ed label rounds. localCheckpoint'ed frames
+        # (edges; every checkpoint_every-th label round) are RDD-
+        # persisted, NOT CacheManager entries — for those this call is a
+        # no-op and the blocks are released by the ContextCleaner once
+        # the backing RDD is garbage-collected (frame out of scope).
+        # Bounded either way: one edge set + <= 2 label rounds live at a
+        # time, and repeated CC calls in a long session drain on GC.
         edges.unpersist()
     return track(labels).selectExpr("node AS doc_id", "label AS cluster_id")
 

@@ -33,6 +33,16 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Approx queries have no hashable oracle (an HLL estimate cannot
+# bit-match a foreign engine), but they DO have a bound gate: every
+# column except the approx-distinct one must equal the exact twin's
+# oracle bit-for-bit, and the approx column must sit within 3x the
+# default 5% relative standard deviation. name -> (approx_col, rel_tol).
+APPROX_BOUND: dict[str, tuple[str, float]] = {
+    "wip_aggregate_approx": ("lot_count", 0.15),
+    "priority_wip_approx": ("lot_count", 0.15),
+}
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -72,6 +82,57 @@ def main() -> int:
         finally:
             release_pinned()
         if name not in oracles:
+            if name in APPROX_BOUND and name.removesuffix("_approx") in oracles:
+                # bound gate vs the exact twin's (hash-verified) oracle:
+                # mirrors tests/test_wip.py's twin comparison so the
+                # full-sweep artifact records a verdict, not ROWS_ONLY
+                approx_col, tol = APPROX_BOUND[name]
+                exact = con.execute(oracles[name.removesuffix("_approx")]).fetchdf()
+                probs = []
+                if len(sdf) != len(exact):
+                    probs.append(f"rows {len(sdf)} vs {len(exact)}")
+                elif sorted(sdf.columns) != sorted(exact.columns):
+                    probs.append(f"cols {sorted(sdf.columns)} vs {sorted(exact.columns)}")
+                else:
+                    keys = [c for c in sorted(sdf.columns) if c != approx_col]
+                    a = sdf.sort_values(keys, kind="mergesort").reset_index(drop=True)
+                    b = exact.sort_values(keys, kind="mergesort").reset_index(drop=True)
+                    try:
+                        pd.testing.assert_frame_equal(
+                            a[keys], b[keys], check_dtype=False, check_exact=True
+                        )
+                    except AssertionError as exc:
+                        probs.append(f"exact cols diverge: {str(exc)[:200]}")
+                    else:
+                        err = (a[approx_col] - b[approx_col]).abs()
+                        bound = (tol * b[approx_col]).clip(lower=1)
+                        n_bad = int((err > bound).sum())
+                        if n_bad:
+                            probs.append(
+                                f"{approx_col} out of {tol:.0%} bound on {n_bad} rows "
+                                f"(max rel err {(err / b[approx_col].clip(lower=1)).max():.3f})"
+                            )
+                elapsed = round(time.time() - t0, 2)
+                if probs:
+                    print(f"FAIL {name}: " + "; ".join(probs))
+                    report[name] = {
+                        "status": "FAIL",
+                        "spark_rows": len(sdf),
+                        "err": "; ".join(probs)[:400],
+                    }
+                    failures += 1
+                else:
+                    print(
+                        f"PASS {name}: bound check vs exact twin, "
+                        f"{len(sdf)} rows ({elapsed:.1f}s)"
+                    )
+                    report[name] = {
+                        "status": "BOUND_OK",
+                        "spark_rows": len(sdf),
+                        "oracle_rows": len(exact),
+                        "sec": elapsed,
+                    }
+                continue
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
             report[name] = {"status": "ROWS_ONLY", "spark_rows": len(sdf)}
             continue
@@ -130,6 +191,7 @@ def main() -> int:
             "total": len(report),
             "pass": n_pass,
             "rows_only": sum(1 for r in report.values() if r["status"] == "ROWS_ONLY"),
+            "bound_ok": sum(1 for r in report.values() if r["status"] == "BOUND_OK"),
             "fail": failures,
             "queries": report,
         }

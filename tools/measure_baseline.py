@@ -10,6 +10,7 @@ Prints one JSON line mirroring bench.py's shape.
 from __future__ import annotations
 
 import json
+import re
 import sys
 import time
 from pathlib import Path
@@ -34,23 +35,41 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     specs = all_queries()
-    out, total = {}, 0.0
+
+    def timed(sql: str) -> float:
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        return round(time.time() - t0, 3)
+
+    out: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    total = 0.0
     for name, spec in specs.items():
         if "bench" not in spec.tags:
             continue
-        # *_approx bench queries have no hashable oracle; the single-
-        # process comparison point is the EXACT twin's SQL (a user of
-        # the single-node engine runs the exact COUNT(DISTINCT))
-        sql = spec.oracle or (
-            specs[name.removesuffix("_approx")].oracle
-            if name.endswith("_approx") and name.removesuffix("_approx") in specs
-            else None
-        )
+        sql = spec.oracle
+        if sql is None and name.endswith("_approx"):
+            base = name.removesuffix("_approx")
+            exact_sql = specs[base].oracle if base in specs else None
+            if exact_sql is None:
+                continue
+            # like-for-like pairing: the Spark bench row runs
+            # approx_count_distinct, so the DuckDB row must too
+            # (DuckDB has the same HLL aggregate). The exact twin is
+            # still timed below under `extra` (same keys bench.py
+            # emits), so the exact-vs-exact pairing stays reportable.
+            sql, n_subs = re.subn(
+                r"COUNT\(\s*DISTINCT\s+([^)]+)\)",
+                r"approx_count_distinct(\1)",
+                exact_sql,
+                flags=re.IGNORECASE,
+            )
+            if n_subs == 0:  # nothing to approximate -> exact is the pair
+                sql = exact_sql
+            extra[base + "_exact"] = timed(exact_sql)
         if sql is None:
             continue
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        dt = round(time.time() - t0, 3)
+        dt = timed(sql)
         out[name] = dt
         total += dt
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -59,6 +78,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": out,
+        "extra": extra,
         "sf": float(sf),
     }))
 
