@@ -103,20 +103,37 @@ AUDITED = [
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    """(plan string, warm build-time job count) per audited query.
+
+    Two passes: the first warms fixture reads (parquet footer sniffs
+    launch one-off jobs); the second records the plan AND how many
+    Spark jobs merely BUILDING the DataFrame launched — the r8 scale
+    bugs included eager count() jobs on the build path, and this
+    fixture is what catches a reintroduced one."""
     from dagster_etl_spark.registry import all_queries
 
     specs = all_queries()
+    for name in AUDITED:  # warm pass
+        specs[name].fn(spark, SF_SMALL)
+    tracker = spark.sparkContext.statusTracker()
+
+    def last_job() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
+
     out = {}
     for name in AUDITED:
+        before = last_job()
         df = specs[name].fn(spark, SF_SMALL)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        jobs = last_job() - before
+        out[name] = (df._jdf.queryExecution().executedPlan().toString(), jobs)
     return out
 
 
 def test_no_cartesian_products(plans):
     """The only sanctioned all-pairs plans are the bounded verifiers
     (embedding_neardup, capped ids) — none of the audited set."""
-    for name, plan in plans.items():
+    for name, (plan, _) in plans.items():
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
@@ -124,7 +141,7 @@ def test_no_rowwise_python(plans):
     """BatchEvalPython = row-at-a-time Python UDF — banned everywhere.
     Arrow-batched Python (mapInPandas) is allowed only in multimodal
     decode, which is not in this audit set."""
-    for name, plan in plans.items():
+    for name, (plan, _) in plans.items():
         assert "BatchEvalPython" not in plan, f"{name} runs row-wise Python"
         assert "ArrowEvalPython" not in plan, f"{name} runs Python in an expression"
         assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
@@ -133,7 +150,7 @@ def test_no_rowwise_python(plans):
 def test_filter_pushdown_reaches_scan(plans):
     """Native-column predicates must land in PushedFilters on the
     parquet scan, not as post-scan filters only."""
-    plan = plans["returned_item_customers"]
+    plan = plans["returned_item_customers"][0]
     assert "PushedFilters" in plan
     assert "l_returnflag" in plan.split("PushedFilters", 1)[1][:500]
 
@@ -142,7 +159,129 @@ def test_small_dims_broadcast(plans):
     """Star joins must broadcast the dimension side (no shuffle of the
     fact table onto a tiny dim)."""
     for name in ("regional_revenue", "returned_item_customers", "priority_wip_join"):
-        assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast join"
+        assert "BroadcastHashJoin" in plans[name][0], f"{name} lost its broadcast join"
+
+
+# Shuffle-exchange budget per query — the INVARIANT form of the plan
+# audit (strategy names vary with AQE and data size; the number of
+# shuffles a query is allowed to pay does not). Values are the measured
+# counts of the intended plans at r9; an increase means a new shuffle
+# crept in and must be a conscious edit here, with a reason.
+EXCHANGE_BUDGET = {
+    "minhash_neardup": 5,
+    "simhash_neardup": 3,
+    "ann_cosine_topk": 2,
+    "lsh_ann_topk": 2,
+    "wip_aggregate": 1,
+    "priority_wip": 1,
+    "priority_wip_join": 2,
+    "cycle_time_stats": 1,
+    "equipment_pivot": 2,
+    "order_rank_window": 1,
+    "sessionize": 1,
+    "pricing_summary": 2,
+    "regional_revenue": 1,
+    "top_customers": 1,
+    "returned_item_customers": 1,
+    "asof_purchase_prior_view": 1,
+    "event_rollup_multigrain": 1,
+    "doc_stats": 1,
+    "doc_fingerprints": 1,
+    "doc_chunks": 1,
+    "packed_sequences": 2,
+    "clean_corpus": 3,
+    "latest_order_per_customer": 1,
+    "scd2_user_event_type": 1,
+    "salted_join_revenue": 1,
+    "stratified_event_sample": 0,
+    "redact_pii": 1,
+    "exact_dedup": 1,
+    "large_order_customers": 1,
+    "supplier_diversity": 2,
+    "rich_customers_without_low_orders": 2,
+    "incremental_event_rollup": 2,
+    "gap_filled_user_timeline": 2,
+    "events_json_flatten": 0,
+    "customer_priority_baskets": 1,
+    "approx_distinct_gate": 2,
+    "approx_quantile_gate": 1,
+    "bigram_novelty": 4,
+    "vocab_oov": 4,
+    "winnow_fingerprints": 1,
+    "funnel_conversion": 8,
+    "cohort_retention": 3,
+    "table_diff_reconcile": 2,
+    "value_percentiles_exact": 1,
+    "equipment_unpivot": 2,
+    "user_event_type_map": 2,
+    "curation_pipeline": 2,
+    "fuzzy_part_pairs": 0,
+    "major_suppliers": 3,
+    "order_price_window_stats": 1,
+    "lineitem_moment_stats": 1,
+    "zorder_span_stats": 2,
+    "quantized_ann_topk": 2,
+    "dedup_lines": 3,
+    "url_dedup": 1,
+    "item_master_enrich": 0,
+    "events_lag": 1,
+    "customers_without_urgent_orders": 0,
+    "validation_report": 0,
+    "customer_segment_setops": 4,
+    "rolling_customer_spend": 1,
+    "events_json_percentiles": 1,
+    "shipping_priority": 1,
+    "late_shipment_priority": 1,
+    "priority_shipping_mix": 1,
+    "promo_revenue_share": 1,
+    "revenue_cube": 1,
+    "value_band_range_join": 1,
+    "lang_id": 1,
+    "tfidf_top_terms": 8,
+    "null_profile_orders": 1,
+    "decontaminate_vs_benchmark": 3,
+    "train_val_test_split": 0,
+    "corpus_mixture": 0,
+    "quality_deciles": 2,
+    "corpus_bigram_counts": 2,
+    "gopher_quality_flags": 1,
+    "ngram_jaccard_pairs": 3,
+    "embedding_neardup": 0,
+}
+
+# Queries whose BUILD legitimately launches bounded Spark jobs, with the
+# measured job count: priority_wip_join's wip auto-probe (LIMIT-pushed
+# distinct over 10k rows), curation_pipeline's localCheckpoint of the
+# dedup edge set, validation_report's one-row rule aggregate. Everything
+# else must launch ZERO jobs at build time — an eager count()/collect()
+# on a build path is exactly the shape of the r8 scale bugs.
+BUILD_JOB_BUDGET = {
+    "priority_wip_join": 3,
+    "curation_pipeline": 2,
+    "validation_report": 3,
+}
+
+
+def test_shuffle_exchange_budget(plans):
+    import re
+
+    for name, (plan, _) in plans.items():
+        n = len(re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", plan))
+        budget = EXCHANGE_BUDGET[name]
+        assert n <= budget, (
+            f"{name} plans {n} shuffle exchanges, budget {budget} — a new "
+            "shuffle crept in; either remove it or consciously raise the "
+            "budget with a reason"
+        )
+
+
+def test_no_eager_jobs_on_build(plans):
+    for name, (_, jobs) in plans.items():
+        budget = BUILD_JOB_BUDGET.get(name, 0)
+        assert jobs <= budget, (
+            f"building {name} launched {jobs} Spark jobs (budget {budget}) — "
+            "an eager count()/collect() is on the build path"
+        )
 
 
 def test_whole_stage_codegen_present(spark):
