@@ -15,9 +15,9 @@ from dagster_etl_spark.operators.cycle_time import cycle_time_stats
 from dagster_etl_spark.operators.equipment import equipment_utilization
 from dagster_etl_spark.operators.item_master import enrich_item_master, stage_item_master
 from dagster_etl_spark.operators.wip import (
-    priority_wip_aggregate,
     priority_wip_join,
     priority_wip_preagg,
+    priority_wip_split,
     wip_aggregate,
 )
 from dagster_etl_spark.registry import register
@@ -117,12 +117,15 @@ def _lineitem_with_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_wip",
     oracle=_PRIORITY_WIP_ORACLE,
     tags=("parity", "agg", "join"),
-    doc="A7 aggregate-before-join: fact pre-aggregated to (group, lot) "
-    "grain on ONE shuffle, priority dim reduced to a 0/1 byte before "
-    "the broadcast, conditional count folded as sum(rows * flag).",
+    doc="A7 split shape (r9): the fact never joins the full dim — "
+    "join-free WIP aggregate + urgent count over a narrow (group, lot) "
+    "projection vs the 1/5-size urgent dim slice, grafted exchange-free "
+    "on the shared group partitioning. RI precondition documented on "
+    "priority_wip_split; the inner-join form stays registered as "
+    "priority_wip_join.",
 )
 def q_priority_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return priority_wip_preagg(
+    return priority_wip_split(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
         dim_key="o_orderkey",
@@ -140,18 +143,21 @@ def q_priority_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "priority_wip_approx",
     oracle=None,  # HLL estimates cannot hash-match a foreign engine
     tags=("parity", "agg", "join", "bench", "approx"),
-    doc="A7 on the contractual scale path: join the priority dim onto "
-    "the fact (Catalyst/AQE picks broadcast while the dim fits the "
-    "64MB threshold, shuffle join beyond — orders GROWS with the fact, "
-    "so a forced broadcast is a scale bug, r8 trend), then ONE planned "
-    "aggregate with approx_count_distinct: map-side partial agg -> "
-    "sketch-sized exchange, no (group, lot) pre-aggregation shuffle. "
-    "Benched default per the r8 scale-trend decision; exact form stays "
-    "registered and hash-verified as `priority_wip`.",
+    doc="A7 on the contractual scale path, split shape (r9): join-free "
+    "approx WIP aggregate (map-side sketch partials, one exchange) + "
+    "the urgent count's narrow join, grafted on group keys. The r8 "
+    "join-then-aggregate shape measured 4.6x single-process DuckDB at "
+    "30M rows because every fact row crossed the dim join before any "
+    "partial aggregation; splitting restores the join-free profile "
+    "(probe_priority_plan_r9: 2.9s vs 7.2s at x50 = 1.86x DuckDB exact "
+    "/ 0.44x DuckDB's own approx form). Benched default per the r8 "
+    "decision rule; exact twin stays hash-verified as `priority_wip`.",
 )
 def q_priority_wip_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return priority_wip_aggregate(
-        _lineitem_with_priority(spark, sf_dir),
+    return priority_wip_split(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        dim_key="o_orderkey",
         priority_col="o_orderpriority",
         high_value="1-URGENT",
         group_cols=("l_linestatus", "l_suppkey"),

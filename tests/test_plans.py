@@ -173,7 +173,10 @@ EXCHANGE_BUDGET = {
     "ann_cosine_topk": 2,
     "lsh_ann_topk": 2,
     "wip_aggregate": 1,
-    "priority_wip": 1,
+    # r9 split shape: 1 for the join-free main aggregate + 1 for the
+    # urgent-count aggregate; the graft join is exchange-free (both
+    # sides already hash-partitioned by the group keys)
+    "priority_wip": 2,
     "priority_wip_join": 2,
     "cycle_time_stats": 1,
     "equipment_pivot": 2,

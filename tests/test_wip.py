@@ -263,3 +263,78 @@ def test_approx_bench_queries_bound_checked_vs_exact(spark):
             ), (approx_name, key, a["lot_count"], e["lot_count"])
             for col in set(a) - {"lot_count"}:
                 assert a[col] == e[col], (approx_name, key, col)
+
+
+def test_priority_wip_split_equals_inner_forms_under_ri(spark):
+    """The r9 split shape (join-free main aggregate + narrow urgent
+    count) must equal both inner-join forms whenever referential
+    integrity holds — the documented precondition. Also pins the
+    divergence WITHOUT RI: split keeps an orphan lot that the inner
+    forms drop, so this test is the executable form of the operator's
+    precondition docs."""
+    from dagster_etl_spark.operators.wip import priority_wip_preagg, priority_wip_split
+
+    rows = [
+        ("A", "p1", 10, 2.0, "IN_PROGRESS"),
+        ("A", "p1", 10, 3.0, "IN_PROGRESS"),
+        ("A", "p1", 11, 5.0, "COMPLETED"),
+        ("B", "p2", 12, 7.0, "IN_PROGRESS"),
+        ("B", "p2", 12, 4.0, "SCRAPPED"),  # filtered by status
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "process_step string, product_code string, lot_id int, "
+        "quantity double, status string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "HIGH"), (11, "LOW"), (12, "HIGH")], "lot_key int, priority string"
+    )
+    key = lambda r: (r.process_step, r.product_code)  # noqa: E731
+    vals = lambda out: {  # noqa: E731
+        key(r): (r.wip_qty, r.lot_count, r.avg_qty_per_lot, r.high_priority_count)
+        for r in out.collect()
+    }
+    split = vals(priority_wip_split(df, dim, dim_key="lot_key"))
+    inner = vals(priority_wip_preagg(df, dim, dim_key="lot_key"))
+    assert split == inner
+
+    # orphan lot (99 absent from dim): split keeps it in the quantity
+    # aggregates with a 0 priority contribution; inner forms drop it
+    df_orphan = df.unionByName(
+        spark.createDataFrame(
+            [("B", "p2", 99, 1.0, "IN_PROGRESS")], df.schema.simpleString()[7:-1]
+        )
+    )
+    s = vals(priority_wip_split(df_orphan, dim, dim_key="lot_key"))
+    i = vals(priority_wip_preagg(df_orphan, dim, dim_key="lot_key"))
+    assert s[("B", "p2")][0] == 8.0 and s[("B", "p2")][1] == 2
+    assert i[("B", "p2")][0] == 7.0 and i[("B", "p2")][1] == 1
+    assert s[("A", "p1")] == i[("A", "p1")]
+
+
+def test_priority_wip_split_no_urgent_and_approx_parity(spark):
+    """Groups with zero HIGH lots must come back with count 0 (left
+    graft + coalesce), and the approx form must agree with the exact
+    split on every non-approx column."""
+    from dagster_etl_spark.operators.wip import priority_wip_split
+
+    df = spark.createDataFrame(
+        [("A", "p1", 10, 2.0, "IN_PROGRESS"), ("B", "p2", 11, 3.0, "COMPLETED")],
+        "process_step string, product_code string, lot_id int, "
+        "quantity double, status string",
+    )
+    dim = spark.createDataFrame(
+        [(10, "LOW"), (11, "LOW")], "lot_key int, priority string"
+    )
+    out = {r.process_step: r for r in priority_wip_split(df, dim, dim_key="lot_key").collect()}
+    assert out["A"].high_priority_count == 0 and out["B"].high_priority_count == 0
+    approx = {
+        r.process_step: r
+        for r in priority_wip_split(
+            df, dim, dim_key="lot_key", approx_distinct=True
+        ).collect()
+    }
+    for k, r in out.items():
+        assert approx[k].wip_qty == r.wip_qty
+        assert approx[k].avg_qty_per_lot == r.avg_qty_per_lot
+        assert approx[k].high_priority_count == r.high_priority_count

@@ -146,12 +146,31 @@ def main() -> None:
             **KW,
         )
 
+    def split_exact(d):
+        li, o = load(d, "lineitem"), load(d, "orders")
+        base = wip_aggregate(li, single_shuffle=True, **KW)
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        li_act = li.filter(F.col("l_returnflag").isin(["N", "A"]))
+        for k in GROUP:
+            li_act = li_act.filter(F.col(k).isNotNull())
+        cnt = (
+            li_act.select(*GROUP, "l_orderkey")
+            .join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(*GROUP)
+            .agg(F.count(F.lit(1)).alias("high_priority_count"))
+        )
+        return base.join(cnt, on=list(GROUP), how="left").withColumn(
+            "high_priority_count",
+            F.coalesce("high_priority_count", F.lit(0)).cast("long"),
+        )
+
     variants = {
         "cur_approx": cur_approx,
         "flag_approx": flag_approx,
         "split_approx": split_approx,
         "cur_exact": cur_exact,
         "flag_exact": flag_exact,
+        "split_exact": split_exact,
     }
 
     DUCK_EXACT = """
