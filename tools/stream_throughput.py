@@ -1,0 +1,136 @@
+"""Streaming throughput evidence (r9): the one axis with correctness
+coverage but no perf data. Times the two stateful-path streaming
+operators end-to-end (availableNow file stream -> memory sink) at 1x
+and Kx inflated events and reports events/sec plus the scaling factor.
+
+Queries:
+  windowed  — tumbling-window per-type stats with a watermark
+              (built-in streaming aggregation; state bounded by the
+              watermark, shuffle = sketch-sized partials).
+  stateful  — per-user sessionization via applyInPandasWithState
+              (Arrow-batched custom state; the template for operators
+              Spark's built-ins can't express).
+
+Method: events inflated with shifted user/event ids (more users, same
+per-user density — the realistic growth axis), written once per scale
+as 16 parquet files; each stream runs with maxFilesPerTrigger=4 so the
+run exercises real micro-batch state handoff (4 batches), not one
+degenerate batch. Wall time is availableNow start->awaitTermination,
+best of RUNS.
+
+Usage: python tools/stream_throughput.py [sf_dir] [mult]
+Defaults: /root/testdata/sf0.1, mult 10. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+RUNS = 3
+FILES = 16
+FILES_PER_TRIGGER = 4
+
+
+def main() -> None:
+    from dagster_etl_spark.session import get_spark
+    from dagster_etl_spark.scratch import scratch_dir
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.stateful import sessionize_stateful
+    from dagster_etl_spark.streaming.windowed import windowed_event_stats
+    from tools.scale_smoke import inflate_events
+
+    spark = get_spark("stream-throughput")
+
+    def materialize(k: int) -> tuple[str, int]:
+        ev = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        if k > 1:
+            ev = inflate_events(ev, k)
+        out = scratch_dir(f"stream_tp_x{k}")
+        ev.repartition(FILES).write.mode("overwrite").parquet(f"{out}/events")
+        n = spark.read.parquet(f"{out}/events").count()
+        return f"{out}/events", n
+
+    def stream_of(path: str):
+        schema = spark.read.parquet(path).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(path)
+        )
+
+    def run_to_completion(result, mode: str) -> float:
+        name = f"tp_{int(time.monotonic() * 1e6)}"
+        t0 = time.perf_counter()
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        spark.catalog.dropTempView(name)
+        return dt
+
+    queries = {
+        "windowed": lambda path: (
+            windowed_event_stats(stream_of(path)),
+            "complete",
+        ),
+        "stateful": lambda path: (sessionize_stateful(stream_of(path)), "update"),
+    }
+
+    out: dict[str, dict] = {}
+    for k in sorted({1, MULT}):
+        path, n_rows = materialize(k)
+        scale: dict[str, dict] = {"events": n_rows}
+        for qname, build in queries.items():
+            df, mode = build(path)
+            run_to_completion(df, mode)  # warm: codegen + state store init
+            best = min(
+                run_to_completion(build(path)[0], mode) for _ in range(RUNS)
+            )
+            scale[qname] = {
+                "sec": round(best, 3),
+                "events_per_sec": round(n_rows / best),
+                "micro_batches": -(-FILES // FILES_PER_TRIGGER),
+            }
+        out[f"x{k}"] = scale
+    summary = {}
+    if MULT > 1:
+        for qname in queries:
+            t1, tk = out["x1"][qname]["sec"], out[f"x{MULT}"][qname]["sec"]
+            summary[qname] = {
+                "time_ratio": round(tk / t1, 2),
+                "data_ratio": MULT,
+                "sublinear": tk / t1 < MULT,
+            }
+    print(
+        json.dumps(
+            {
+                "sf_dir": SF_DIR,
+                "mult": MULT,
+                "runs": RUNS,
+                "files": FILES,
+                "files_per_trigger": FILES_PER_TRIGGER,
+                "scales": out,
+                "scaling": summary,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
