@@ -282,9 +282,13 @@ def priority_wip_split(
     * graft: both aggregates are already hash-partitioned by
       ``group_cols``, so the final left join plans exchange-free.
 
-    Measured x50 (probe_priority_plan_r9.json): approx form 2.9 s vs
-    7.2 s current = 1.86x single-process DuckDB exact / 0.44x DuckDB's
-    own approx_count_distinct form; exact form 4.7 s vs 8.4 s.
+    Measured x50 (probe_priority_plan_r9.json, 64MB-threshold probe):
+    approx form 2.9 s vs 7.2 s current; exact form 4.7 s vs 8.4 s. On
+    the SHIPPED config (Spark-default 10MB broadcast threshold — the
+    urgent slice SMJs once it outgrows 10MB, see the r9 addendum in
+    BASELINE.md) the final trend is 4.3x -> 2.07x -> 1.42x
+    single-process DuckDB at x10/x50/x100 (SCALETREND_r9.json),
+    monotone and under the bar at 60 M rows.
     """
     if status_col is not None:
         df = df.filter(F.col(status_col).isin(list(active_statuses)))

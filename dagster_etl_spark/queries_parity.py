@@ -149,9 +149,10 @@ def q_priority_wip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join-then-aggregate shape measured 4.6x single-process DuckDB at "
     "30M rows because every fact row crossed the dim join before any "
     "partial aggregation; splitting restores the join-free profile "
-    "(probe_priority_plan_r9: 2.9s vs 7.2s at x50 = 1.86x DuckDB exact "
-    "/ 0.44x DuckDB's own approx form). Benched default per the r8 "
-    "decision rule; exact twin stays hash-verified as `priority_wip`.",
+    "(probe_priority_plan_r9; shipped-config trend SCALETREND_r9: "
+    "4.3x -> 2.07x -> 1.42x DuckDB-exact at x10/x50/x100). Benched "
+    "default per the r8 decision rule; exact twin stays hash-verified "
+    "as `priority_wip`.",
 )
 def q_priority_wip_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_wip_split(

@@ -71,7 +71,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10MB, kept deliberately (r9): the engine-run
+        # sessions briefly shipped 64MB, which let a 7.5M-row
+        # fact-growing dim broadcast at 50x sf0.1 — the single-threaded
+        # broadcast build measured 5.0s vs 1.8s for the parallel
+        # shuffled-hash/sort-merge join of the same query
+        # (tools/probe_cycle_plan.py). Genuine dims (region, nation,
+        # customer, sf0.1 orders) are all under 10MB and still
+        # broadcast; anything bigger builds its hash table in parallel
+        # on the executors. The driver's plain session never had the
+        # raise, so gate plans already run at 10MB.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
