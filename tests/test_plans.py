@@ -348,3 +348,24 @@ def test_driver_window_rotates_vs_last_round():
     next_window = set(list(registry.all_queries())[:50])
     overlap = next_window & last_window
     assert not overlap, f"window repeats last round's queries: {sorted(overlap)}"
+
+
+def test_session_conf_contract(spark):
+    """The engine session's conf decisions are measurements, not taste
+    (BASELINE.md r8/r9): parallelismFirst=false cost 6x at 10x data,
+    a 64MB broadcast threshold cost 2.7x at 50x, and 32 shuffle
+    partitions beat Spark's 200 by 1.6-1.9x session-interleaved on
+    this box. Pin them so a drive-by 'tuning' commit reruns the
+    experiments instead of silently regressing them."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        == "true"
+    )
+    # Spark's default 10MB — the r9 audit showed anything a fact can
+    # grow into must build its hash table in parallel, not broadcast
+    assert int(conf.get("spark.sql.autoBroadcastJoinThreshold").rstrip("b")) == (
+        10 * 1024 * 1024
+    )
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
