@@ -11,10 +11,13 @@ from tests.conftest import SF_SMALL
 
 @pytest.fixture()
 def bucket_env(spark, tmp_path):
-    # session-local warehouse; AQE off for deterministic plan inspection
+    # broadcast off so the bucketed join is what gets planned; restore
+    # the SESSION's value, not a hardcoded one (the engine threshold is
+    # a measured decision pinned by test_session_conf_contract)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     yield spark
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     for t in ("li_b", "ord_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
