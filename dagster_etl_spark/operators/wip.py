@@ -294,6 +294,11 @@ def priority_wip_split(
         df = df.filter(F.col(status_col).isin(list(active_statuses)))
     for k in group_cols:
         df = df.filter(F.col(k).isNotNull())
+    # NULL lot keys would diverge from the inner-join forms (they drop
+    # such rows at the join; the split base aggregate would keep them in
+    # wip_qty) — filter them up front so all three A7 shapes agree. RI
+    # plus this filter makes the split exactly equal to the joins.
+    df = df.filter(F.col(lot_col).isNotNull())
     base = wip_aggregate(
         df,
         group_cols=group_cols,
@@ -304,9 +309,12 @@ def priority_wip_split(
         single_shuffle=None if approx_distinct else True,
     )
     urgent = priority_dim.filter(F.col(priority_col) == high_value).select(dim_key)
+    proj = df.select(*group_cols, lot_col)
+    # qualify via the parent frames: an unqualified F.col comparison is
+    # ambiguous when the caller's dim key shares the fact's lot column
+    # name (the natural case for a lot-keyed dim)
     cnt = (
-        df.select(*group_cols, lot_col)
-        .join(urgent, F.col(lot_col) == F.col(dim_key))
+        proj.join(urgent, proj[lot_col] == urgent[dim_key])
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("high_priority_count"))
     )

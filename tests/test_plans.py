@@ -330,7 +330,17 @@ def test_driver_window_rotates_vs_last_round():
     CORRECTNESS_r*.json window — re-checking last round's set while
     older queries age to 2+ rounds stale is exactly the r8 freshness
     bug. With 101 registered queries and a 50-slot window, perfect
-    disjointness is always achievable."""
+    disjointness is always achievable.
+
+    DELIBERATE lifecycle (r9 ADVICE adjudication): the newest artifact
+    is written by the round driver AT ROUND END, so the moment
+    CORRECTNESS_rN.json lands this test goes red and stays red until
+    the rN+1 rotation — that failure IS the tripwire that forces the
+    rotation to be the first commit of the next round. We keep the
+    strict compare-against-newest form on purpose: comparing against
+    arts[-2] whenever the head artifact equals the current window
+    would also pass for a never-rotated window at round N+1 (its set
+    equals artifact rN exactly), silently disarming the tripwire."""
     import json
     import re
     from pathlib import Path
@@ -369,3 +379,48 @@ def test_session_conf_contract(spark):
         10 * 1024 * 1024
     )
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_entry_point_conf_contract(spark):
+    """Same contract for the OTHER session path: the driver provides
+    its own SparkSession and __spark_entry__._configure mutates it.
+    Pin the r8/r9-measured decisions there too — 32 shuffle partitions
+    with the 200 initialPartitionNum AQE ceiling (so a larger run
+    through the entry point isn't capped at 32), UTC, and the parquet
+    timestamp handling the fixtures depend on."""
+    import importlib.util
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_for_conf_test", root / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        )
+    }
+    try:
+        mod._configure(spark)
+        conf = spark.conf
+        assert conf.get("spark.sql.shuffle.partitions") == "32"
+        # AQE coalesce only merges DOWNWARD from initialPartitionNum;
+        # without the 200 ceiling, 32 alone caps shuffle parallelism
+        # for any larger run through the entry point (r8 ADVICE item)
+        assert (
+            conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+            == "200"
+        )
+        assert conf.get("spark.sql.session.timeZone") == "UTC"
+        assert conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false"
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

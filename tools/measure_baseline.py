@@ -64,6 +64,17 @@ def main() -> None:
                 exact_sql,
                 flags=re.IGNORECASE,
             )
+            # [^)]+ truncates at the first ')' — fine for bare-column
+            # oracles, silently corrupting for nested-paren args like
+            # COUNT(DISTINCT round(x)). Fail loudly rather than time a
+            # mangled query.
+            n_distinct = len(re.findall(r"\bDISTINCT\b", exact_sql, re.IGNORECASE))
+            if n_subs != n_distinct:
+                raise ValueError(
+                    f"{base}: rewrote {n_subs} COUNT(DISTINCT ...) but the "
+                    f"oracle contains {n_distinct} DISTINCTs — nested parens? "
+                    "Extend the rewrite before trusting this pairing."
+                )
             if n_subs == 0:  # nothing to approximate -> exact is the pair
                 sql = exact_sql
             extra[base + "_exact"] = timed(exact_sql)
