@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dagster_etl_spark.operators.cycle_time import cycle_time_stats
+from dagster_etl_spark.operators.cycle_time import cycle_time_join_stats
 from dagster_etl_spark.operators.equipment import equipment_utilization
 from dagster_etl_spark.operators.item_master import enrich_item_master, stage_item_master
 from dagster_etl_spark.operators.wip import (
@@ -216,19 +216,20 @@ GROUP BY o.o_orderpriority
     "seconds so the result is order-independent under partial aggregation.",
 )
 def q_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    df = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    return cycle_time_stats(
-        df,
-        group_cols=("o_orderpriority",),
-        start_col="o_orderdate",
+    # r10: the narrow pre-join shape (filter + epoch-int projection on
+    # BOTH sides before the join) — 2.6x faster than the scan-grain
+    # join at x100 and the same plan the bucketed layout runs
+    # exchange-free; see cycle_time_join_stats' docstring for the
+    # probe table (probe_cycle_plan_r10.json)
+    return cycle_time_join_stats(
+        fact=load_table(spark, sf_dir, "lineitem"),
+        dim=load_table(spark, sf_dir, "orders"),
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
         end_col="l_shipdate",
-        lot_col="l_orderkey",
-        status_col="l_linestatus",
-        completed_value="F",
+        start_col="o_orderdate",
+        group_cols=("o_orderpriority",),
+        fact_filter="l_linestatus = 'F'",
     )
 
 

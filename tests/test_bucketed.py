@@ -18,7 +18,7 @@ def bucket_env(spark, tmp_path):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     yield spark
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-    for t in ("li_b", "ord_b"):
+    for t in ("li_b", "ord_b", "li_cyc_b", "ord_cyc_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -52,3 +52,54 @@ def test_bucketed_join_has_no_exchange(bucket_env):
     a = plain.groupBy("o_orderpriority").count().collect()
     b = co.groupBy("o_orderpriority").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cycle_time_join_stats_bucketed_plan_and_values(bucket_env):
+    """The r10 scale path for cycle_time_stats (A3): over tables
+    bucketed+sorted by the join key, cycle_time_join_stats must plan
+    its fact-dim join with NO exchange on either side — the single
+    Exchange left is the final tiny group-by — and produce exactly the
+    values of the parquet-scan shape (probe_cycle_plan_r10.json:
+    1.38x single-process at x100 for this plan)."""
+    from dagster_etl_spark.operators.cycle_time import cycle_time_join_stats
+    from dagster_etl_spark.sources.bucketed import (
+        exchanges_in_plan,
+        write_bucketed,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark = bucket_env
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+
+    def shape(fact, dim):
+        return cycle_time_join_stats(
+            fact=fact,
+            dim=dim,
+            fact_key="l_orderkey",
+            dim_key="o_orderkey",
+            end_col="l_shipdate",
+            start_col="o_orderdate",
+            group_cols=("o_orderpriority",),
+            fact_filter="l_linestatus = 'F'",
+        )
+
+    plain = shape(li, orders)
+    assert exchanges_in_plan(plain) >= 2  # unbucketed: both sides shuffle
+
+    # bucket the PROJECTED frames exactly as the probe does: the narrow
+    # (key, epoch) projection is what a recurring pipeline would lay out
+    write_bucketed(
+        li.select("l_orderkey", "l_shipdate", "l_linestatus"),
+        "li_cyc_b", ["l_orderkey"], num_buckets=4, sort_cols=["l_orderkey"],
+    )
+    write_bucketed(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        "ord_cyc_b", ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"],
+    )
+    co = shape(spark.table("li_cyc_b"), spark.table("ord_cyc_b"))
+    assert exchanges_in_plan(co) == 1  # ONLY the final 5-group aggregate
+
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, co.collect()))
+    assert a == b and len(a) > 0

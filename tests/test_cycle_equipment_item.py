@@ -80,3 +80,39 @@ def test_item_master_stage_and_enrich(spark):
     assert rows["A"].is_manufactured is True
     assert rows["B"].is_manufactured is False  # empty string
     assert rows["C"].is_manufactured is False  # null
+
+
+def test_cycle_time_join_stats_matches_same_table_form(spark):
+    """The r10 fact⋈dim split shape must equal cycle_time_stats on the
+    pre-joined frame (same groups, same minutes), and drop fact rows
+    whose key misses the dim exactly like the inner join it replaces."""
+    from dagster_etl_spark.operators.cycle_time import cycle_time_join_stats
+
+    fact = spark.createDataFrame(
+        [
+            Row(k=1, end_time=T0 + dt.timedelta(minutes=30), st="F"),
+            Row(k=1, end_time=T0 + dt.timedelta(minutes=90), st="F"),
+            Row(k=2, end_time=T0 + dt.timedelta(minutes=10), st="F"),
+            Row(k=2, end_time=T0 + dt.timedelta(minutes=10), st="O"),  # filtered
+            Row(k=3, end_time=T0 + dt.timedelta(minutes=5), st="F"),  # no dim row
+            Row(k=1, end_time=None, st="F"),  # null end dropped
+        ]
+    )
+    dim = spark.createDataFrame(
+        [
+            Row(dk=1, start_time=T0, grp="A"),
+            Row(dk=2, start_time=T0 + dt.timedelta(minutes=4), grp="B"),
+        ]
+    )
+    got = {
+        r.grp: (r.avg_cycle_time, r.min_cycle_time, r.max_cycle_time, r.lot_count)
+        for r in cycle_time_join_stats(
+            fact=fact, dim=dim, fact_key="k", dim_key="dk",
+            end_col="end_time", start_col="start_time",
+            group_cols=("grp",), fact_filter="st = 'F'",
+        ).collect()
+    }
+    assert got == {
+        "A": (60.0, 30.0, 90.0, 2),
+        "B": (6.0, 6.0, 6.0, 1),
+    }

@@ -16,6 +16,15 @@ Variants:
   preagg   — fact pre-aggregated per orderkey, then join + tiny agg.
   narrowdim— cur with the dim projected to (key, epoch int, priority):
              the broadcast build carries ints, not a timestamp object.
+  shj      — narrowdim with a SHUFFLE_HASH hint on the dim side: the
+             single-process engine this is paired against does a hash
+             join; Spark's default SMJ sorts BOTH fact and dim — at
+             60 M + 15 M rows the two sorts are pure overhead the
+             hash build avoids (r10).
+  bucketed — lineitem/orders pre-bucketed+sorted by orderkey via
+             sources/bucketed.py: the recurring-pipeline layout where
+             the join plans with ZERO exchanges; the one-time bucket
+             write cost is reported separately (r10).
 
 Usage: python tools/probe_cycle_plan.py [sf_dir] [mult ...]
 Defaults: /root/testdata/sf0.1, mults 10 50. Prints one JSON line.
@@ -125,10 +134,64 @@ def main() -> None:
             F.count(F.lit(1)).alias("lot_count"),
         )
 
-    variants = {"cur": cur, "preagg": preagg, "narrowdim": narrowdim}
+    def _narrow_frames(d):
+        li = load(d, "lineitem").filter(
+            "l_linestatus = 'F' AND l_shipdate IS NOT NULL"
+        ).select("l_orderkey", F.unix_timestamp("l_shipdate").alias("__ship"))
+        dim = load(d, "orders").filter("o_orderdate IS NOT NULL").select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("__od"),
+            "o_orderpriority",
+        )
+        return li, dim
+
+    def _tiny_agg(j):
+        cyc = F.col("__ship") - F.col("__od")
+        return j.groupBy("o_orderpriority").agg(
+            (F.sum(cyc).cast("double") / F.count(F.lit(1)) / F.lit(60.0)).alias(
+                "avg_cycle_time"
+            ),
+            (F.min(cyc) / F.lit(60.0)).alias("min_cycle_time"),
+            (F.max(cyc) / F.lit(60.0)).alias("max_cycle_time"),
+            F.count(F.lit(1)).alias("lot_count"),
+        )
+
+    def shj(d):
+        li, dim = _narrow_frames(d)
+        j = li.join(dim.hint("SHUFFLE_HASH"), li.l_orderkey == dim.o_orderkey)
+        return _tiny_agg(j)
+
+    bucket_write_sec: dict[str, float] = {}
+
+    def prep_bucketed(d, k):
+        from dagster_etl_spark.sources.bucketed import write_bucketed
+
+        li, dim = _narrow_frames(d)
+        t0 = time.perf_counter()
+        write_bucketed(li, f"probe_li_x{k}", ["l_orderkey"], 32, ["l_orderkey"])
+        write_bucketed(dim, f"probe_o_x{k}", ["o_orderkey"], 32, ["o_orderkey"])
+        bucket_write_sec[f"x{k}"] = round(time.perf_counter() - t0, 3)
+
+    def bucketed_factory(k):
+        def bucketed(d):
+            li = spark.table(f"probe_li_x{k}")
+            dim = spark.table(f"probe_o_x{k}")
+            j = li.join(dim, li.l_orderkey == dim.o_orderkey)
+            return _tiny_agg(j)
+
+        return bucketed
+
     out: dict[str, dict] = {}
     for k in MULTS:
         d = _materialize(spark, k)
+        prep_bucketed(d, k)
+        variants = {
+            "cur": cur,
+            "preagg": preagg,
+            "narrowdim": narrowdim,
+            "shj": shj,
+            "bucketed": bucketed_factory(k),
+        }
         con = duckdb.connect()
         for t in ("lineitem", "orders"):
             con.execute(
@@ -158,6 +221,12 @@ def main() -> None:
                 "rows": df.count(),
             }
         con.close()
+        res["bucketed"]["write_sec"] = bucket_write_sec[f"x{k}"]
+        from dagster_etl_spark.sources.bucketed import exchanges_in_plan
+
+        # the final 5-group agg contributes one tiny exchange; the JOIN
+        # itself must contribute zero (both sides bucket-pruned)
+        res["bucketed"]["exchanges"] = exchanges_in_plan(variants["bucketed"](d))
         out[f"x{k}"] = res
     print(json.dumps({"sf_dir": SF_DIR, "runs": RUNS, "scales": out}))
     spark.stop()

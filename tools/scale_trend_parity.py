@@ -11,11 +11,15 @@ projection query returns row-per-input).
 
 Usage: python tools/scale_trend_parity.py [sf_dir] [mult ...]
 Defaults: /root/testdata/sf0.1 and multipliers 10 50.
+SCALE_PAR_QUERIES=a,b,c overrides the query list (r10: used to pair
+event_rollup_multigrain, which the r9 run argued flat-floor from
+absolute times without a paired row).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
@@ -28,7 +32,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 MULTS = [int(a) for a in sys.argv[2:]] or [10, 50]
 RUNS = 5
 
-QUERY_NAMES = ("cycle_time_stats", "equipment_pivot", "item_master_enrich")
+QUERY_NAMES = tuple(
+    q for q in os.environ.get(
+        "SCALE_PAR_QUERIES",
+        "cycle_time_stats,equipment_pivot,item_master_enrich",
+    ).split(",") if q
+)
 
 
 def _noop(df) -> None:

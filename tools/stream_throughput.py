@@ -18,6 +18,15 @@ run exercises real micro-batch state handoff (4 batches), not one
 degenerate batch. Wall time is availableNow start->awaitTermination,
 best of RUNS.
 
+r10 adds the RECOVERY axis — the operational number a 100 TB pipeline
+plans around: the stateful sessionizer processes the first (by ts)
+half of the corpus to a checkpoint and stops; the second half lands
+while the query is "down"; the restarted query's wall time =
+checkpoint/state restore + backlog drain. Reported as recovery_sec
+plus catch-up rate, next to the steady-state rate of the SAME first
+run for comparison (same session, same files, interleaving not needed
+because both numbers come from one sequence).
+
 Usage: python tools/stream_throughput.py [sf_dir] [mult]
 Defaults: /root/testdata/sf0.1, mult 10. Prints one JSON line.
 """
@@ -92,8 +101,10 @@ def main() -> None:
     }
 
     out: dict[str, dict] = {}
+    paths: dict[int, str] = {}
     for k in sorted({1, MULT}):
         path, n_rows = materialize(k)
+        paths[k] = path
         scale: dict[str, dict] = {"events": n_rows}
         for qname, build in queries.items():
             df, mode = build(path)
@@ -107,6 +118,62 @@ def main() -> None:
                 "micro_batches": -(-FILES // FILES_PER_TRIGGER),
             }
         out[f"x{k}"] = scale
+
+    # ---- recovery axis (r10): stop -> backlog -> restart, at MULT ----
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from dagster_etl_spark.streaming.stateful import sessionize_stateful
+
+    work = tempfile.mkdtemp(prefix="stream_recovery_")
+    in_dir = f"{work}/events"
+    ckpt = f"{work}/ckpt"
+    # reuse the already-materialized MULT-scale events (scratch_dir
+    # EMPTIES on re-call — never re-derive the path through it)
+    ev = spark.read.parquet(paths[MULT])
+    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").first().c
+    first = ev.filter(F.col("ts") <= cutoff)
+    second = ev.filter(F.col("ts") > cutoff)
+    n1, n2 = first.count(), second.count()
+    first.repartition(FILES).write.mode("overwrite").parquet(in_dir)
+
+    def run_ckpt() -> float:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(in_dir)
+        )
+        t0 = time.perf_counter()
+        q = (
+            sessionize_stateful(stream)
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return time.perf_counter() - t0
+
+    steady_sec = run_ckpt()  # first half -> checkpoint, then STOP
+    # the backlog lands while the query is down
+    second.repartition(FILES).write.mode("append").parquet(in_dir)
+    recovery_sec = run_ckpt()  # restore state + drain the backlog
+    recovery = {
+        "query": "stateful",
+        "first_half_events": n1,
+        "backlog_events": n2,
+        "steady_sec": round(steady_sec, 3),
+        "steady_events_per_sec": round(n1 / steady_sec),
+        "recovery_sec": round(recovery_sec, 3),
+        "catchup_events_per_sec": round(n2 / recovery_sec),
+        "restore_overhead_sec": round(
+            recovery_sec - n2 * steady_sec / max(n1, 1), 3
+        ),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+
     summary = {}
     if MULT > 1:
         for qname in queries:
@@ -126,6 +193,7 @@ def main() -> None:
                 "files_per_trigger": FILES_PER_TRIGGER,
                 "scales": out,
                 "scaling": summary,
+                "recovery": recovery,
             }
         )
     )
