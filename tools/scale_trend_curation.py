@@ -96,17 +96,25 @@ def main() -> None:
             release_pinned()
             return q(spark, data_dir)
 
+        def note(msg: str) -> None:
+            print(f"# x{k}: {msg}", file=sys.stderr, flush=True)
+
+        t0 = time.perf_counter()
         con.execute(oracle).arrow()  # warm
+        note(f"duck warm {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
         _noop(build())
+        note(f"spark warm {time.perf_counter() - t0:.1f}s")
         ducks: list[float] = []
         sparks: list[float] = []
-        for _ in range(RUNS):
+        for i in range(RUNS):
             t0 = time.perf_counter()
             con.execute(oracle).arrow()
             ducks.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             _noop(build())
             sparks.append(time.perf_counter() - t0)
+            note(f"pair {i + 1}/{RUNS} duck {ducks[-1]:.1f}s spark {sparks[-1]:.1f}s")
         release_pinned()
         d = statistics.median(ducks)
         s = statistics.median(sparks)
