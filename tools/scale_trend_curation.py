@@ -17,8 +17,14 @@ per engine, spreads reported. The DuckDB side runs the registered
 oracle (shingle/signature CTEs + WITH RECURSIVE component closure);
 the Spark side runs the registered query via the noop sink.
 
-Usage: python tools/scale_trend_curation.py [sf_dir] [mult ...]
+Usage: python tools/scale_trend_curation.py [--spark-only] [sf_dir] [mult ...]
 Defaults: /root/testdata/sf0.1 and multipliers 10 50.
+
+``--spark-only`` skips the DuckDB legs: beyond x50 the recursive
+component closure in the oracle thrashes (290 s spread at x50 —
+SCALETREND_CUR_r10.json), so the useful question past that point is
+whether SPARK stays sublinear, measured on the same materialization
+and median-of-RUNS protocol with the paired x10/x50 points as anchor.
 """
 
 from __future__ import annotations
@@ -32,8 +38,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-MULTS = [int(a) for a in sys.argv[2:]] or [10, 50]
+_argv = sys.argv[1:]
+SPARK_ONLY = "--spark-only" in _argv
+_argv = [a for a in _argv if a != "--spark-only"]
+SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.1"
+MULTS = [int(a) for a in _argv[1:]] or [10, 50]
 RUNS = 3
 QUERY = "curation_pipeline_v2"
 
@@ -99,32 +108,40 @@ def main() -> None:
         def note(msg: str) -> None:
             print(f"# x{k}: {msg}", file=sys.stderr, flush=True)
 
-        t0 = time.perf_counter()
-        con.execute(oracle).arrow()  # warm
-        note(f"duck warm {time.perf_counter() - t0:.1f}s")
+        if not SPARK_ONLY:
+            t0 = time.perf_counter()
+            con.execute(oracle).arrow()  # warm
+            note(f"duck warm {time.perf_counter() - t0:.1f}s")
         t0 = time.perf_counter()
         _noop(build())
         note(f"spark warm {time.perf_counter() - t0:.1f}s")
         ducks: list[float] = []
         sparks: list[float] = []
         for i in range(RUNS):
-            t0 = time.perf_counter()
-            con.execute(oracle).arrow()
-            ducks.append(time.perf_counter() - t0)
+            if not SPARK_ONLY:
+                t0 = time.perf_counter()
+                con.execute(oracle).arrow()
+                ducks.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             _noop(build())
             sparks.append(time.perf_counter() - t0)
-            note(f"pair {i + 1}/{RUNS} duck {ducks[-1]:.1f}s spark {sparks[-1]:.1f}s")
+            duck_note = f"duck {ducks[-1]:.1f}s " if ducks else ""
+            note(f"pair {i + 1}/{RUNS} {duck_note}spark {sparks[-1]:.1f}s")
         release_pinned()
-        d = statistics.median(ducks)
         s = statistics.median(sparks)
         result[f"x{k}"] = {
-            "duckdb_sec": round(d, 3),
             "spark_sec": round(s, 3),
-            "ratio": round(s / d, 2),
-            "duck_spread_sec": round(max(ducks) - min(ducks), 3),
             "spark_spread_sec": round(max(sparks) - min(sparks), 3),
         }
+        if ducks:
+            d = statistics.median(ducks)
+            result[f"x{k}"].update(
+                {
+                    "duckdb_sec": round(d, 3),
+                    "ratio": round(s / d, 2),
+                    "duck_spread_sec": round(max(ducks) - min(ducks), 3),
+                }
+            )
         con.close()
     print(
         json.dumps(
@@ -132,6 +149,7 @@ def main() -> None:
                 "sf_dir": SF_DIR,
                 "multipliers": MULTS,
                 "runs": RUNS,
+                "spark_only": SPARK_ONLY,
                 "documents_rows": rows,
                 "methodology": "same parquet both engines (salted "
                 "source written to disk); interleaved D,S pairs; "
