@@ -12,7 +12,11 @@ so the fact pre-aggregates to orderkey grain (exact integer partials)
 and the join probes order-grain rows instead of raw lineitems.
 
 Variants:
-  cur      — registered shape: scan-grain join, group by priority.
+  cur      — the r9-registered shape: scan-grain join, group by
+             priority. (Since r10 the registered query builds the
+             narrowdim shape below — `cycle_time_join_stats`; "cur"
+             is kept under its original name so rows compare across
+             rounds.)
   preagg   — fact pre-aggregated per orderkey, then join + tiny agg.
   narrowdim— cur with the dim projected to (key, epoch int, priority):
              the broadcast build carries ints, not a timestamp object.
