@@ -233,6 +233,55 @@ def q_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cycle_time_stats_bucketed",
+    oracle=_CYCLE_ORACLE,
+    tags=("parity", "agg", "join", "layout"),
+    doc="A3 over the recurring-pipeline layout: lineitem/orders "
+    "bucketed+sorted by orderkey so the fact-dim join plans with zero "
+    "exchanges (the scale path measured at 1.38x @60M / 1.32x @120M "
+    "single-process, probe_cycle_plan_r10.json). Same oracle as "
+    "cycle_time_stats - layout must not change values.",
+)
+def q_cycle_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed layout as a first-class, hash-gated query: the
+    bucket write (the one-time cost a recurring pipeline pays at load
+    time) happens inside the query so the driver verifies the WHOLE
+    path - write_bucketed -> catalog read -> exchange-free join ->
+    aggregate - not just the join on a pre-built fixture. Broadcast
+    stays at the session default: at driver scale the dim broadcasts
+    (1 exchange); at scale the bucketed SMJ takes over with 0 - both
+    plans are value-identical (asserted in tests/test_bucketed.py)."""
+    import hashlib
+
+    from dagster_etl_spark.sources.bucketed import write_bucketed
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_t, ord_t = f"cyc_li_bkt_{sfx}", f"cyc_ord_bkt_{sfx}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    # overwrite each call: correctness surface, so staleness beats
+    # speed - the write cost is the layout's documented one-time price
+    write_bucketed(li, li_t, ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+    write_bucketed(
+        orders, ord_t, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"]
+    )
+    return cycle_time_join_stats(
+        fact=spark.table(li_t),
+        dim=spark.table(ord_t),
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        end_col="l_shipdate",
+        start_col="o_orderdate",
+        group_cols=("o_orderpriority",),
+        fact_filter="l_linestatus = 'F'",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A4/A5/A6 — equipment pivot (reference: etl/common/assets/transfer.py:129-174)
 

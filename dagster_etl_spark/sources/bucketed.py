@@ -30,6 +30,18 @@ def write_bucketed(
     """Persist as a bucketed (optionally sorted) table. Sorting within
     buckets additionally enables shuffle-AND-sort-free sort-merge
     joins."""
+    if mode == "overwrite":
+        # a fresh session's catalog doesn't know about tables whose
+        # warehouse directories survived a previous session (the round
+        # driver's exact situation) — saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS instead of overwriting. Drop both
+        # the catalog entry and any orphaned location first.
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        from dagster_etl_spark.sources.lake import delete_path
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        delete_path(spark, f"{warehouse}/{table.lower()}")
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
