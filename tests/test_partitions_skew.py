@@ -194,9 +194,15 @@ def test_aqe_splits_skewed_join_and_salting_beats_disabled_aqe(spark):
             build().write.format("noop").mode("overwrite").save()
             return time.perf_counter() - t0
 
-        plain_b = lambda: large.join(small, on="k")  # noqa: E731
+        # the timing leg needs the hot task to DOMINATE: at 4M rows the
+        # hot sort (~3.6M rows) finishes inside scheduler noise and the
+        # comparison flip-flops (r10 flake); at 8M the hot task's
+        # superlinear sort/spill makes the split a measured 2.4x win
+        # (plain ~5.4s vs salted ~2.2s median, probed r10)
+        large8, _ = _zipf_join_inputs(spark, n_large=8_000_000)
+        plain_b = lambda: large8.join(small, on="k")  # noqa: E731
         salted_b = lambda: salted_join(  # noqa: E731
-            large, small, on=["k"], salt=16
+            large8, small, on=["k"], salt=16
         )
         # interleaved pairs + median, the same protocol as the repo's
         # trend tools: this box sees external CPU steal spikes that can
@@ -208,8 +214,8 @@ def test_aqe_splits_skewed_join_and_salting_beats_disabled_aqe(spark):
             salteds.append(one(salted_b))
         plains.sort(), salteds.sort()
         plain_s, salted_s = plains[1], salteds[1]
-        # one task sorts/probes 3.6M rows vs ~225k with salt=16; require
-        # a real win but leave slack for scheduler noise
+        # one task sorts/probes 7.2M rows vs ~450k with salt=16; require
+        # a real win on the medians
         assert salted_s < plain_s, (plains, salteds)
     finally:
         for k, v in saved.items():
