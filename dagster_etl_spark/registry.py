@@ -85,6 +85,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     #   window's 50 names stay behind and rotate back in r11.
     #   Disjointness vs CORRECTNESS_r09.json is enforced by
     #   tests/test_plans.py::test_driver_window_rotates_vs_last_round.
+    #   r11 rotation candidates with no driver-green row yet:
+    #   dbt_incremental_orders (r8-green, aged out at slot 51) and
+    #   cycle_time_stats_bucketed (registered late in r10, ALLCHECK
+    #   -green at all three SFs) — front both, then the r9 window.
     "zorder_span_stats",
     "wip_aggregate_approx",
     "priority_wip_approx",

@@ -329,7 +329,7 @@ def test_driver_window_rotates_vs_last_round():
     will check next must be disjoint from the most recent
     CORRECTNESS_r*.json window — re-checking last round's set while
     older queries age to 2+ rounds stale is exactly the r8 freshness
-    bug. With 101 registered queries and a 50-slot window, perfect
+    bug. With 102 registered queries and a 50-slot window, perfect
     disjointness is always achievable.
 
     DELIBERATE lifecycle (r9 ADVICE adjudication): the newest artifact
