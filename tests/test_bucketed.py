@@ -103,3 +103,33 @@ def test_cycle_time_join_stats_bucketed_plan_and_values(bucket_env):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, co.collect()))
     assert a == b and len(a) > 0
+
+
+def test_write_bucketed_overwrites_orphaned_location(spark):
+    """Regression (r10): a fresh session's catalog has no entry for a
+    table whose warehouse directory survived an earlier session (the
+    round driver restarts the session every round), and saveAsTable
+    then failed with LOCATION_ALREADY_EXISTS instead of overwriting.
+    Simulate the orphan by planting a file at the managed location of
+    a table the catalog has never seen."""
+    from pathlib import Path
+
+    from dagster_etl_spark.sources.bucketed import write_bucketed
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    table = "orphan_bkt_t"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = Path(warehouse.removeprefix("file:")) / table
+    try:
+        loc.mkdir(parents=True, exist_ok=True)
+        (loc / "stale-part.parquet").write_text("not a real parquet")
+        assert not spark.catalog.tableExists(table)
+
+        li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+        write_bucketed(li, table, ["l_orderkey"], num_buckets=2)
+        assert spark.table(table).count() == li.count()
+        # and a second overwrite (catalog HAS the table now) still works
+        write_bucketed(li.limit(10), table, ["l_orderkey"], num_buckets=2)
+        assert spark.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
