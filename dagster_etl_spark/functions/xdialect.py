@@ -131,6 +131,25 @@ def shingles(tok: str, k: int, d: str) -> str:
     return distinct(xform(zero_range(n, d), "i", body, d), d)
 
 
+def pos_shingle_hashes(tok: str, k: int, d: str) -> str:
+    """Positional k-word shingle hashes (NON-distinct): element ``i``
+    is ``h60`` of the space-joined shingle starting at token ``i``.
+    Unlike :func:`shingles`, multiplicity and order are preserved —
+    span-coverage arithmetic (duplicate_ngram_spans) needs the
+    position of every occurrence, not the distinct set.
+
+    Same materialization contract as :func:`shingles`: ``tok`` must be
+    a pre-bound simple reference (use :func:`let`).
+    """
+    n = f"({xsize(tok, d)} - {k - 1})"
+    if d == SPARK:
+        parts = ", ".join(idx_var(tok, "i", d, j) for j in range(k))
+        body = f"concat_ws(' ', {parts})"
+    else:
+        body = " || ' ' || ".join(idx_var(tok, "i", d, j) for j in range(k))
+    return xform(zero_range(n, d), "i", h60(body, d), d)
+
+
 def dot_chain(a: str, b: str, dim: int, d: str) -> str:
     """Explicit left-associated dot product over float arrays -> double."""
     terms = [

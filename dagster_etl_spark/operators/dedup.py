@@ -348,6 +348,142 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection (the ExactSubstr idea of
+    Lee et al., *Deduplicating Training Data Makes Language Models
+    Better*, ACL 2022, approximated at fixed token grain): a k-token
+    shingle is *duplicated* when its exact text occurs >= ``min_count``
+    times across the WHOLE corpus — intra- or inter-document. Reports
+    per document how many shingle positions are duplicated and how
+    many tokens the union of their ``[pos, pos+k)`` spans covers
+    (interval union via the sorted-gap identity:
+    ``k + sum(min(k, pos_i - pos_{i-1}))``), the number a filtering
+    pass thresholds on (e.g. drop docs with > 30% duplicated tokens).
+
+    Scale shape: the only per-(doc,position) rows through any exchange
+    are ``(doc_id, pos int, h bigint)`` — text leaves the plan at the
+    scan. Corpus frequency is a hash aggregate on the 60-bit shingle
+    hash (map-side partials collapse the within-partition repeats that
+    boilerplate produces); duplicated positions come back via a
+    left-semi join on that 8-byte key; span coverage is one per-doc
+    window (shuffle on doc_id) + final aggregate. The exploded frame
+    is consumed by both the frequency and the join side, so it is
+    pinned (scalar rows, same rationale as ngram_jaccard_pairs).
+    """
+    from pyspark.sql.window import Window
+
+    body = (
+        f"named_struct('n_tokens', {x.xsize('_t', x.SPARK)}, "
+        f"'hs', {x.pos_shingle_hashes('_t', k, x.SPARK)})"
+    )
+    g = df.selectExpr(
+        id_col,
+        f"{x.let(x.tokens(text_col, x.SPARK), '_t', body, x.SPARK)} AS _s",
+    ).select(
+        id_col,
+        F.col("_s.n_tokens").alias("n_tokens"),
+        F.col("_s.hs").alias("hs"),
+    )
+    g = pin(spread(g))
+    ex = pin(g.select(id_col, F.posexplode("hs").alias("pos", "h")))
+    freq = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    dup = ex.join(freq, on="h", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    per_doc = (
+        dup.withColumn("_prev", F.lag("pos").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_ngrams"),
+            F.sum(
+                F.when(F.col("_prev").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("pos") - F.col("_prev"))
+                )
+            )
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+    )
+    totals = g.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.size("hs").cast("long").alias("n_ngrams"),
+    )
+    joined = totals.join(per_doc, on=id_col, how="left")
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_ngrams",
+        F.coalesce(F.col("dup_ngrams"), F.lit(0)).cast("long").alias("dup_ngrams"),
+        dup_tokens.alias("dup_tokens"),
+        F.when(
+            F.col("n_tokens") > 0,
+            dup_tokens.cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+    )
+
+
+def duplicate_ngram_spans_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`duplicate_ngram_spans` (same md5-based
+    shingle hash, same gap-identity coverage)."""
+    d = x.DUCK
+    body = (
+        f"{{'n_tokens': {x.xsize('_t', d)}, "
+        f"'hs': {x.pos_shingle_hashes('_t', k, d)}}}"
+    )
+    s = x.let(x.tokens(text_col, d), "_t", body, d)
+    return f"""
+WITH g AS (
+  SELECT {id_col}, s['n_tokens'] AS n_tokens, s['hs'] AS hs
+  FROM (SELECT {id_col}, {s} AS s FROM {table})
+),
+ex AS (
+  SELECT {id_col}, CAST(u.i AS INT) AS pos, hs[u.i + 1] AS h
+  FROM g, unnest(range(0, len(hs))) u(i)
+),
+freq AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= {min_count}),
+dp AS (
+  SELECT {id_col}, pos,
+         lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos) AS prev
+  FROM ex WHERE h IN (SELECT h FROM freq)
+),
+agg AS (
+  SELECT {id_col}, COUNT(*) AS dup_ngrams,
+         CAST(SUM(CASE WHEN prev IS NULL THEN {k}
+                       ELSE LEAST({k}, pos - prev) END) AS BIGINT) AS dup_tokens
+  FROM dp GROUP BY {id_col}
+)
+SELECT g.{id_col},
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(g.hs) AS BIGINT) AS n_ngrams,
+       COALESCE(a.dup_ngrams, 0) AS dup_ngrams,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN g.n_tokens > 0
+            THEN CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / g.n_tokens
+            ELSE 0.0 END AS dup_token_frac
+FROM g LEFT JOIN agg a USING ({id_col})
+"""
+
+
 # -- SimHash near-dup ---------------------------------------------------------
 
 def simhash_neardup_pairs(

@@ -811,6 +811,27 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(reline_10_tokens(docs), min_docs=2)
 
 
+from dagster_etl_spark.operators.dedup import duplicate_ngram_spans_oracle_sql
+
+
+@register(
+    "duplicate_ngram_spans",
+    oracle=duplicate_ngram_spans_oracle_sql(k=8, min_count=2),
+    tags=("llm", "dedup", "text"),
+    doc="Substring-level duplicate detection (Lee et al. ACL 2022, "
+    "fixed 8-token grain): corpus-frequency of every positional "
+    "shingle hash, left-semi join back, per-doc union-span coverage "
+    "via the sorted-gap identity. Only (doc_id, pos, h60) rows cross "
+    "an exchange; the per-doc coverage number is what a >30%-dup "
+    "filter pass thresholds on.",
+)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import duplicate_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, k=8, min_count=2)
+
+
 def reline_10_tokens(docs: DataFrame) -> DataFrame:
     """Reshape flat text into deterministic 10-token '\\n'-joined lines.
     Newlines embedded INSIDE space-split tokens are scrubbed to spaces

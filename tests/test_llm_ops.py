@@ -607,3 +607,42 @@ def test_connected_components_truncates_edge_lineage(spark, tmp_path):
     plan = comp._jdf.queryExecution().optimizedPlan().toString()
     assert "parquet" not in plan.lower(), plan  # upstream gone: leaf scan
     assert plan.count("Join") <= 6, plan
+
+
+def test_duplicate_ngram_spans_coverage_math(spark):
+    """Hand-computed ExactSubstr-style span coverage at k=3: overlapping
+    dup spans union via the gap identity, intra-doc repeats count
+    toward corpus frequency, sub-k and empty docs survive with zeros."""
+    from dagster_etl_spark.operators.dedup import duplicate_ngram_spans
+
+    rows = [
+        (1, "a b c d e f"),        # "a b c","b c d" dup'd vs doc 2
+        (2, "a b c d x y"),
+        (3, "z z z z z z z"),      # all 5 trigram positions intra-dup
+        (4, "q w"),                # shorter than k
+        (5, " "),                  # whitespace-only -> 0 tokens
+        (6, "a b c m n a b c"),    # dup at pos 0 and 5: gap > k
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.asDict()
+        for r in duplicate_ngram_spans(df, k=3, min_count=2).collect()
+    }
+    assert len(got) == 6
+    # doc 1/2: positions {0,1} -> union [0,4) = 4 tokens
+    for d in (1, 2):
+        assert (got[d]["n_tokens"], got[d]["n_ngrams"]) == (6, 4)
+        assert (got[d]["dup_ngrams"], got[d]["dup_tokens"]) == (2, 4)
+        assert got[d]["dup_token_frac"] == 4.0 / 6
+    # doc 3: every position dup'd, union covers the whole doc
+    assert (got[3]["dup_ngrams"], got[3]["dup_tokens"]) == (5, 7)
+    assert got[3]["dup_token_frac"] == 1.0
+    # doc 4: no ngrams at all
+    assert (got[4]["n_tokens"], got[4]["n_ngrams"]) == (2, 0)
+    assert (got[4]["dup_ngrams"], got[4]["dup_tokens"]) == (0, 0)
+    assert got[4]["dup_token_frac"] == 0.0
+    # doc 5: zero tokens, frac guarded to 0.0 (not NaN)
+    assert got[5]["n_tokens"] == 0 and got[5]["dup_token_frac"] == 0.0
+    # doc 6: dup positions {0,5}, gap 5 > k -> two disjoint 3-spans
+    assert (got[6]["dup_ngrams"], got[6]["dup_tokens"]) == (2, 6)
+    assert got[6]["dup_token_frac"] == 6.0 / 8
