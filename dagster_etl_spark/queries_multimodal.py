@@ -280,3 +280,76 @@ def q_media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, out_w=_RESIZE_OUT, out_h=_RESIZE_OUT, decoder=codecs.image_decoder
     )
     return byte_stats(resized)
+
+
+# Image near-dup: dHash bits over the synthetic assets reduce to closed
+# forms of doc_id (PPM/PNG gradients: bit x = [((x+1)*w)//9 > (x*w)//9],
+# identical across rows so hash = rowbits * 0x0101010101010101; JPEG
+# block-constant: the same with block index xi//8), so the oracle
+# recomputes the full 64-bit hash — HUGEINT arithmetic, wrapped to the
+# signed BIGINT the uint64->int64 reinterpretation produces. WAV assets
+# are skipped by the operator (1-D decode). PPM and PNG assets with the
+# same width collide BY DESIGN: same scene, different container — the
+# pairing byte-level dedup cannot see.
+_DHASH_ORACLE = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS kind,
+         CAST(8 + doc_id % 9 AS BIGINT) AS w,
+         CAST(1 + doc_id % 3 AS BIGINT) AS wb
+  FROM documents WHERE doc_id % 4 <> 1
+),
+rb AS (
+  SELECT doc_id,
+    CASE WHEN kind IN (0, 2) THEN
+      CAST(list_sum(list_transform(range(0, 8), x ->
+        CASE WHEN ((x+1)*w)//9 > (x*w)//9 THEN 1<<x ELSE 0 END)) AS HUGEINT)
+    ELSE
+      CAST(list_sum(list_transform(range(0, 8), x ->
+        CASE WHEN (((x+1)*8*wb)//9)//8 > ((x*8*wb)//9)//8 THEN 1<<x ELSE 0 END)) AS HUGEINT)
+    END AS rowbits
+  FROM p
+),
+h AS (
+  SELECT doc_id AS asset_id,
+         CAST(CASE WHEN rowbits * 72340172838076673 >= 9223372036854775808
+              THEN rowbits * 72340172838076673 - 18446744073709551616
+              ELSE rowbits * 72340172838076673 END AS BIGINT) AS dhash
+  FROM rb
+)
+SELECT h.asset_id, h.dhash, g.group_size, g.canonical_id
+FROM h JOIN (
+  SELECT dhash, COUNT(*) AS group_size, MIN(asset_id) AS canonical_id
+  FROM h GROUP BY dhash
+) g USING (dhash)
+"""
+
+
+@register(
+    "image_dhash_groups",
+    oracle=_DHASH_ORACLE,
+    tags=("llm", "multimodal", "dedup", "codecs"),
+    doc="Image near-dup via perceptual difference-hash over REAL "
+    "decoded pixels: decode (PPM/PNG/JPEG) -> integer grayscale -> "
+    "9x8 nearest-neighbor resample -> 64-bit gradient-sign hash inside "
+    "Arrow-batched mapInPandas, then a hash-groupBy assigns duplicate "
+    "groups (size + canonical id) joined back per asset. Collides "
+    "same-content assets across containers; the full 64-bit value "
+    "matches the closed-form oracle bit-for-bit.",
+)
+def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.multimodal import (
+        image_dhash,
+        synth_real_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = image_dhash(synth_real_media_table(docs))
+    g = h.groupBy("dhash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("asset_id").alias("canonical_id"),
+    )
+    return h.join(g, on="dhash").select(
+        "asset_id", "dhash", "group_size", "canonical_id"
+    )

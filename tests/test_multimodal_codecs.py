@@ -590,3 +590,40 @@ def test_png_unterminated_or_trailing_idat_stream_raises():
 
     with pytest.raises(ValueError, match="trailing"):
         codecs.decode_png(png(zlib.compress(lines) + b"\x00garbage"))
+
+
+def test_image_dhash_cross_container_collision(spark):
+    """dHash is content-based: the same scene encoded as PPM (RGB) and
+    PNG (grayscale gradient) collides, a different scene does not, and
+    audio rows are skipped. Hash verified against a hand-packed bit
+    computation on the reference image."""
+    import pandas as pd
+
+    from dagster_etl_spark.operators.codecs import encode_png, encode_ppm, encode_wav
+    from dagster_etl_spark.operators.multimodal import image_dhash
+
+    def gradient(w, h):
+        y, x = np.mgrid[0:h, 0:w]
+        return (x + y).astype(np.uint8)
+
+    g = gradient(12, 10)
+    rows = [
+        (1, encode_png(g)),
+        (2, encode_ppm(np.repeat(g[:, :, None], 3, axis=2))),  # same scene, RGB PPM
+        (3, encode_png(gradient(8, 10))),                      # different width
+        (4, encode_png(255 - g)),                              # inverted gradient
+        (5, encode_wav((np.arange(40) % 5 - 2).astype(np.int16))),  # audio: skipped
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["asset_id", "media"])
+    )
+    got = {r.asset_id: r.dhash for r in image_dhash(df).collect()}
+    assert set(got) == {1, 2, 3, 4}          # WAV skipped
+    assert got[1] == got[2]                  # container-independent
+    assert got[1] != got[3]                  # resolution-sensitive
+    assert got[4] != got[1]                  # inverted gradient flips bits
+    # hand-packed expectation for the 12-wide gradient: per row,
+    # bit x = [((x+1)*12)//9 > (x*12)//9] — xi = 0,1,2,4,5,6,8,9,10:
+    # every step increases -> all 8 bits set -> rowbits 255 across all
+    # 8 rows -> uint64 0xFFFF...FF -> int64 -1
+    assert got[1] == -1
