@@ -170,3 +170,54 @@ def stratified_sample(
     return df.filter(
         F.expr(stratified_sample_expr(id_col, strata_col, rates, x.SPARK, salt))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Deterministic global training order for one epoch: order key =
+    md5-hash of ``seed:id``, shard = key mod ``num_shards``, position =
+    rank within the shard. Training readers consume shards in shard-id
+    order, rows in position order — the resulting permutation is
+    ``ORDER BY (key % S, key)``, a pseudorandom order that differs per
+    seed (epoch), is reproducible on any engine or cluster size, and
+    needs NO global sort: the only exchange is the hash partition by
+    shard, and each shard sorts independently (exactly the layout a
+    100 TB corpus is written in — one output file tree per shard).
+
+    ``num_shards`` should be >= the writer parallelism; per-shard sort
+    memory is corpus_size / num_shards.
+    """
+    from pyspark.sql.window import Window
+
+    key = x.h60(f"concat('{seed}:', CAST({id_col} AS STRING))", x.SPARK)
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (
+        df.selectExpr(id_col, f"{key} AS order_key")
+        .withColumn(
+            "shard", F.pmod(F.col("order_key"), F.lit(num_shards)).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )
+
+
+def epoch_shuffle_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`epoch_shuffle` (same md5 order key)."""
+    key = x.h60(f"'{seed}:' || CAST({id_col} AS VARCHAR)", x.DUCK)
+    return f"""
+WITH k AS (SELECT {id_col}, {key} AS order_key FROM {table})
+SELECT {id_col}, order_key,
+       CAST(order_key % {num_shards} AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY order_key % {num_shards}
+         ORDER BY order_key, {id_col}) AS BIGINT) AS pos
+FROM k
+"""

@@ -372,6 +372,30 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_shuffle_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import epoch_shuffle_oracle_sql
+
+    return epoch_shuffle_oracle_sql(seed=1, num_shards=8)
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle=_epoch_shuffle_oracle(),
+    tags=("llm", "sampling"),
+    doc="Deterministic per-epoch training order: md5(seed:id) order "
+    "key, shard = key mod S, rank within shard. A seeded pseudorandom "
+    "permutation with no global sort — one hash exchange, per-shard "
+    "independent sorts, reproducible across engines and cluster sizes; "
+    "reseeding the epoch reshuffles.",
+)
+def q_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), seed=1, num_shards=8
+    )
+
+
 def _mix_sources() -> dict[str, float]:
     # three pseudo-sources carved from the corpus by id residue
     return {"web": 1.0, "books": 2.5, "code": 0.3}

@@ -646,3 +646,28 @@ def test_duplicate_ngram_spans_coverage_math(spark):
     # doc 6: dup positions {0,5}, gap 5 > k -> two disjoint 3-spans
     assert (got[6]["dup_ngrams"], got[6]["dup_tokens"]) == (2, 6)
     assert got[6]["dup_token_frac"] == 6.0 / 8
+
+
+def test_epoch_shuffle_is_seeded_permutation(spark):
+    """epoch_shuffle yields a valid sharded permutation: every row kept
+    exactly once, positions contiguous from 1 per shard, order stable
+    across reruns, and a different seed produces a different order."""
+    from dagster_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = epoch_shuffle(df, seed=3, num_shards=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(200))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic rerun
+    again = epoch_shuffle(df, seed=3, num_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # reseeding reshuffles: the (shard, pos) -> doc map must differ
+    other = epoch_shuffle(df, seed=4, num_shards=4).collect()
+    ord3 = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
+    ord4 = [r.doc_id for r in sorted(other, key=lambda r: (r.shard, r.pos))]
+    assert ord3 != ord4
