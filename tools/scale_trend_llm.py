@@ -59,6 +59,11 @@ QUERIES: dict[str, str] = {
     "minhash_neardup": "cipher",
     "clean_corpus": "dup",
     "ann_cosine_topk": "cipher",  # embeddings live in the cipher dir
+    # r10 late additions: substring-dup spans grow linearly on the
+    # cipher axis (each copy's intra-corpus dups are disjoint from
+    # every other copy's); epoch shuffle is text-independent
+    "duplicate_ngram_spans": "cipher",
+    "epoch_shuffle_order": "cipher",
 }
 _sel = os.environ.get("SCALE_LLM_QUERIES")
 if _sel:
