@@ -76,70 +76,71 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 10: this list is generated FROM the artifacts, not memory:
-    #   zorder_span_stats (the only query without a driver-green row
-    #   in r8/r9 — it sat at slot 51 of the r9 window, exactly as
-    #   planned) plus the 50 CORRECTNESS_r08.json names in artifact
-    #   order. 51 candidates for 50 slots: dbt_incremental_orders
-    #   (r8-green) sits at 51 and fronts the r11 rotation. The r9
-    #   window's 50 names stay behind and rotate back in r11.
-    #   Disjointness vs CORRECTNESS_r09.json is enforced by
-    #   tests/test_plans.py::test_driver_window_rotates_vs_last_round.
-    #   r11 rotation candidates with no driver-green row yet:
-    #   dbt_incremental_orders (r8-green, aged out at slot 51) and
-    #   cycle_time_stats_bucketed (registered late in r10, ALLCHECK
-    #   -green at all three SFs) — front both, then the r9 window.
-    "zorder_span_stats",
-    "wip_aggregate_approx",
-    "priority_wip_approx",
-    "dedup_lines",
-    "dedup_survivors",
-    "url_dedup",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "ivf_ann_recall",
-    "media_metadata",
-    "media_frame_sample",
-    "media_features",
-    "wip_aggregate",
-    "priority_wip_join",
-    "cycle_time_stats",
-    "equipment_pivot",
-    "item_master_enrich",
-    "order_rank_window",
-    "events_lag",
-    "sessionize",
-    "customers_without_urgent_orders",
-    "validation_report",
-    "pricing_summary",
-    "regional_revenue",
-    "customer_segment_setops",
-    "rolling_customer_spend",
-    "events_json_percentiles",
-    "shipping_priority",
-    "returned_item_customers",
-    "late_shipment_priority",
-    "priority_shipping_mix",
-    "promo_revenue_share",
-    "revenue_cube",
-    "approx_distinct_gate",
-    "approx_quantile_gate",
-    "latest_order_per_customer",
-    "scd2_user_event_type",
-    "salted_join_revenue",
-    "large_order_customers",
-    "supplier_diversity",
-    "rich_customers_without_low_orders",
-    "events_json_flatten",
-    "customer_priority_baskets",
-    "streaming_windowed_counts",
-    "streaming_user_sessions",
-    "streaming_dedup_counts",
-    "streaming_segment_stats",
-    "streaming_attribution_join",
-    "asof_purchase_prior_view",
-    "packed_sequences",
+    # round 11: generated FROM the artifacts, not memory. Fronts the
+    # five queries with no current driver-green row --
+    #   dbt_incremental_orders      (r8-green, 2 rounds stale)
+    #   cycle_time_stats_bucketed   (registered late r10, ALLCHECK-green x3 SFs)
+    #   duplicate_ngram_spans       (post-sweep r10; judge spot-check PASS)
+    #   image_dhash_groups          (post-sweep r10; judge spot-check PASS)
+    #   epoch_shuffle_order         (post-sweep r10; judge spot-check PASS)
+    # -- then the CORRECTNESS_r09.json names in artifact order. 55
+    # candidates for 50 slots: the last 5 r9 names age to r12 and are
+    # the r12 rotation heads: doc_chunks, stratified_event_sample,
+    # bigram_novelty, vocab_oov, winnow_fingerprints.
+    # Disjointness vs CORRECTNESS_r10.json (the newest artifact) is
+    # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
+    # Invariant that keeps perfect disjointness provable as the
+    # registry grows: len(registry) - 50 >= 50 (currently 105 - 50 = 55).
     "dbt_incremental_orders",
+    "cycle_time_stats_bucketed",
+    "duplicate_ngram_spans",
+    "image_dhash_groups",
+    "epoch_shuffle_order",
+    "top_customers",
+    "curation_pipeline_v2",
+    "priority_wip",
+    "minhash_neardup",
+    "exact_dedup",
+    "clean_corpus",
+    "doc_stats",
+    "curation_pipeline",
+    "compacted_scan",
+    "ngram_jaccard_pairs",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "quantized_ann_topk",
+    "media_decode_stats",
+    "audio_feature_stats",
+    "media_resize_stats",
+    "equipment_unpivot",
+    "funnel_conversion",
+    "cohort_retention",
+    "table_diff_reconcile",
+    "value_percentiles_exact",
+    "user_event_type_map",
+    "fuzzy_part_pairs",
+    "major_suppliers",
+    "order_price_window_stats",
+    "lineitem_moment_stats",
+    "streaming_error_bursts",
+    "streaming_media_decode",
+    "value_band_range_join",
+    "event_rollup_multigrain",
+    "incremental_event_rollup",
+    "gap_filled_user_timeline",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "null_profile_orders",
+    "redact_pii",
+    "decontaminate_vs_benchmark",
+    "train_val_test_split",
+    "corpus_mixture",
+    "quality_deciles",
+    "corpus_bigram_counts",
+    "gopher_quality_flags",
 )
 
 
