@@ -85,15 +85,24 @@ def main() -> None:
     # scale path; scale_trend r8 showed exact plateauing ~5x a single
     # process); the exact hash-verified forms stay visible here for
     # round-over-round comparability.
+    # extras get the SAME defense as every quoted number (r10 verdict
+    # task 6): best-of-2 plus the sample spread, so a future drift
+    # spike on this +/-30% host reads as drift, not a regression (the
+    # r7 false alarm). audit_spreads.py flags extra_spread > extra.
     extra: dict[str, float] = {}
+    extra_spread: dict[str, float] = {}
     for name in ("wip_aggregate", "priority_wip"):
         try:
             run_one(name)  # warm
             release_pinned()
-            t0 = time.time()
-            run_one(name)
-            extra[name + "_exact"] = round(time.time() - t0, 3)
-            release_pinned()
+            samples = []
+            for _ in range(2):
+                t0 = time.time()
+                run_one(name)
+                samples.append(time.time() - t0)
+                release_pinned()
+            extra[name + "_exact"] = round(min(samples), 3)
+            extra_spread[name + "_exact"] = round(max(samples) - min(samples), 3)
         except Exception as exc:
             print(f"bench extra error in {name}: {exc}", file=sys.stderr)
 
@@ -106,6 +115,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra": extra,
+                "extra_spread": extra_spread,
                 "sf": sf_of(SF_DIR),
                 # sampling mode, for round-over-round comparability:
                 # r1-r3 were single warm samples, r4+ best-of-2

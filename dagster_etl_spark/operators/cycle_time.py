@@ -81,7 +81,14 @@ def cycle_time_join_stats(
         F.col(fact_key).alias("__fk"),
         F.unix_timestamp(F.col(end_col)).alias("__end"),
     )
-    d = dim.filter(F.col(start_col).isNotNull()).select(
+    d = dim.filter(F.col(start_col).isNotNull())
+    # same NULL-group-key semantics as cycle_time_stats: a NULL key is
+    # an unattributable lot, not a group (no-op for the registered
+    # mapping — o_orderpriority is never NULL — but generic callers
+    # get the sibling's behavior, not a surprise NULL group)
+    for k in group_cols:
+        d = d.filter(F.col(k).isNotNull())
+    d = d.select(
         F.col(dim_key).alias("__dk"),
         F.unix_timestamp(F.col(start_col)).alias("__start"),
         *group_cols,

@@ -258,6 +258,14 @@ def image_dhash(
     """
     from dagster_etl_spark.operators.codecs import decode_media
 
+    if hash_w * hash_h > 64:
+        # the hash is packed into ONE 64-bit word; more bits would
+        # silently wrap in the uint64 shifts below
+        raise ValueError(
+            f"hash_w * hash_h must be <= 64, got {hash_w}*{hash_h}="
+            f"{hash_w * hash_h}"
+        )
+
     skip = _skip_errors(on_error)
 
     schema = StructType(

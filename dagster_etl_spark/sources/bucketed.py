@@ -30,18 +30,40 @@ def write_bucketed(
     """Persist as a bucketed (optionally sorted) table. Sorting within
     buckets additionally enables shuffle-AND-sort-free sort-merge
     joins."""
+    if "." in table:
+        # the orphan-location cleanup below string-builds the DEFAULT
+        # database's managed path; a qualified db.tbl lives at
+        # warehouse/db.db/tbl and an external table lives wherever its
+        # LOCATION points — guessing either risks deleting the wrong
+        # directory, so refuse rather than clean up blind.
+        raise ValueError(
+            f"write_bucketed requires an unqualified default-database "
+            f"table name, got {table!r}"
+        )
     if mode == "overwrite":
         # a fresh session's catalog doesn't know about tables whose
         # warehouse directories survived a previous session (the round
         # driver's exact situation) — saveAsTable then fails with
         # LOCATION_ALREADY_EXISTS instead of overwriting. Drop both
-        # the catalog entry and any orphaned location first.
+        # the catalog entry and any orphaned location first. When the
+        # catalog DOES know the table, resolve its real location
+        # (external/custom LOCATION) instead of assuming the default
+        # managed path.
         spark = df.sparkSession
+        location = None
+        if spark.catalog.tableExists(table):
+            row = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+                .filter("col_name = 'Location'")
+                .select("data_type")
+                .head()
+            )
+            location = row[0] if row is not None else None
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         from dagster_etl_spark.sources.lake import delete_path
 
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        delete_path(spark, f"{warehouse}/{table.lower()}")
+        delete_path(spark, location or f"{warehouse}/{table.lower()}")
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

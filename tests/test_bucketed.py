@@ -133,3 +133,63 @@ def test_write_bucketed_overwrites_orphaned_location(spark):
         assert spark.table(table).count() == 10
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_write_bucketed_rejects_qualified_table_name(spark):
+    """r10 ADVICE: the orphan cleanup string-builds the DEFAULT
+    database's managed path; db.tbl lives at warehouse/db.db/tbl, so a
+    qualified name must be refused instead of risking a wrong-path
+    delete."""
+    import pytest
+
+    from dagster_etl_spark.sources.bucketed import write_bucketed
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(li, "somedb.bkt_t", ["l_orderkey"], num_buckets=2)
+
+
+def test_write_bucketed_cleans_custom_catalog_location(spark, tmp_path):
+    """r10 ADVICE: when the catalog KNOWS the table, overwrite must
+    resolve and clean the table's REAL location (external/custom
+    LOCATION), not blindly delete whatever sits at the default managed
+    path. If the old table lived elsewhere AND an unrelated directory
+    occupies the managed destination, the write must fail LOUDLY
+    (LOCATION_ALREADY_EXISTS) with the innocent directory intact — the
+    old code silently destroyed it."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dagster_etl_spark.sources.bucketed import write_bucketed
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    table = "custom_loc_bkt_t"
+    custom = tmp_path / "elsewhere" / table
+    decoy = None
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+        li.limit(5).write.option("path", str(custom)).saveAsTable(table)
+        # plant a decoy at the DEFAULT managed path: the old cleanup
+        # deleted this innocent directory; now the conflict surfaces
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        decoy = Path(warehouse.removeprefix("file:")) / table
+        decoy.mkdir(parents=True, exist_ok=True)
+        (decoy / "innocent.txt").write_text("unrelated data")
+
+        with pytest.raises(SparkRuntimeException, match="LOCATION_ALREADY_EXISTS"):
+            write_bucketed(li.limit(10), table, ["l_orderkey"], num_buckets=2)
+        assert (decoy / "innocent.txt").exists(), "cleanup deleted the wrong path"
+        # the resolved cleanup DID clear the external table's own data
+        assert not custom.exists()
+
+        # with the managed destination free, the same overwrite succeeds
+        shutil.rmtree(decoy)
+        write_bucketed(li.limit(10), table, ["l_orderkey"], num_buckets=2)
+        assert spark.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if decoy is not None and decoy.exists():
+            shutil.rmtree(decoy, ignore_errors=True)

@@ -627,3 +627,12 @@ def test_image_dhash_cross_container_collision(spark):
     # every step increases -> all 8 bits set -> rowbits 255 across all
     # 8 rows -> uint64 0xFFFF...FF -> int64 -1
     assert got[1] == -1
+
+
+def test_image_dhash_rejects_over_64_bits():
+    """r10 ADVICE: hash_w*hash_h > 64 would silently wrap in the
+    uint64 packing — must fail at entry, before any Spark work."""
+    from dagster_etl_spark.operators.multimodal import image_dhash
+
+    with pytest.raises(ValueError, match="must be <= 64"):
+        image_dhash(None, hash_w=16, hash_h=8)

@@ -27,29 +27,53 @@ import glob
 import json
 import sys
 
-PATTERNS = sys.argv[1:] or ["SCALETREND_*.json", "SCALETREND CUR*.json"]
+PATTERNS = sys.argv[1:] or ["SCALETREND_*.json", "BENCH_r*.json"]
+
+
+def audit_bench_extras(f: str, d: dict) -> int:
+    """BENCH extras (the exact wip/priority twins) are quoted numbers
+    too (r10 verdict task 6): flag any whose best-of-2 spread exceeds
+    the quoted minimum — that number is drift, not a measurement.
+    Handles both raw bench.py output and the driver's {parsed: ...}
+    wrapper; artifacts older than the extra_spread field are skipped
+    (nothing to audit, by design not retroactively trusted)."""
+    parsed = d.get("parsed", d)
+    if not isinstance(parsed, dict):
+        return 0
+    extras = parsed.get("extra") or {}
+    spreads = parsed.get("extra_spread") or {}
+    flagged = 0
+    for name, sec in extras.items():
+        sp = spreads.get(name)
+        if sp is not None and sec and sp > sec:
+            flagged += 1
+            print(f"{f} extra {name} spread {sp} > quoted {sec}")
+    return flagged
 
 
 def main() -> int:
     flagged = 0
-    for pat in PATTERNS:
-        for f in sorted(glob.glob(pat)):
-            d = json.load(open(f))
-            for q, pts in d.get("queries", {}).items():
-                for k, v in pts.items():
-                    if not isinstance(v, dict):
-                        continue
-                    notes = []
-                    for eng, med_k, sp_k in (
-                        ("duck", "duckdb_sec", "duck_spread_sec"),
-                        ("spark", "spark_sec", "spark_spread_sec"),
-                    ):
-                        med, sp = v.get(med_k), v.get(sp_k)
-                        if med and sp and sp > med:
-                            notes.append(f"{eng} spread {sp} > median {med}")
-                    if notes:
-                        flagged += 1
-                        print(f"{f} {q} {k} ratio={v.get('ratio')} | " + "; ".join(notes))
+    files = sorted({f for pat in PATTERNS for f in glob.glob(pat)})
+    for f in files:
+        d = json.load(open(f))
+        if "BENCH" in f:
+            flagged += audit_bench_extras(f, d)
+            continue
+        for q, pts in d.get("queries", {}).items():
+            for k, v in pts.items():
+                if not isinstance(v, dict):
+                    continue
+                notes = []
+                for eng, med_k, sp_k in (
+                    ("duck", "duckdb_sec", "duck_spread_sec"),
+                    ("spark", "spark_sec", "spark_spread_sec"),
+                ):
+                    med, sp = v.get(med_k), v.get(sp_k)
+                    if med and sp and sp > med:
+                        notes.append(f"{eng} spread {sp} > median {med}")
+                if notes:
+                    flagged += 1
+                    print(f"{f} {q} {k} ratio={v.get('ratio')} | " + "; ".join(notes))
     print(f"# {flagged} flagged rows")
     return 0
 
