@@ -324,13 +324,59 @@ def test_registry_fronts_driver_window_priority():
     assert len(pri) <= 51
 
 
+def test_registry_keeps_rotation_headroom():
+    """Perfect window disjointness round-over-round requires at least
+    50 queries OUTSIDE the 50-slot window (len(registry) - 50 >= 50).
+    If a round deletes queries below that line, the rotation test
+    above becomes unsatisfiable and rotation silently degrades to
+    partial — fail loudly here instead."""
+    from dagster_etl_spark import registry
+
+    n = len(registry.all_queries())
+    assert n - 50 >= 50, (
+        f"registry has {n} queries; need >= 100 for disjoint rotation"
+    )
+
+
+def test_allcheck_artifacts_cover_full_registry():
+    """r10 process gap: three queries were registered AFTER the
+    102-query ALLCHECK sweep, so they had no standing sweep row and
+    only a judge spot-check covered them. Guard: every ALLCHECK
+    artifact from the CURRENT round (the newest round number present)
+    must have total == len(registry) — a stale-total artifact means
+    the sweep must be re-run after registering new queries."""
+    import json
+    import re
+    from pathlib import Path
+
+    from dagster_etl_spark import registry
+
+    root = Path(__file__).resolve().parents[1]
+    arts = list(root.glob("ALLCHECK_r*.json"))
+    if not arts:
+        pytest.skip("no ALLCHECK artifacts yet")
+    rnd = lambda p: int(re.search(r"_r(\d+)", p.name).group(1))  # noqa: E731
+    newest = max(rnd(p) for p in arts)
+    n = len(registry.all_queries())
+    for p in arts:
+        if rnd(p) != newest:
+            continue  # historical artifacts legitimately have old totals
+        total = json.loads(p.read_text())["total"]
+        assert total == n, (
+            f"{p.name} swept {total} queries but registry has {n}: "
+            "re-run the ALLCHECK sweep after registering new queries"
+        )
+
+
 def test_driver_window_rotates_vs_last_round():
     """Rotation invariant (round-agnostic): the 50 names the driver
     will check next must be disjoint from the most recent
     CORRECTNESS_r*.json window — re-checking last round's set while
     older queries age to 2+ rounds stale is exactly the r8 freshness
-    bug. With 102 registered queries and a 50-slot window, perfect
-    disjointness is always achievable.
+    bug. Perfect disjointness is achievable iff
+    len(registry) - 50 >= 50; test_registry_keeps_rotation_headroom
+    pins that invariant so it stays provable as the registry grows
+    (currently 105 registered queries).
 
     DELIBERATE lifecycle (r9 ADVICE adjudication): the newest artifact
     is written by the round driver AT ROUND END, so the moment
