@@ -282,6 +282,71 @@ def q_cycle_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cycle_time_stats_incremental",
+    oracle=_CYCLE_ORACLE,
+    tags=("parity", "agg", "join", "layout", "incremental"),
+    doc="A3 over the INCREMENTALLY-maintained bucketed layout "
+    "(sources/bucketed.py BucketedPipeline): initial load on the first "
+    "date half, two daily appends for the rest - only new slices are "
+    "hashed, the join stays exchange-free, values identical to the "
+    "full-rewrite layout. Same oracle as cycle_time_stats.",
+)
+def q_cycle_time_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-cadence layout as a hash-gated query (r10 verdict
+    task 4): a recurring pipeline can't afford a full bucket rewrite
+    per day (the reference appends one date=YYYYMMDD slice per run,
+    etl/resources/s3.py:139-151), so the engine surface is
+    BucketedPipeline.load_full + .append. The driver verifies the
+    WHOLE incremental path - init write, two appends, catalog read,
+    join, aggregate - hashes identical to the plain-join oracle."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.bucketed import BucketedPipeline
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_linestatus"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    pipe = BucketedPipeline(
+        spark, f"cyc_inc_{sfx}", fact_key="l_orderkey", dim_key="o_orderkey"
+    )
+    # rebuilt from scratch each call: correctness surface, so staleness
+    # beats speed (same discipline as cycle_time_stats_bucketed). The
+    # date splits model three ingest days; every lineitem/orders row
+    # lands in exactly one slice.
+    cut1, cut2 = "1994-01-01", "1996-01-01"
+    pipe.load_full(
+        li.filter(F.col("l_shipdate") < cut1),
+        orders.filter(F.col("o_orderdate") < cut1),
+    )
+    pipe.append(
+        fact=li.filter((F.col("l_shipdate") >= cut1) & (F.col("l_shipdate") < cut2)),
+        dim=orders.filter(
+            (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+        ),
+    )
+    pipe.append(
+        fact=li.filter(F.col("l_shipdate") >= cut2),
+        dim=orders.filter(F.col("o_orderdate") >= cut2),
+    )
+    return cycle_time_join_stats(
+        fact=spark.table(pipe.fact_table),
+        dim=spark.table(pipe.dim_table),
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        end_col="l_shipdate",
+        start_col="o_orderdate",
+        group_cols=("o_orderpriority",),
+        fact_filter="l_linestatus = 'F'",
+    )
+
+
 # ---------------------------------------------------------------------------
 # A4/A5/A6 — equipment pivot (reference: etl/common/assets/transfer.py:129-174)
 

@@ -70,6 +70,121 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def bucket_spec(
+    spark: SparkSession, table: str
+) -> tuple[int, list[str], list[str]]:
+    """Read (num_buckets, bucket_cols, sort_cols) back from the
+    catalog — the table itself is the source of truth for appends, so
+    a caller can't accidentally re-state a different spec."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+
+    def _cols(key: str) -> list[str]:
+        raw = info.get(key, "").strip().strip("[]")
+        return [c.strip().strip("`") for c in raw.split(",") if c.strip()]
+
+    return int(info.get("Num Buckets", "0")), _cols("Bucket Columns"), _cols(
+        "Sort Columns"
+    )
+
+
+def append_bucketed(df: DataFrame, table: str) -> None:
+    """Append rows to an EXISTING bucketed table under its own catalog
+    spec — the daily-partition pattern (reference: etl/resources/
+    s3.py:139-151 writes each day under date=YYYYMMDD instead of
+    rewriting the dataset). Each append hashes only the NEW rows into
+    bucket files; the table's bucket metadata is unchanged, so every
+    downstream join on the bucket key stays exchange-free (Spark's
+    scan reports HashPartitioning over the bucket columns regardless
+    of how many files each bucket accumulated; with multiple files per
+    bucket the planner re-inserts only a local per-task Sort, never a
+    shuffle). Compact with plans/layout.py when small appended files
+    accumulate."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"append_bucketed target {table!r} does not exist; create it "
+            "with write_bucketed first"
+        )
+    num_buckets, bucket_cols, sort_cols = bucket_spec(spark, table)
+    if not num_buckets or not bucket_cols:
+        raise ValueError(f"table {table!r} is not bucketed")
+    writer = df.write.mode("append").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+class BucketedPipeline:
+    """The recurring-pipeline layout as an engine surface (r10 verdict
+    task 4): a fact/dim pair co-bucketed on the join key, maintained
+    INCREMENTALLY so the one-time bucket-write claim survives a daily
+    cadence — each day's slice is appended (hash-shuffled once, at
+    write time) without rewriting the whole table, and the fact-dim
+    join plans with zero exchanges before AND after appends
+    (tests/test_bucketed.py pins both).
+
+    Mirrors the reference's daily tenant pipeline (etl/resources/
+    s3.py:139-151: one date=YYYYMMDD partition per run) re-expressed
+    as Spark bucketed tables: the reference pays a full pandas read
+    per downstream join; this pays one bucket-hash per NEW slice and
+    no shuffle ever after.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        fact_key: str,
+        dim_key: str,
+        num_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.fact_table = f"{name}_fact_bkt"
+        self.dim_table = f"{name}_dim_bkt"
+        self.fact_key = fact_key
+        self.dim_key = dim_key
+        self.num_buckets = num_buckets
+
+    def load_full(self, fact: DataFrame, dim: DataFrame) -> None:
+        """Initial (or rebuild) load: bucket+sort both sides by their
+        join keys. The only full-table shuffle this layout ever pays."""
+        write_bucketed(
+            fact,
+            self.fact_table,
+            [self.fact_key],
+            num_buckets=self.num_buckets,
+            sort_cols=[self.fact_key],
+        )
+        write_bucketed(
+            dim,
+            self.dim_table,
+            [self.dim_key],
+            num_buckets=self.num_buckets,
+            sort_cols=[self.dim_key],
+        )
+
+    def append(
+        self, fact: DataFrame | None = None, dim: DataFrame | None = None
+    ) -> None:
+        """Daily increment: append today's slice(s); only the new rows
+        are hashed into buckets."""
+        if fact is not None:
+            append_bucketed(fact, self.fact_table)
+        if dim is not None:
+            append_bucketed(dim, self.dim_table)
+
+    def join(self, how: str = "inner") -> DataFrame:
+        """The co-located fact-dim join (exchange-free on both sides
+        when the dim is past the broadcast threshold; value-identical
+        either way)."""
+        fact = self.spark.table(self.fact_table)
+        dim = self.spark.table(self.dim_table)
+        return fact.join(
+            dim, on=fact[self.fact_key] == dim[self.dim_key], how=how
+        )
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: Sequence[str]
 ) -> DataFrame:

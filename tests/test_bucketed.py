@@ -193,3 +193,93 @@ def test_write_bucketed_cleans_custom_catalog_location(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         if decoy is not None and decoy.exists():
             shutil.rmtree(decoy, ignore_errors=True)
+
+
+def test_bucketed_pipeline_append_stays_exchange_free(bucket_env):
+    """r10 verdict task 4: the one-time bucket-write claim must
+    survive a daily cadence. Init the pipeline on the first half of
+    orders/lineitem (split by date), append the rest in two daily
+    slices, and assert (a) appended reads see every row, (b) the
+    fact-dim join plans with ZERO exchanges after the appends, (c)
+    values match the plain join of the full tables."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.bucketed import (
+        BucketedPipeline,
+        bucket_spec,
+        exchanges_in_plan,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark = bucket_env
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    cut1, cut2 = "1994-01-01", "1996-01-01"
+
+    pipe = BucketedPipeline(
+        spark, "pipe_t", fact_key="l_orderkey", dim_key="o_orderkey", num_buckets=4
+    )
+    try:
+        pipe.load_full(
+            li.filter(F.col("l_shipdate") < cut1),
+            orders.filter(F.col("o_orderdate") < cut1),
+        )
+        # two "daily" increments — only the new slices are hashed
+        pipe.append(
+            fact=li.filter((F.col("l_shipdate") >= cut1) & (F.col("l_shipdate") < cut2)),
+            dim=orders.filter(
+                (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+            ),
+        )
+        pipe.append(
+            fact=li.filter(F.col("l_shipdate") >= cut2),
+            dim=orders.filter(F.col("o_orderdate") >= cut2),
+        )
+
+        # (a) appends accumulated every row; spec unchanged
+        assert spark.table(pipe.fact_table).count() == li.count()
+        assert spark.table(pipe.dim_table).count() == orders.count()
+        assert bucket_spec(spark, pipe.fact_table) == (
+            4,
+            ["l_orderkey"],
+            ["l_orderkey"],
+        )
+
+        # (b) the join is STILL exchange-free with multi-file buckets
+        joined = pipe.join()
+        assert exchanges_in_plan(joined) == 0
+
+        # (c) same values as the plain (shuffling) join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        a = sorted(
+            map(tuple, plain.groupBy("o_orderpriority").count().collect())
+        )
+        b = sorted(
+            map(tuple, joined.groupBy("o_orderpriority").count().collect())
+        )
+        assert a == b and len(a) == 5
+    finally:
+        for t in (pipe.fact_table, pipe.dim_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_bucketed_requires_existing_bucketed_table(spark):
+    from dagster_etl_spark.sources.bucketed import append_bucketed
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    with pytest.raises(ValueError, match="does not exist"):
+        append_bucketed(li, "never_created_bkt_t")
+
+    # a plain (non-bucketed) table is also refused — appending
+    # unbucketed rows would silently break the co-location contract
+    try:
+        li.limit(5).write.saveAsTable("plain_unbkt_t")
+        with pytest.raises(ValueError, match="not bucketed"):
+            append_bucketed(li, "plain_unbkt_t")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS plain_unbkt_t")

@@ -23,11 +23,23 @@ sys.path.insert(0, str(REPO))
 
 _argv = sys.argv[1:]
 JSON_OUT = None
+MERGE = False
 if _argv and _argv[0] == "--json":
     JSON_OUT = _argv[1]
     _argv = _argv[2:]
+if _argv and _argv[0] == "--merge":
+    # run ONLY the named queries but merge their rows into an existing
+    # --json artifact (recomputing totals), so registering a new query
+    # mid-round needs one run, not a full 105-query re-sweep. Every
+    # merged row is still a real Spark-vs-oracle run; the guard test
+    # (test_allcheck_artifacts_cover_full_registry) checks the merged
+    # total against the registry.
+    MERGE = True
+    _argv = _argv[1:]
 SF_DIR = _argv[0] if _argv else "/root/testdata/sf0.01"
 ONLY = set(_argv[1:])
+if MERGE and not (JSON_OUT and ONLY):
+    sys.exit("--merge requires --json OUT.json and explicit query names")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -184,6 +196,15 @@ def main() -> int:
                 "sec": elapsed,
             }
     spark.stop()
+    if JSON_OUT and MERGE and Path(JSON_OUT).exists():
+        prior = json.loads(Path(JSON_OUT).read_text())
+        merged = dict(prior.get("queries", {}))
+        merged.update(report)
+        # drop rows for queries no longer registered (a rename would
+        # otherwise leave a stale row inflating the total)
+        merged = {n: r for n, r in merged.items() if n in qs}
+        report = merged
+        failures = sum(1 for r in report.values() if r["status"] == "FAIL")
     if JSON_OUT:
         n_pass = sum(1 for r in report.values() if r["status"] == "PASS")
         payload = {
