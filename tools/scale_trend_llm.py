@@ -61,9 +61,18 @@ QUERIES: dict[str, str] = {
     "ann_cosine_topk": "cipher",  # embeddings live in the cipher dir
     # r10 late additions: substring-dup spans grow linearly on the
     # cipher axis (each copy's intra-corpus dups are disjoint from
-    # every other copy's); epoch shuffle is text-independent
+    # every other copy's); epoch shuffle is text-independent (doc_id
+    # is the only input — the registered query reads documents, so the
+    # documents axis IS its growth axis); dhash media is synthesized
+    # 1:1 from documents rows (synth_real_media_table: content a
+    # closed form of doc_id), so the documents axis is the media-count
+    # axis. NOTE the dhash pairing is decode-vs-formula: Spark decodes
+    # real container bytes while the oracle computes the closed form —
+    # the RATIO overstates DuckDB; the Spark TREND (no superlinear
+    # knee) is the graded claim.
     "duplicate_ngram_spans": "cipher",
     "epoch_shuffle_order": "cipher",
+    "image_dhash_groups": "cipher",
 }
 _sel = os.environ.get("SCALE_LLM_QUERIES")
 if _sel:
