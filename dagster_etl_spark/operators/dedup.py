@@ -790,3 +790,190 @@ def embedding_neardup_pairs(
         .selectExpr("id_a", "id_b", f"{cos} AS cosine")
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -- incremental near-dup index ------------------------------------------------
+
+class IncrementalNearDupIndex:
+    """Daily-cadence MinHash+LSH near-dup (the dedup analog of
+    sources/bucketed.BucketedPipeline): a 100 TB crawl doesn't re-pair
+    the whole corpus per ingest — it bands the NEW slice once, probes
+    it against the standing band index, verifies, and appends. Work
+    per day is O(new x duplicate-density), never O(corpus^2) or even
+    O(corpus): the only full pass ever taken is each document's own
+    banding on the day it arrives.
+
+    State = three catalog tables (Spark managed here; Hive/Iceberg in
+    production, same API):
+
+    * ``{name}_lsh_bands``  (doc_id, bkey) — bkey = band_idx ':' band
+      hash, ONE key so the probe join's equi-key equals the bucket
+      column exactly — bucketed by ``bkey`` so the candidate probe
+      shuffles ONLY the new slice into the index's bucketing; the
+      corpus side reads co-located, growing scan cost but never
+      shuffle cost;
+    * ``{name}_lsh_hashes`` (doc_id, hs) bucketed by ``doc_id`` for
+      the co-located verify joins;
+    * ``{name}_lsh_pairs``  (id_a, id_b, jaccard) append-only results.
+
+    Pair-completeness invariant (property-tested in
+    tests/test_dedup_incremental.py): after ingesting batches
+    B1..Bn, the pairs table equals ``minhash_neardup_pairs`` over
+    B1 ∪ .. ∪ Bn exactly — every pair (a, b) is found on the day its
+    LATER member arrives (the probe side is new docs, the index side
+    already contains them after the append), and never re-found (on
+    later days neither member is new).
+    """
+
+    def __init__(
+        self,
+        spark,
+        name: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k: int = 3,
+        num_hashes: int = 16,
+        bands: int = 4,
+        num_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.bands_table = f"{name}_lsh_bands"
+        self.hashes_table = f"{name}_lsh_hashes"
+        self.pairs_table = f"{name}_lsh_pairs"
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.num_buckets = num_buckets
+
+    # -- encoding (same expression chain as minhash_neardup_pairs) --
+
+    def _encode(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(bands_df, hashes_df) for a batch: one md5 pass per doc."""
+        tok_n = x.xsize(x.tokens(self.text_col, x.SPARK), x.SPARK)
+        sh = shingled(
+            spread(docs).filter(F.expr(f"{tok_n} >= {self.k}")),
+            self.text_col,
+            self.id_col,
+            self.k,
+        )
+        hashed = sh.selectExpr(
+            self.id_col,
+            f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs",
+        )
+        sigs = hashed.selectExpr(
+            self.id_col, *minhash_signature_exprs("hs", x.SPARK, self.num_hashes)
+        )
+        banded = sigs.selectExpr(
+            self.id_col, *band_exprs(x.SPARK, self.num_hashes, self.bands)
+        )
+        # ONE key column (band index folded into the hash string): the
+        # probe join then has exactly one equi-key == the bucket
+        # column, so the index side's HashPartitioning(bkey) satisfies
+        # the join's required distribution outright and only the probe
+        # shuffles. A two-key join (band_idx, bh) over a bh-bucketed
+        # table would make the planner shuffle BOTH sides.
+        band_arr = "array(" + ", ".join(
+            f"band{b}" for b in range(self.bands)
+        ) + ")"
+        melted = banded.selectExpr(
+            self.id_col,
+            f"posexplode({band_arr}) AS (band_idx, bh)",
+        ).selectExpr(
+            self.id_col, "concat(band_idx, ':', bh) AS bkey"
+        )
+        return melted, hashed
+
+    def ingest(self, docs: DataFrame, threshold: float = 0.2) -> None:
+        """One day's slice: append its bands/hashes to the index, then
+        probe the slice against the (now-complete) index and append
+        the verified new pairs. Eager — each step materializes, the
+        realistic shape of a daily job (and what makes the pairs table
+        a stable record rather than a lazily-shifting view)."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        new_bands, new_hashes = self._encode(docs)
+        first = not self.spark.catalog.tableExists(self.bands_table)
+        if first:
+            # fresh index: clear any previous-session leftovers for
+            # ALL THREE tables (write_bucketed cleans its own two; the
+            # plain pairs table needs the same orphaned-location
+            # treatment — the round driver restarts the session, so
+            # the catalog forgets tables whose directories survive)
+            from dagster_etl_spark.sources.lake import delete_path
+
+            self.drop()
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(
+                self.spark, f"{warehouse}/{self.pairs_table.lower()}"
+            )
+            write_bucketed(
+                new_bands, self.bands_table, ["bkey"], num_buckets=self.num_buckets
+            )
+            write_bucketed(
+                new_hashes,
+                self.hashes_table,
+                [self.id_col],
+                num_buckets=self.num_buckets,
+            )
+        else:
+            append_bucketed(new_bands, self.bands_table)
+            append_bucketed(new_hashes, self.hashes_table)
+
+        pairs = self._probe_pairs(new_bands, threshold)
+        pairs.write.mode("append" if not first else "overwrite").saveAsTable(
+            self.pairs_table
+        )
+
+    def _probe_pairs(self, new_bands: DataFrame, threshold: float) -> DataFrame:
+        """Pairs touching >= 1 doc of ``new_bands``, probed against the
+        standing index. Split out so tests can assert the plan shape
+        (the index sides read bucketed; only probe/candidate rows
+        shuffle).
+
+        The probe is new slice vs the FULL index (which includes the
+        slice after the append, so new-new pairs surface too).
+        Normalizing with least/greatest + dropDuplicates folds the two
+        orders a new-new pair produces; a new-old pair appears in one
+        order only. The probe side re-runs the (batch-sized) band
+        chain — cheaper than persisting arrays through the exchange."""
+        id_c = self.id_col
+        probe = new_bands.select(F.col(id_c).alias("__pid"), "bkey")
+        index = self.spark.table(self.bands_table)
+        cands = (
+            probe.join(
+                index,
+                (probe["bkey"] == index["bkey"])
+                & (probe["__pid"] != index[id_c]),
+            )
+            .select(
+                F.least("__pid", id_c).alias("id_a"),
+                F.greatest("__pid", id_c).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        hs = self.spark.table(self.hashes_table)
+        ha = hs.select(F.col(id_c).alias("id_a"), F.col("hs").alias("hs_a"))
+        hb = hs.select(F.col(id_c).alias("id_b"), F.col("hs").alias("hs_b"))
+        jac = (
+            "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) / "
+            "size(array_distinct(concat(hs_a, hs_b)))"
+        )
+        return (
+            cands.join(ha, on="id_a")
+            .join(hb, on="id_b")
+            .selectExpr("id_a", "id_b", f"{jac} AS jaccard")
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    def pairs(self) -> DataFrame:
+        """All pairs found so far (id_a < id_b, exact Jaccard)."""
+        return self.spark.table(self.pairs_table)
+
+    def drop(self) -> None:
+        for t in (self.bands_table, self.hashes_table, self.pairs_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")

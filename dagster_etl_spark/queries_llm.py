@@ -132,6 +132,41 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_neardup_incremental",
+    oracle=_minhash_oracle(),
+    tags=("llm", "dedup", "layout", "incremental"),
+    doc="Daily-cadence near-dup (operators/dedup.py "
+    "IncrementalNearDupIndex): three id-sliced ingests band only their "
+    "own slice, probe it against the standing bucketed band index, and "
+    "append verified pairs. Accumulated pairs table == the one-shot "
+    "minhash_neardup over the full corpus (same oracle) -- every pair "
+    "is found on the day its later member arrives, never re-found.",
+)
+def q_minhash_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The incremental dedup path as a hash-gated query: a recurring
+    crawl pipeline can't re-pair the corpus per day, so the engine
+    surface is IncrementalNearDupIndex.ingest per slice. Rebuilt from
+    scratch each call (correctness surface: staleness beats speed,
+    same discipline as cycle_time_stats_bucketed); table names are
+    sf-scoped so concurrent SFs don't collide."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.dedup import IncrementalNearDupIndex
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalNearDupIndex(spark, f"nd_inc_{sfx}")
+    idx.drop()  # fresh rebuild: the query IS the 3-day replay
+    for day in range(3):
+        idx.ingest(docs.filter(F.col("doc_id") % 3 == day), threshold=JACCARD_T)
+    return idx.pairs()
+
+
 def _simhash_oracle(bits: int = 32, bands: int = 4, max_hamming: int = 3) -> str:
     width = bits // bands
     mask = (1 << width) - 1
