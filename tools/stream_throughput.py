@@ -27,8 +27,14 @@ plus catch-up rate, next to the steady-state rate of the SAME first
 run for comparison (same session, same files, interleaving not needed
 because both numbers come from one sequence).
 
-Usage: python tools/stream_throughput.py [sf_dir] [mult]
-Defaults: /root/testdata/sf0.1, mult 10. Prints one JSON line.
+r11 runs the recovery protocol at EVERY multiplier (not just the
+largest): restore cost is state-size-dependent — per-user session
+state grows with users on the inflate axis — so the planning number
+needs a trend, not a point ("recovery" in the output is keyed by
+scale).
+
+Usage: python tools/stream_throughput.py [sf_dir] [mult ...]
+Defaults: /root/testdata/sf0.1, mults 10 50. Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -42,7 +48,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+MULTS = [int(a) for a in sys.argv[2:]] or [10, 50]
 RUNS = 3
 FILES = 16
 FILES_PER_TRIGGER = 4
@@ -102,7 +108,7 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     paths: dict[int, str] = {}
-    for k in sorted({1, MULT}):
+    for k in sorted({1, *MULTS}):
         path, n_rows = materialize(k)
         paths[k] = path
         scale: dict[str, dict] = {"events": n_rows}
@@ -119,75 +125,85 @@ def main() -> None:
             }
         out[f"x{k}"] = scale
 
-    # ---- recovery axis (r10): stop -> backlog -> restart, at MULT ----
+    # ---- recovery axis: stop -> backlog -> restart, per multiplier ----
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
-    from dagster_etl_spark.streaming.stateful import sessionize_stateful
 
-    work = tempfile.mkdtemp(prefix="stream_recovery_")
-    in_dir = f"{work}/events"
-    ckpt = f"{work}/ckpt"
-    # reuse the already-materialized MULT-scale events (scratch_dir
-    # EMPTIES on re-call — never re-derive the path through it)
-    ev = spark.read.parquet(paths[MULT])
-    cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").first().c
-    first = ev.filter(F.col("ts") <= cutoff)
-    second = ev.filter(F.col("ts") > cutoff)
-    n1, n2 = first.count(), second.count()
-    first.repartition(FILES).write.mode("overwrite").parquet(in_dir)
+    def measure_recovery(k: int) -> dict:
+        work = tempfile.mkdtemp(prefix="stream_recovery_")
+        in_dir = f"{work}/events"
+        ckpt = f"{work}/ckpt"
+        # reuse the already-materialized k-scale events (scratch_dir
+        # EMPTIES on re-call — never re-derive the path through it)
+        ev = spark.read.parquet(paths[k])
+        cutoff = ev.selectExpr("percentile_approx(ts, 0.5) AS c").first().c
+        first = ev.filter(F.col("ts") <= cutoff)
+        second = ev.filter(F.col("ts") > cutoff)
+        n1, n2 = first.count(), second.count()
+        first.repartition(FILES).write.mode("overwrite").parquet(in_dir)
 
-    def run_ckpt() -> float:
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
-            .parquet(in_dir)
-        )
-        t0 = time.perf_counter()
-        q = (
-            sessionize_stateful(stream)
-            .writeStream.format("noop")
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return time.perf_counter() - t0
+        def run_ckpt(location: str) -> float:
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+                .parquet(in_dir)
+            )
+            t0 = time.perf_counter()
+            q = (
+                sessionize_stateful(stream)
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", location)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return time.perf_counter() - t0
 
-    steady_sec = run_ckpt()  # first half -> checkpoint, then STOP
-    # the backlog lands while the query is down
-    second.repartition(FILES).write.mode("append").parquet(in_dir)
-    recovery_sec = run_ckpt()  # restore state + drain the backlog
-    recovery = {
-        "query": "stateful",
-        "first_half_events": n1,
-        "backlog_events": n2,
-        "steady_sec": round(steady_sec, 3),
-        "steady_events_per_sec": round(n1 / steady_sec),
-        "recovery_sec": round(recovery_sec, 3),
-        "catchup_events_per_sec": round(n2 / recovery_sec),
-        "restore_overhead_sec": round(
-            recovery_sec - n2 * steady_sec / max(n1, 1), 3
-        ),
-    }
-    shutil.rmtree(work, ignore_errors=True)
+        # warm pass on a throwaway checkpoint: the steady baseline must
+        # not carry one-time JIT/state-store-init cost the recovery run
+        # won't pay, or restore_overhead reads negative (r11: the first
+        # protocol version did exactly that, -3.4s at x10)
+        run_ckpt(f"{work}/ckpt_warm")
+        shutil.rmtree(f"{work}/ckpt_warm", ignore_errors=True)
+        steady_sec = run_ckpt(ckpt)  # first half -> checkpoint, then STOP
+        # the backlog lands while the query is down
+        second.repartition(FILES).write.mode("append").parquet(in_dir)
+        recovery_sec = run_ckpt(ckpt)  # restore state + drain the backlog
+        shutil.rmtree(work, ignore_errors=True)
+        return {
+            "query": "stateful",
+            "first_half_events": n1,
+            "backlog_events": n2,
+            "steady_sec": round(steady_sec, 3),
+            "steady_events_per_sec": round(n1 / steady_sec),
+            "recovery_sec": round(recovery_sec, 3),
+            "catchup_events_per_sec": round(n2 / recovery_sec),
+            "restore_overhead_sec": round(
+                recovery_sec - n2 * steady_sec / max(n1, 1), 3
+            ),
+        }
+
+    recovery = {f"x{k}": measure_recovery(k) for k in MULTS}
 
     summary = {}
-    if MULT > 1:
+    for k in MULTS:
+        if k <= 1:
+            continue
         for qname in queries:
-            t1, tk = out["x1"][qname]["sec"], out[f"x{MULT}"][qname]["sec"]
-            summary[qname] = {
+            t1, tk = out["x1"][qname]["sec"], out[f"x{k}"][qname]["sec"]
+            summary.setdefault(qname, {})[f"x{k}"] = {
                 "time_ratio": round(tk / t1, 2),
-                "data_ratio": MULT,
-                "sublinear": tk / t1 < MULT,
+                "data_ratio": k,
+                "sublinear": tk / t1 < k,
             }
     print(
         json.dumps(
             {
                 "sf_dir": SF_DIR,
-                "mult": MULT,
+                "multipliers": MULTS,
                 "runs": RUNS,
                 "files": FILES,
                 "files_per_trigger": FILES_PER_TRIGGER,
