@@ -303,3 +303,140 @@ def quantized_cosine_topk(
         F.col("qcosine").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# -- incremental ANN index -------------------------------------------------
+
+class IncrementalANNIndex:
+    """Daily-cadence IVF (the ANN member of the r11 incremental
+    trilogy, next to sources/bucketed.BucketedPipeline and
+    dedup.IncrementalNearDupIndex): an embedding store grows by a
+    slice per ingest, and retraining + re-assigning the coarse
+    quantizer over the full corpus each day is exactly the O(corpus)
+    work a 100 TB pipeline can't pay. So the quantizer is FROZEN at
+    init — ``hash_centroids`` over the first slice (deterministic:
+    the nlist vectors with smallest md5 id-hash, oracle-reproducible)
+    — and every ingest assigns only its own vectors (max-dot against
+    the frozen centroids, a JVM fold expression) and appends them to
+    a bucket-bucketed table. Search probes the standing table.
+
+    State = two catalog tables:
+
+    * ``{name}_ann_centroids`` (cidx, cv) — nlist rows, written once;
+    * ``{name}_ann_vectors``   (vec_id, embedding, bucket) bucketed by
+      ``bucket`` so a shuffle-join search is co-located on the corpus
+      side; at driver scale the probe side broadcasts and no side
+      shuffles.
+
+    The frozen-quantizer trade is the standard IVF production posture
+    (recall drifts only if the data distribution drifts away from the
+    init slice; re-init is a rebuild, not an incident). Search results
+    are bit-reproducible in SQL — same oracle shape as ivf_ann_topk
+    with centroid selection restricted to the init slice.
+    """
+
+    def __init__(
+        self,
+        spark,
+        name: str,
+        dim: int = 64,
+        nlist: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.centroids_table = f"{name}_ann_centroids"
+        self.vectors_table = f"{name}_ann_vectors"
+        self.dim = dim
+        self.nlist = nlist
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.num_buckets = num_buckets
+
+    # -- state --
+
+    def _centroids(self) -> list[list[float]]:
+        """Bounded collect: nlist rows (the same bounded-driver-side
+        exception as hash_centroids / the nlist KMeans centers)."""
+        rows = (
+            self.spark.table(self.centroids_table)
+            .orderBy("cidx")
+            .collect()
+        )
+        return [[float(v) for v in r["cv"]] for r in rows]
+
+    def init(self, vectors: DataFrame) -> None:
+        """Freeze the quantizer on the first slice and ingest it."""
+        from dagster_etl_spark.sources.bucketed import write_bucketed
+        from dagster_etl_spark.sources.lake import delete_path
+
+        self.drop()
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        delete_path(
+            self.spark, f"{warehouse}/{self.centroids_table.lower()}"
+        )
+        cents = hash_centroids(
+            vectors, self.nlist, id_col=self.id_col, vec_col=self.vec_col
+        )
+        cent_df = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], ["cidx", "cv"]
+        ).selectExpr("cidx", f"CAST(cv AS array<float>) AS cv")
+        cent_df.write.saveAsTable(self.centroids_table)
+        assigned = self._assign(vectors, cents)
+        write_bucketed(
+            assigned,
+            self.vectors_table,
+            ["bucket"],
+            num_buckets=self.num_buckets,
+        )
+
+    def _assign(self, vectors: DataFrame, cents: list[list[float]]) -> DataFrame:
+        bucket = f"{_topn_centroid_buckets_expr(self.vec_col, cents, 1)}[0]"
+        return vectors.selectExpr(
+            self.id_col, self.vec_col, f"{bucket} AS bucket"
+        )
+
+    def append(self, vectors: DataFrame) -> None:
+        """Ingest a slice: assign against the FROZEN centroids (one
+        pass over the new rows only) and append into the bucketed
+        layout."""
+        from dagster_etl_spark.sources.bucketed import append_bucketed
+
+        append_bucketed(
+            self._assign(vectors, self._centroids()), self.vectors_table
+        )
+
+    def topk(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 8
+    ) -> DataFrame:
+        """IVF search over everything ingested so far: probe the
+        nprobe nearest lists per query, cosine-rank within them.
+        Same result columns and tie-breaks as ivf_cosine_topk."""
+        cents = self._centroids()
+        c = self.spark.table(self.vectors_table).select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("cv"),
+            "bucket",
+        )
+        probe = _topn_centroid_buckets_expr("qv", cents, nprobe)
+        q = queries.selectExpr(
+            f"{self.id_col} AS query_id", f"{self.vec_col} AS qv"
+        ).selectExpr("query_id", "qv", f"explode({probe}) AS bucket")
+        cos = x.cosine("qv", "cv", self.dim, x.SPARK)
+        scored = (
+            F.broadcast(q)
+            .join(c, on="bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .selectExpr("query_id", "neighbor_id", f"{cos} AS cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return scored.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= k)
+
+    def drop(self) -> None:
+        for t in (self.centroids_table, self.vectors_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -311,12 +311,16 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
 
 
-def _ivf_oracle(nlist: int = 16, nprobe: int = 8, k: int = 10) -> str:
+def _ivf_oracle(
+    nlist: int = 16, nprobe: int = 8, k: int = 10, cent_where: str = ""
+) -> str:
     """Recompute the ENTIRE hash-quantizer IVF search in SQL: centroid
     selection (smallest md5 id-hash), max-dot corpus assignment, probe
     list, bucket-restricted cosine top-k. Tie-breaks mirror the Spark
     expression exactly: the probe ranking reverses an ascending
-    (score, idx) sort, so equal scores order by centroid idx DESC."""
+    (score, idx) sort, so equal scores order by centroid idx DESC.
+    ``cent_where`` restricts the centroid CANDIDATE pool (the
+    incremental index freezes its quantizer on the init slice)."""
     hh = x.h60("('ivfc:' || CAST(vec_id AS VARCHAR))", x.DUCK)
     dot = x.dot_chain("e.embedding", "c.cv", EMB_DIM, x.DUCK)
     cos = x.cosine("q.embedding", "n.embedding", EMB_DIM, x.DUCK)
@@ -324,7 +328,7 @@ def _ivf_oracle(nlist: int = 16, nprobe: int = 8, k: int = 10) -> str:
 WITH cent AS (
   SELECT cv, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cidx
   FROM (SELECT embedding AS cv, vec_id, {hh} AS hh
-        FROM embeddings ORDER BY hh, vec_id LIMIT {nlist})
+        FROM embeddings {cent_where} ORDER BY hh, vec_id LIMIT {nlist})
 ), scored_all AS (
   SELECT e.vec_id, c.cidx, {dot} AS d
   FROM embeddings e CROSS JOIN cent c
@@ -371,6 +375,37 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(
         emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10, quantizer="hash"
     )
+
+
+@register(
+    "ivf_ann_incremental",
+    oracle=_ivf_oracle(cent_where="WHERE vec_id % 3 = 0"),
+    tags=("llm", "similarity", "layout", "incremental"),
+    doc="Daily-cadence IVF (operators/similarity.py IncrementalANNIndex): "
+    "quantizer FROZEN on the init slice (hash centroids of vec_id%3=0), "
+    "two appends assign only their own vectors against it, search "
+    "probes the standing bucket-bucketed table. The oracle recomputes "
+    "the whole search with the centroid pool restricted to the init "
+    "slice -- bit-exact despite three separate ingests.",
+)
+def q_ivf_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-store growth path as a hash-gated query: retraining
+    + re-assigning the coarse quantizer per ingest is the O(corpus)
+    daily cost a 100 TB pipeline can't pay, so the engine surface is
+    init-once + assign-and-append per slice. Rebuilt each call
+    (correctness surface; same discipline as the other two r11
+    incremental queries)."""
+    import hashlib
+
+    from dagster_etl_spark.operators.similarity import IncrementalANNIndex
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IncrementalANNIndex(spark, f"ann_inc_{sfx}", dim=EMB_DIM)
+    idx.init(emb.filter("vec_id % 3 = 0"))
+    idx.append(emb.filter("vec_id % 3 = 1"))
+    idx.append(emb.filter("vec_id % 3 = 2"))
+    return idx.topk(emb.filter("vec_id < 5"), k=10, nprobe=8)
 
 
 # hits (of k=10) each query's IVF result must share with the exact

@@ -90,7 +90,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Disjointness vs CORRECTNESS_r10.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the
-    # registry grows: len(registry) - 50 >= 50 (currently 105 - 50 = 55).
+    # registry grows: len(registry) - 50 >= 50 (pinned by
+    # tests/test_plans.py::test_registry_keeps_rotation_headroom).
     "dbt_incremental_orders",
     "cycle_time_stats_bucketed",
     "duplicate_ngram_spans",

@@ -1,0 +1,130 @@
+"""IncrementalANNIndex: the frozen-quantizer daily-cadence IVF.
+
+Contracts: (1) a single init over the full corpus is EXACTLY the
+one-shot hash-quantizer IVF (the degenerate cadence); (2) ingest order
+doesn't matter (the index is a set of vectors + a frozen quantizer);
+(3) the vectors table is bucketed by the probe join key and appends
+keep the spec; (4) recall floor vs exact brute force.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+DIM = 64
+
+
+@pytest.fixture()
+def ann_env(spark):
+    from dagster_etl_spark.operators.similarity import IncrementalANNIndex
+
+    idx = IncrementalANNIndex(spark, "t_inc_ann", dim=DIM)
+    yield spark, idx
+    idx.drop()
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.neighbor_id, round(r.cosine, 9), r.rank)
+        for r in df.collect()
+    )
+
+
+def test_full_init_equals_one_shot(ann_env):
+    """init(everything) + topk == ivf_cosine_topk with the hash
+    quantizer: the incremental machinery adds no drift in the
+    degenerate single-ingest cadence."""
+    from dagster_etl_spark.operators.similarity import ivf_cosine_topk
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark, idx = ann_env
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx.init(emb)
+    got = idx.topk(emb.filter("vec_id < 5"), k=10, nprobe=8)
+    want = ivf_cosine_topk(
+        emb.filter("vec_id < 5"), emb, dim=DIM, k=10, quantizer="hash"
+    )
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+
+def test_ingest_order_is_irrelevant(ann_env):
+    """Same init slice (the quantizer), the other two slices appended
+    in either order -> identical search results."""
+    from dagster_etl_spark.operators.similarity import IncrementalANNIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark, idx = ann_env
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    s = [emb.filter(f"vec_id % 3 = {i}") for i in range(3)]
+    q = emb.filter("vec_id < 5")
+
+    idx.init(s[0])
+    idx.append(s[1])
+    idx.append(s[2])
+    a = _rows(idx.topk(q, k=10, nprobe=8))
+
+    idx2 = IncrementalANNIndex(spark, "t_inc_ann2", dim=DIM)
+    try:
+        idx2.init(s[0])
+        idx2.append(s[2])
+        idx2.append(s[1])
+        assert _rows(idx2.topk(q, k=10, nprobe=8)) == a
+    finally:
+        idx2.drop()
+
+
+def test_vectors_table_bucketed_and_appends_keep_spec(ann_env):
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.bucketed import bucket_spec
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark, idx = ann_env
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx.init(emb.filter("vec_id % 3 = 0"))
+    assert bucket_spec(spark, idx.vectors_table) == (8, ["bucket"], [])
+    idx.append(emb.filter("vec_id % 3 = 1"))
+    idx.append(emb.filter("vec_id % 3 = 2"))
+    assert bucket_spec(spark, idx.vectors_table) == (8, ["bucket"], [])
+    assert spark.table(idx.vectors_table).count() == emb.count()
+    # every vector assigned to a valid frozen list
+    n_bad = (
+        spark.table(idx.vectors_table)
+        .filter((F.col("bucket") < 0) | (F.col("bucket") >= idx.nlist))
+        .count()
+    )
+    assert n_bad == 0
+    # centroids were frozen from the init slice only
+    cents = spark.table(idx.centroids_table).count()
+    assert cents == idx.nlist
+
+
+def test_recall_floor_vs_exact(ann_env):
+    """Frozen-quantizer IVF must still share hits with the exact
+    top-10 (machinery-is-broken floor, same bar as ivf_ann_recall)."""
+    from dagster_etl_spark.operators.similarity import cosine_topk
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark, idx = ann_env
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx.init(emb.filter("vec_id % 3 = 0"))
+    idx.append(emb.filter("vec_id % 3 = 1"))
+    idx.append(emb.filter("vec_id % 3 = 2"))
+    q = emb.filter("vec_id < 5")
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in idx.topk(q, k=10, nprobe=8).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, emb, dim=DIM, k=10).collect()
+    }
+    for qid in {a for a, _ in exact}:
+        hits = len(
+            {n for a, n in approx if a == qid}
+            & {n for a, n in exact if a == qid}
+        )
+        assert hits >= 2, f"query {qid}: only {hits} of exact top-10 found"
