@@ -85,8 +85,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     #   epoch_shuffle_order         (post-sweep r10; judge spot-check PASS)
     # -- then the CORRECTNESS_r09.json names in artifact order. 55
     # candidates for 50 slots: the last 5 r9 names age to r12 and are
-    # the r12 rotation heads: doc_chunks, stratified_event_sample,
-    # bigram_novelty, vocab_oov, winnow_fingerprints.
+    # r12 rotation heads, together with the three queries registered
+    # mid-r11 (behind slot 50, ALLCHECK_r11-green x3 SFs, no driver
+    # row yet). r12 heads, in order: doc_chunks,
+    # stratified_event_sample, bigram_novelty, vocab_oov,
+    # winnow_fingerprints, cycle_time_stats_incremental,
+    # minhash_neardup_incremental, ivf_ann_incremental.
     # Disjointness vs CORRECTNESS_r10.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the

@@ -185,6 +185,64 @@ class BucketedPipeline:
         )
 
 
+def compact_bucketed(spark: SparkSession, table: str) -> tuple[int, int]:
+    """Rewrite a bucketed table under its own spec, collapsing the
+    small per-append files each daily increment leaves behind (every
+    append adds up to num_buckets files; after months of daily ingest
+    a bucket is hundreds of small files and scan/open overhead
+    dominates). One full-table rewrite, spec unchanged — downstream
+    joins stay exchange-free; run it on the compaction cadence, not
+    the ingest cadence. Returns (files_before, files_after)."""
+    from pyspark.sql.functions import input_file_name
+
+    num_buckets, bucket_cols, sort_cols = bucket_spec(spark, table)
+    if not num_buckets or not bucket_cols:
+        raise ValueError(f"table {table!r} is not bucketed")
+
+    def _file_count() -> int:
+        return (
+            spark.table(table)
+            .select(input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    before = _file_count()
+    # stage through a temp table: Spark can't overwrite a table from a
+    # plan that reads the same table. Repartition ON THE BUCKET KEY to
+    # exactly num_buckets tasks — bucketed writers emit one file per
+    # (task, bucket), so each task must carry exactly one bucket for
+    # the rewrite to actually collapse files (repartition's
+    # murmur3-mod-n is the same hash family bucketing uses). The
+    # bucketed READ must be disabled while compacting: the planner
+    # otherwise removes the repartition exchange (the table already
+    # claims HashPartitioning on the key) yet still scans by file
+    # splits, leaving write tasks bucket-MISaligned and the rewrite a
+    # no-op (measured: 8 files -> 8 files without this).
+    tmp = f"{table}__compact_tmp"
+    saved = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        write_bucketed(
+            spark.table(table).repartition(num_buckets, *bucket_cols),
+            tmp,
+            bucket_cols,
+            num_buckets=num_buckets,
+            sort_cols=sort_cols,
+        )
+        write_bucketed(
+            spark.table(tmp).repartition(num_buckets, *bucket_cols),
+            table,
+            bucket_cols,
+            num_buckets=num_buckets,
+            sort_cols=sort_cols,
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", saved)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    return before, _file_count()
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: Sequence[str]
 ) -> DataFrame:

@@ -283,3 +283,56 @@ def test_append_bucketed_requires_existing_bucketed_table(spark):
             append_bucketed(li, "plain_unbkt_t")
     finally:
         spark.sql("DROP TABLE IF EXISTS plain_unbkt_t")
+
+
+def test_compact_bucketed_collapses_append_files(bucket_env):
+    """Daily appends accumulate up to num_buckets files each;
+    compact_bucketed must collapse them (fewer files), keep the spec
+    (joins stay exchange-free), and preserve every row."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.sources.bucketed import (
+        BucketedPipeline,
+        bucket_spec,
+        compact_bucketed,
+        exchanges_in_plan,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark = bucket_env
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    pipe = BucketedPipeline(
+        spark, "cpt_t", fact_key="l_orderkey", dim_key="o_orderkey", num_buckets=4
+    )
+    try:
+        cut1, cut2 = "1994-01-01", "1996-01-01"
+        pipe.load_full(
+            li.filter(F.col("l_shipdate") < cut1),
+            orders.filter(F.col("o_orderdate") < cut1),
+        )
+        pipe.append(
+            fact=li.filter(
+                (F.col("l_shipdate") >= cut1) & (F.col("l_shipdate") < cut2)
+            )
+        )
+        pipe.append(fact=li.filter(F.col("l_shipdate") >= cut2))
+        n_rows = spark.table(pipe.fact_table).count()
+
+        before, after = compact_bucketed(spark, pipe.fact_table)
+        assert after < before, (before, after)
+        assert after <= 4  # one file per bucket after the rewrite
+        assert spark.table(pipe.fact_table).count() == n_rows
+        assert bucket_spec(spark, pipe.fact_table) == (
+            4,
+            ["l_orderkey"],
+            ["l_orderkey"],
+        )
+        assert exchanges_in_plan(pipe.join()) == 0
+    finally:
+        for t in (pipe.fact_table, pipe.dim_table, pipe.fact_table + "__compact_tmp"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
