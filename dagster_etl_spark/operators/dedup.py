@@ -940,10 +940,20 @@ class IncrementalNearDupIndex:
         Normalizing with least/greatest + dropDuplicates folds the two
         orders a new-new pair produces; a new-old pair appears in one
         order only. The probe side re-runs the (batch-sized) band
-        chain — cheaper than persisting arrays through the exchange."""
+        chain — cheaper than persisting arrays through the exchange.
+
+        Session binding: every read here goes through the SLICE's own
+        session (new_bands.sparkSession), not self.spark. Under
+        foreachBatch each micro-batch runs in a fresh session clone,
+        and a session's per-SessionCatalog relation cache is NOT
+        invalidated by another session's append — reading the index
+        via self.spark from inside batch N would serve batch 0's file
+        listing and silently drop every cross-batch pair (r11: 2 pairs
+        found instead of 28 before this fix)."""
+        spark = new_bands.sparkSession
         id_c = self.id_col
         probe = new_bands.select(F.col(id_c).alias("__pid"), "bkey")
-        index = self.spark.table(self.bands_table)
+        index = spark.table(self.bands_table)
         cands = (
             probe.join(
                 index,
@@ -956,7 +966,7 @@ class IncrementalNearDupIndex:
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        hs = self.spark.table(self.hashes_table)
+        hs = spark.table(self.hashes_table)
         ha = hs.select(F.col(id_c).alias("id_a"), F.col("hs").alias("hs_a"))
         hb = hs.select(F.col(id_c).alias("id_b"), F.col("hs").alias("hs_b"))
         jac = (
@@ -971,7 +981,12 @@ class IncrementalNearDupIndex:
         )
 
     def pairs(self) -> DataFrame:
-        """All pairs found so far (id_a < id_b, exact Jaccard)."""
+        """All pairs found so far (id_a < id_b, exact Jaccard).
+
+        Refreshed first: appends made by OTHER sessions (foreachBatch
+        micro-batch clones) don't invalidate this session's relation
+        cache, so a stale file listing would under-report."""
+        self.spark.catalog.refreshTable(self.pairs_table)
         return self.spark.table(self.pairs_table)
 
     def drop(self) -> None:

@@ -414,6 +414,9 @@ class IncrementalANNIndex:
         nprobe nearest lists per query, cosine-rank within them.
         Same result columns and tie-breaks as ivf_cosine_topk."""
         cents = self._centroids()
+        # refresh: appends from other sessions (foreachBatch clones)
+        # don't invalidate this session's relation cache
+        self.spark.catalog.refreshTable(self.vectors_table)
         c = self.spark.table(self.vectors_table).select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("cv"),

@@ -216,3 +216,25 @@ def q_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.media import streaming_media_decode
 
     return streaming_media_decode(spark, sf_dir)
+
+
+from dagster_etl_spark.queries_llm import JACCARD_T, _minhash_oracle
+
+
+@register(
+    "streaming_neardup_ingest",
+    oracle=_minhash_oracle(threshold=JACCARD_T),
+    tags=("streaming", "dedup", "incremental"),
+    doc="Streaming incremental near-dup: the documents corpus arrives "
+    "as 4 micro-batches (file stream, maxFilesPerTrigger=1) and each "
+    "batch is ingested into the standing IncrementalNearDupIndex via "
+    "foreachBatch. The accumulated pairs table equals the one-shot "
+    "MinHash+LSH over the full corpus (the pair-completeness invariant "
+    "is slicing-agnostic), so the same oracle verifies it bit-exactly.",
+)
+def q_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.neardup_ingest import (
+        streaming_neardup_ingest,
+    )
+
+    return streaming_neardup_ingest(spark, sf_dir)

@@ -178,6 +178,10 @@ class BucketedPipeline:
         """The co-located fact-dim join (exchange-free on both sides
         when the dim is past the broadcast threshold; value-identical
         either way)."""
+        # refresh first: appends made by OTHER sessions (foreachBatch
+        # clones) don't invalidate this session's relation cache
+        self.spark.catalog.refreshTable(self.fact_table)
+        self.spark.catalog.refreshTable(self.dim_table)
         fact = self.spark.table(self.fact_table)
         dim = self.spark.table(self.dim_table)
         return fact.join(
