@@ -567,3 +567,68 @@ def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+def audio_fingerprint(
+    df: DataFrame, on_error: str = "fail", n_windows: int = 65
+) -> DataFrame:
+    """Perceptual audio fingerprint over REAL decoded PCM — the audio
+    sibling of :func:`image_dhash`: decode WAV -> flatten channels by
+    integer sum (exact, monotone-equivalent for the comparisons) ->
+    split the sample axis into ``n_windows`` equal spans (prefix-sum
+    window energies, exact int64) -> pack the gradient signs
+    ``s[w+1] > s[w]`` into a 64-bit BIGINT. Same-content audio
+    collides regardless of container/delivery — byte-level dedup
+    cannot pair a re-muxed or re-chunked copy of the same PCM; this
+    does. Non-audio payloads are skipped (dhash's mirror image), so
+    the two operators tile a mixed media table between them.
+
+    n_windows must be 65 (64 gradient bits = one packed word); the
+    parameter exists to make the invariant explicit at the call site.
+    """
+    from dagster_etl_spark.operators.codecs import decode_wav, sniff_format
+
+    if n_windows != 65:
+        raise ValueError(
+            f"n_windows must be 65 (64 gradient bits), got {n_windows}"
+        )
+    skip = _skip_errors(on_error)
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("afp", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["media"]):
+                raw = bytes(payload)
+                if sniff_format(raw) != "wav":
+                    continue
+                try:
+                    arr = decode_wav(raw)[0].astype(np.int64)
+                except ValueError:
+                    if skip:
+                        continue
+                    raise
+                if arr.ndim == 2:  # stereo: exact integer downmix
+                    arr = arr.sum(axis=1)
+                n = arr.size
+                idx = (np.arange(n_windows + 1, dtype=np.int64) * n) // n_windows
+                cum = np.concatenate(([0], np.cumsum(arr)))
+                s = cum[idx[1:]] - cum[idx[:-1]]  # 65 exact window sums
+                bits = s[1:] > s[:-1]  # 64 gradient signs
+                weights = np.left_shift(
+                    np.uint64(1), np.arange(64, dtype=np.uint64)
+                )
+                u = int(weights[bits].sum(dtype=np.uint64))
+                ids.append(int(aid))
+                fps.append(u - (1 << 64) if u >= (1 << 63) else u)
+            yield pd.DataFrame({"asset_id": ids, "afp": fps}).astype(
+                {"asset_id": "int64", "afp": "int64"}
+            )
+
+    return df.mapInPandas(run, schema=schema)

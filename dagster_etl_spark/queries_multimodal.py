@@ -353,3 +353,76 @@ def q_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.join(g, on="dhash").select(
         "asset_id", "dhash", "group_size", "canonical_id"
     )
+
+
+def _afp_oracle() -> str:
+    """Closed-form audio-fingerprint oracle. The synth WAV for
+    doc_id % 4 == 1 is sample[i] = i % 7 - 3 over n = 50 + doc_id % 200
+    samples, so every window sum is exact integer arithmetic:
+    g(m) = sum_{i<m} (i%7-3) collapses to a residue formula (full
+    7-periods sum to zero), window w's sum is
+    s(w) = g(((w+1)*n)//65) - g((w*n)//65), and the 64 gradient-sign
+    bits pack into BIGINT two's-complement (bit 63 contributes -2^63)."""
+
+    def g(m: str) -> str:
+        return f"(((({m})%7)*((({m})%7)-1))//2 - 3*(({m})%7))"
+
+    def s(w: str) -> str:
+        return f"({g(f'((({w})+1)*n)//65')} - {g(f'(({w})*n)//65')})"
+
+    low_bits = (
+        "CAST(list_sum(list_transform(range(0, 63), w -> "
+        f"CASE WHEN {s('w+1')} > {s('w')} "
+        "THEN (CAST(1 AS BIGINT) << w) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    sign_bit = (
+        f"CASE WHEN {s('64')} > {s('63')} "
+        "THEN CAST(-9223372036854775807 - 1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""
+WITH a AS (
+  SELECT doc_id AS asset_id, CAST(50 + doc_id % 200 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 4 = 1
+),
+h AS (
+  SELECT asset_id, {low_bits} + {sign_bit} AS afp
+  FROM a
+)
+SELECT h.asset_id, h.afp, g.group_size, g.canonical_id
+FROM h JOIN (
+  SELECT afp, COUNT(*) AS group_size, MIN(asset_id) AS canonical_id
+  FROM h GROUP BY afp
+) g USING (afp)
+"""
+
+
+@register(
+    "audio_fingerprint_groups",
+    oracle=_afp_oracle(),
+    tags=("llm", "multimodal", "dedup", "codecs"),
+    doc="Audio near-dup via perceptual gradient fingerprint over REAL "
+    "decoded PCM: decode WAV -> integer channel downmix -> 65 exact "
+    "prefix-sum window energies -> 64-bit gradient-sign hash inside "
+    "Arrow-batched mapInPandas, then a hash-groupBy assigns duplicate "
+    "groups joined back per asset. The dhash mirror image: images are "
+    "skipped here, audio there -- together they tile a mixed media "
+    "table. Full 64-bit value matches the closed-form oracle "
+    "bit-for-bit.",
+)
+def q_audio_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_real_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = audio_fingerprint(synth_real_media_table(docs))
+    g = h.groupBy("afp").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("asset_id").alias("canonical_id"),
+    )
+    return h.join(g, on="afp").select(
+        "asset_id", "afp", "group_size", "canonical_id"
+    )

@@ -636,3 +636,33 @@ def test_image_dhash_rejects_over_64_bits():
 
     with pytest.raises(ValueError, match="must be <= 64"):
         image_dhash(None, hash_w=16, hash_h=8)
+
+
+def test_audio_fingerprint_semantics(spark):
+    """The audio dhash-sibling: same PCM content collides across
+    deliveries (mono vs duplicated-channel stereo — the integer
+    downmix doubles every window sum, gradient SIGNS unchanged),
+    different content diverges, images are skipped (dhash's mirror),
+    and n_windows is pinned to the one packed-word size."""
+    import pandas as pd
+
+    from dagster_etl_spark.operators.codecs import encode_png, encode_wav
+    from dagster_etl_spark.operators.multimodal import audio_fingerprint
+
+    ramp = (np.arange(120) % 11 - 5).astype(np.int16)
+    stereo = np.stack([ramp, ramp], axis=1)  # same content, 2 channels
+    other = (np.arange(120) % 5 - 2).astype(np.int16)[::-1]
+    rows = [
+        (1, encode_wav(ramp)),
+        (2, encode_wav(stereo)),
+        (3, encode_wav(other)),
+        (4, encode_png((np.arange(64) % 7).reshape(8, 8).astype(np.uint8))),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["asset_id", "media"]))
+    got = {r.asset_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert set(got) == {1, 2, 3}            # PNG skipped
+    assert got[1] == got[2]                 # delivery-shape independent
+    assert got[1] != got[3]                 # content-sensitive
+
+    with pytest.raises(ValueError, match="must be 65"):
+        audio_fingerprint(df, n_windows=64)
