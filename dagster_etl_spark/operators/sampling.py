@@ -221,3 +221,112 @@ SELECT {id_col}, order_key,
          ORDER BY order_key, {id_col}) AS BIGINT) AS pos
 FROM k
 """
+
+
+def _ticket_expr(id_col: str, weight_expr: str, seed: int, d: str) -> str:
+    """Min over ``w`` deterministic ticket hashes — one expression per
+    row, no shuffle. Weight 0 yields an empty ticket list -> NULL key
+    (filtered out: a zero-weight row is never sampled)."""
+    if d == x.SPARK:
+        # sequence(1, 0) counts DOWN in Spark ([1, 0]) instead of being
+        # empty — guard non-positive weights to NULL explicitly
+        seq = f"sequence(1, CAST({weight_expr} AS INT))"
+        body = x.h60(
+            f"concat('{seed}:', CAST({id_col} AS STRING), ':', CAST(c AS STRING))",
+            d,
+        )
+        return (
+            f"CASE WHEN CAST({weight_expr} AS INT) < 1 THEN NULL "
+            f"ELSE {x.xmin(x.xform(seq, 'c', body, d), d)} END"
+        )
+    seq = f"range(1, CAST({weight_expr} AS INT) + 1)"
+    body = x.h60(
+        f"('{seed}:' || CAST({id_col} AS VARCHAR) || ':' || CAST(c AS VARCHAR))",
+        d,
+    )
+    return x.xmin(x.xform(seq, "c", body, d), d)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_expr: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """EXACT weighted sampling without replacement, reproducible on any
+    engine — the quality-weighted corpus subsample every training-data
+    pipeline needs ("sample 1M docs, high-quality docs 8x more often").
+
+    Scheme: each row gets ``w`` integer lottery tickets (md5 of
+    seed:id:c), its key is the MIN ticket, and the sample is the
+    bottom-k keys. Exchangeability of the global ticket pool gives the
+    exact sequential weighted-draw law — P(row first) = w_i / W, then
+    renormalized without replacement — the same law as
+    Efraimidis-Spirakis u^(1/w) keys, but in PURE INTEGER arithmetic:
+    no pow/ln, so Spark and any oracle engine agree bit-for-bit (float
+    transcendentals are not cross-engine reproducible at the last ulp;
+    integer md5 is).
+
+    Scale shape: the ticket min is a per-row projection (O(w) md5s, no
+    shuffle); global top-k plans as TakeOrderedAndProject (per-partition
+    heads, never a full sort); ``group_col`` switches to k-per-group
+    via a window over the group partition. Returns the sampled rows
+    with ``ticket`` and ``sample_rank`` (1 = first draw).
+    """
+    from pyspark.sql.window import Window
+
+    key = _ticket_expr(id_col, weight_expr, seed, x.SPARK)
+    keyed = df.selectExpr("*", f"{key} AS ticket").filter(
+        F.col("ticket").isNotNull()
+    )
+    if group_col is None:
+        w = Window.orderBy("ticket", id_col)
+        # rank AFTER the limit: row_number over the k retained rows
+        # only, not a global-window pass over the corpus
+        top = keyed.orderBy("ticket", id_col).limit(k)
+        return top.withColumn(
+            "sample_rank", F.row_number().over(w).cast("long")
+        )
+    w = Window.partitionBy(group_col).orderBy("ticket", id_col)
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def weighted_sample_oracle_sql(
+    weight_expr: str,
+    k: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    group_col: str | None = None,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample_topk` (same tickets)."""
+    key = _ticket_expr(id_col, weight_expr, seed, x.DUCK)
+    if group_col is None:
+        return f"""
+WITH keyed AS (
+  SELECT {select_cols}, {key} AS ticket FROM {table}
+), top AS (
+  SELECT * FROM keyed WHERE ticket IS NOT NULL
+  ORDER BY ticket, {id_col} LIMIT {k}
+)
+SELECT *, CAST(row_number() OVER (ORDER BY ticket, {id_col}) AS BIGINT)
+       AS sample_rank
+FROM top
+"""
+    return f"""
+WITH keyed AS (
+  SELECT {select_cols}, {key} AS ticket FROM {table}
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY {group_col} ORDER BY ticket, {id_col}) AS BIGINT)
+    AS sample_rank
+  FROM keyed WHERE ticket IS NOT NULL
+)
+SELECT * FROM ranked WHERE sample_rank <= {k}
+"""

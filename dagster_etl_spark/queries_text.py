@@ -1070,3 +1070,38 @@ def curation_v2(docs: DataFrame) -> DataFrame:
     return hash_sample(flagged, 0.5, id_col="doc_id", salt="cur2:").select(
         "doc_id", "n_tokens"
     )
+
+
+def _wsample_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql(
+        weight_expr="1 + n_chars % 8",
+        k=20,
+        group_col="source",
+        select_cols="doc_id, source, n_chars",
+        seed=7,
+    )
+
+
+@register(
+    "weighted_corpus_sample",
+    oracle=_wsample_oracle(),
+    tags=("llm", "sampling"),
+    doc="Exact weighted sampling without replacement (integer-ticket "
+    "min-hash): 20 docs per source, selection probability proportional "
+    "to a quality weight (1 + n_chars % 8), renormalized per draw. "
+    "Pure integer md5 keys -- no pow/ln -- so the draw order is "
+    "bit-reproducible on any engine, partitioning, or cluster size; "
+    "the ticket min is a per-row projection (no shuffle) and the "
+    "per-group top-k is one window.",
+)
+def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample_topk(
+        docs, weight_expr="1 + n_chars % 8", k=20, group_col="source", seed=7
+    )

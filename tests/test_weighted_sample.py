@@ -1,0 +1,94 @@
+"""weighted_sample_topk: the integer-ticket min-hash weighted sampler.
+
+Three contracts: (1) the scheme IS weighted sampling — heavy rows win
+proportionally to weight across seeds (validated on a pure-Python
+replica of the md5 ticket scheme, 400 seeds in milliseconds); (2) the
+Spark implementation agrees with that replica exactly (engine parity,
+per row); (3) the global top-k plans as TakeOrderedAndProject, never a
+full sort."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from tests.conftest import SF_SMALL
+
+
+def _py_ticket(seed: int, doc_id: int, w: int) -> int | None:
+    """Pure-Python replica of _ticket_expr (60-bit md5 prefix min)."""
+    if w <= 0:
+        return None
+    return min(
+        int(hashlib.md5(f"{seed}:{doc_id}:{c}".encode()).hexdigest()[:15], 16)
+        for c in range(1, w + 1)
+    )
+
+
+def test_scheme_is_weighted_sampling():
+    """Across 400 seeds, P(row drawn first) must track w_i / W.
+    10 rows: ids 0-4 weight 1, ids 5-9 weight 4 -> heavy rows should
+    win ~80% of the time (binomial sd ~2%; assert within 8 points)."""
+    weights = {i: (1 if i < 5 else 4) for i in range(10)}
+    heavy_wins = 0
+    for seed in range(400):
+        winner = min(
+            weights, key=lambda i: (_py_ticket(seed, i, weights[i]), i)
+        )
+        heavy_wins += winner >= 5
+    share = heavy_wins / 400
+    assert abs(share - 0.8) < 0.08, share
+
+
+def test_spark_matches_python_replica(spark):
+    """Engine parity: the Spark expression's ticket for every document
+    equals the hashlib replica, and the grouped sample is exactly the
+    replica's per-group bottom-k."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.sampling import weighted_sample_topk
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rows = docs.collect()
+    got = weighted_sample_topk(
+        docs, weight_expr="1 + n_chars % 8", k=5, group_col="source", seed=3
+    ).collect()
+
+    expected: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        t = _py_ticket(3, r.doc_id, 1 + r.n_chars % 8)
+        expected.setdefault(r.source, []).append((t, r.doc_id))
+    want = {
+        (src, did, t, rank + 1)
+        for src, lst in expected.items()
+        for rank, (t, did) in enumerate(sorted(lst)[:5])
+    }
+    assert {(r.source, r.doc_id, r.ticket, r.sample_rank) for r in got} == want
+
+
+def test_zero_weight_never_sampled(spark):
+    import pandas as pd
+
+    from dagster_etl_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "w": [0, 1, 2]})
+    )
+    got = weighted_sample_topk(df, weight_expr="w", k=3, id_col="doc_id")
+    assert {r.doc_id for r in got.collect()} == {2, 3}
+
+
+def test_global_topk_plans_as_take_ordered(spark):
+    """The ungrouped sample must never pay a full global sort: Spark's
+    TakeOrderedAndProject (per-partition heads + merge) is the plan."""
+    from dagster_etl_spark.operators.sampling import weighted_sample_topk
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "n_chars")
+    top = weighted_sample_topk(docs, weight_expr="1 + n_chars % 8", k=10)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
