@@ -1105,3 +1105,51 @@ def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         docs, weight_expr="1 + n_chars % 8", k=20, group_col="source", seed=7
     )
+
+
+def _training_order_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import weighted_sample_oracle_sql
+
+    ws = weighted_sample_oracle_sql(
+        weight_expr="1 + n_chars % 8",
+        k=50,
+        group_col="source",
+        select_cols="doc_id, source, n_chars",
+        seed=11,
+    )
+    key = x.h60("'2:' || CAST(doc_id AS VARCHAR)", x.DUCK)
+    return f"""
+WITH sample AS ({ws}),
+k AS (SELECT doc_id, {key} AS order_key FROM sample)
+SELECT doc_id, order_key, CAST(order_key % 8 AS INT) AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY order_key % 8 ORDER BY order_key, doc_id) AS BIGINT
+       ) AS pos
+FROM k
+"""
+
+
+@register(
+    "training_order_pipeline",
+    oracle=_training_order_oracle(),
+    tags=("llm", "sampling", "composed"),
+    doc="Composed epoch assembly: quality-weighted sample (50 per "
+    "source, exact integer-ticket draw) -> seeded shard/position "
+    "training order (no global sort). One Catalyst plan end to end; "
+    "both stages and their composition reproduce bit-exactly on any "
+    "engine -- the property that lets a 1000-executor run and a "
+    "laptop produce the same epoch.",
+)
+def q_training_order_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import (
+        epoch_shuffle,
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    sample = weighted_sample_topk(
+        docs, weight_expr="1 + n_chars % 8", k=50, group_col="source", seed=11
+    )
+    return epoch_shuffle(sample.select("doc_id"), seed=2, num_shards=8)

@@ -73,6 +73,13 @@ QUERIES: dict[str, str] = {
     "duplicate_ngram_spans": "cipher",
     "epoch_shuffle_order": "cipher",
     "image_dhash_groups": "cipher",
+    # r11 registrations, trend-rowed in the same round (the r10 process
+    # gap was queries landing after their sweep): audio fingerprints
+    # ride the documents axis like dhash (synth media 1:1 with docs);
+    # the weighted sampler's inputs (doc_id, source, n_chars) are all
+    # preserved per cipher copy
+    "audio_fingerprint_groups": "cipher",
+    "weighted_corpus_sample": "cipher",
 }
 _sel = os.environ.get("SCALE_LLM_QUERIES")
 if _sel:
