@@ -330,3 +330,91 @@ WITH keyed AS (
 )
 SELECT * FROM ranked WHERE sample_rank <= {k}
 """
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Fill per-source TOKEN budgets deterministically — the mixture
+    primitive pretraining actually uses ("10B tokens: 60% web, 30%
+    code, 10% books" is a budget per source, not a row-sample rate):
+    order each source's docs by a seeded hash (so the budget takes a
+    pseudorandom prefix, not a biased head), take docs while the
+    running token total is under budget, and keep the ONE document
+    that crosses the line (budgets land mid-document; truncation is
+    the downstream packer's job — dropping it instead would undershoot
+    every budget by half a document on average).
+
+    Scale shape: one hash exchange on the source key, per-source
+    cumulative-sum window (each source sorts independently — no global
+    sort), all integer arithmetic (md5 order key + exact token cumsum)
+    so any engine reproduces the exact selection. Sources absent from
+    ``budgets`` are excluded.
+
+    Returns the selected rows + ``order_key``, ``cum_tokens`` (running
+    total INCLUDING the row) and ``budget`` for auditability.
+    """
+    from pyspark.sql.window import Window
+
+    key = x.h60(
+        f"concat('mixb:{seed}:', CAST({id_col} AS STRING))", x.SPARK
+    )
+    budget_case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN CAST({b} AS BIGINT)"
+        for s, b in sorted(budgets.items())
+    ) + " ELSE NULL END"
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("order_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = (
+        df.selectExpr("*", f"{key} AS order_key", f"{budget_case} AS budget")
+        .filter(F.col("budget").isNotNull())
+        .withColumn(
+            "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+    )
+    # keep rows whose PREVIOUS cumulative total was under budget: the
+    # crossing row stays, everything after it goes
+    return keyed.filter(
+        F.col("cum_tokens") - F.col(token_col) < F.col("budget")
+    )
+
+
+def token_budget_mixture_oracle_sql(
+    budgets: dict[str, int],
+    table: str = "documents",
+    token_col: str = "n_chars",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of :func:`token_budget_mixture`."""
+    key = x.h60(
+        f"('mixb:{seed}:' || CAST({id_col} AS VARCHAR))", x.DUCK
+    )
+    budget_case = "CASE " + " ".join(
+        f"WHEN {source_col} = '{s}' THEN CAST({b} AS BIGINT)"
+        for s, b in sorted(budgets.items())
+    ) + " ELSE NULL END"
+    return f"""
+WITH keyed AS (
+  SELECT {select_cols}, {key} AS order_key, {budget_case} AS budget
+  FROM {table}
+), c AS (
+  -- CAST the running sum: DuckDB SUM(BIGINT) yields HUGEINT, which
+  -- pandas coerces to float64 and the dtype-kind gate rejects
+  SELECT *, CAST(SUM(CAST({token_col} AS BIGINT)) OVER (
+    PARTITION BY {source_col} ORDER BY order_key, {id_col}
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM keyed WHERE budget IS NOT NULL
+)
+SELECT * FROM c WHERE cum_tokens - {token_col} < budget
+"""

@@ -1153,3 +1153,38 @@ def q_training_order_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, weight_expr="1 + n_chars % 8", k=50, group_col="source", seed=11
     )
     return epoch_shuffle(sample.select("doc_id"), seed=2, num_shards=8)
+
+
+_MIX_BUDGETS = {"src0": 100_000_000, "src1": 4_000, "src2": 500, "src3": 1_500}
+
+
+def _budget_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import (
+        token_budget_mixture_oracle_sql,
+    )
+
+    return token_budget_mixture_oracle_sql(
+        _MIX_BUDGETS,
+        select_cols="doc_id, source, n_chars",
+        seed=13,
+    )
+
+
+@register(
+    "token_budget_mixture",
+    oracle=_budget_oracle(),
+    tags=("llm", "sampling"),
+    doc="Per-source TOKEN-budget mixture (the pretraining mixing "
+    "primitive: '60k web / 25k books / 9k code tokens', not row "
+    "rates): each source's docs in seeded-hash order, running exact "
+    "token cumsum per source, keep through the budget-crossing doc. "
+    "One hash exchange + per-source window; all integer arithmetic, "
+    "bit-reproducible on any engine.",
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import token_budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return token_budget_mixture(docs, _MIX_BUDGETS, seed=13)

@@ -92,7 +92,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # winnow_fingerprints, cycle_time_stats_incremental,
     # minhash_neardup_incremental, ivf_ann_incremental,
     # streaming_neardup_ingest, audio_fingerprint_groups,
-    # weighted_corpus_sample, training_order_pipeline.
+    # weighted_corpus_sample, training_order_pipeline,
+    # token_budget_mixture.
     # Disjointness vs CORRECTNESS_r10.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the

@@ -92,3 +92,46 @@ def test_global_topk_plans_as_take_ordered(spark):
     top = weighted_sample_topk(docs, weight_expr="1 + n_chars % 8", k=10)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_token_budget_mixture_semantics(spark):
+    """Per-source budgets: every source stops at its budget-crossing
+    doc (sum-before-last < budget <= sum-including-last unless the
+    source ran out), unlisted sources are excluded, and the selection
+    is a hash-order prefix (rerunning with the same seed is identical)."""
+    from dagster_etl_spark.operators.sampling import token_budget_mixture
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    budgets = {"src0": 10**9, "src1": 3_000, "src2": 400}
+    got = token_budget_mixture(docs, budgets, seed=5)
+    rows = got.collect()
+    assert {r.source for r in rows} <= set(budgets)
+
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    totals = {
+        r.source: r.total
+        for r in docs.groupBy("source").agg(
+            __import__("pyspark.sql.functions", fromlist=["sum"])
+            .sum("n_chars")
+            .alias("total")
+        ).collect()
+    }
+    for src, b in budgets.items():
+        sel = sorted(by_src.get(src, []), key=lambda r: r.cum_tokens)
+        assert sel, f"{src} selected nothing"
+        took = sum(r.n_chars for r in sel)
+        if took < b:  # source exhausted under budget -> all docs kept
+            assert len(sel) == docs.filter(f"source = '{src}'").count()
+            assert took == totals[src]
+        else:  # crossing doc kept, nothing after it
+            assert took - sel[-1].n_chars < b <= took
+
+    # determinism: same seed, same selection
+    again = {(r.source, r.doc_id) for r in token_budget_mixture(
+        docs, budgets, seed=5).collect()}
+    assert again == {(r.source, r.doc_id) for r in rows}
