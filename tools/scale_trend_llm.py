@@ -80,6 +80,12 @@ QUERIES: dict[str, str] = {
     # preserved per cipher copy
     "audio_fingerprint_groups": "cipher",
     "weighted_corpus_sample": "cipher",
+    # the composed epoch pipeline and the token-budget mixer both ride
+    # the documents axis (source/n_chars preserved per cipher copy;
+    # budgets fixed, so the mixer's OUTPUT stays ~constant while the
+    # per-source windows sweep the grown corpus)
+    "training_order_pipeline": "cipher",
+    "token_budget_mixture": "cipher",
 }
 _sel = os.environ.get("SCALE_LLM_QUERIES")
 if _sel:
