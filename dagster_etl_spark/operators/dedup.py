@@ -980,6 +980,20 @@ class IncrementalNearDupIndex:
             .filter(F.col("jaccard") >= threshold)
         )
 
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Maintenance cadence: every ingest appends up to num_buckets
+        files to each bucketed table (a streaming deployment appends
+        per MICRO-BATCH — fragmentation is fastest exactly where this
+        index earns its keep); collapse them without touching the
+        bucket spec, so the probe join stays co-located. Returns
+        {table: (files_before, files_after)}."""
+        from dagster_etl_spark.sources.bucketed import compact_bucketed
+
+        return {
+            t: compact_bucketed(self.spark, t)
+            for t in (self.bands_table, self.hashes_table)
+        }
+
     def pairs(self) -> DataFrame:
         """All pairs found so far (id_a < id_b, exact Jaccard).
 

@@ -440,6 +440,13 @@ class IncrementalANNIndex:
             "rank", F.row_number().over(w)
         ).filter(F.col("rank") <= k)
 
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Maintenance cadence: collapse the per-append vector files
+        (spec preserved). Returns {table: (files_before, files_after)}."""
+        from dagster_etl_spark.sources.bucketed import compact_bucketed
+
+        return {self.vectors_table: compact_bucketed(self.spark, self.vectors_table)}
+
     def drop(self) -> None:
         for t in (self.centroids_table, self.vectors_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")

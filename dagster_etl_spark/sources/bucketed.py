@@ -174,6 +174,15 @@ class BucketedPipeline:
         if dim is not None:
             append_bucketed(dim, self.dim_table)
 
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Maintenance cadence: collapse the per-append files both
+        tables accumulate (see compact_bucketed). Returns
+        {table: (files_before, files_after)}."""
+        return {
+            t: compact_bucketed(self.spark, t)
+            for t in (self.fact_table, self.dim_table)
+        }
+
     def join(self, how: str = "inner") -> DataFrame:
         """The co-located fact-dim join (exchange-free on both sides
         when the dim is past the broadcast threshold; value-identical

@@ -115,3 +115,33 @@ def test_reinit_after_drop_is_clean(idx_env):
     idx2.drop()
     idx2.ingest(docs, threshold=THRESH)
     assert idx2.pairs().count() == n_first
+
+
+def test_compact_preserves_pairs_and_colocates(idx_env):
+    """After fragmenting ingests, compact() must collapse files on
+    both index tables, keep the bucket specs, and leave the NEXT
+    ingest's results identical (the probe still sees the same index,
+    now co-located over fewer files)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import input_file_name
+
+    from dagster_etl_spark.operators.dedup import minhash_neardup_pairs
+    from dagster_etl_spark.sources.bucketed import bucket_spec
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark, idx = idx_env
+    docs = load_table(spark, SF_SMALL, "documents")
+    for day in range(3):
+        idx.ingest(docs.filter(F.col("doc_id") % 4 == day), threshold=THRESH)
+
+    report = idx.compact()
+    for t, (before, after) in report.items():
+        assert after < before, (t, before, after)
+        n = spark.table(t).select(input_file_name()).distinct().count()
+        assert n == after
+    assert bucket_spec(spark, idx.bands_table) == (8, ["bkey"], [])
+    assert bucket_spec(spark, idx.hashes_table) == (8, ["doc_id"], [])
+
+    idx.ingest(docs.filter(F.col("doc_id") % 4 == 3), threshold=THRESH)
+    want = minhash_neardup_pairs(docs, threshold=THRESH)
+    assert _pairs_set(idx.pairs()) == _pairs_set(want)
