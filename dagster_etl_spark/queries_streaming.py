@@ -238,3 +238,34 @@ def q_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_neardup_ingest(spark, sf_dir)
+
+
+def _ws_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql(
+        weight_expr="1 + n_chars % 8",
+        k=20,
+        group_col="source",
+        select_cols="doc_id, source, n_chars",
+        seed=7,
+    )
+
+
+@register(
+    "streaming_weighted_sample",
+    oracle=_ws_oracle(),
+    tags=("streaming", "sampling", "incremental"),
+    doc="Streaming weighted sampling: the integer-ticket sampler's "
+    "bottom-k state merged per micro-batch via foreachBatch (tickets "
+    "are a pure function of (seed, id, weight), so bottom-k of a "
+    "union == bottom-k of merged bottom-k's). Final state equals the "
+    "batch weighted_corpus_sample over the full corpus bit-exactly -- "
+    "same oracle. O(k x groups) state, O(batch) work per batch.",
+)
+def q_streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.weighted_sample import (
+        streaming_weighted_sample,
+    )
+
+    return streaming_weighted_sample(spark, sf_dir)

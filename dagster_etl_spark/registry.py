@@ -93,7 +93,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # minhash_neardup_incremental, ivf_ann_incremental,
     # streaming_neardup_ingest, audio_fingerprint_groups,
     # weighted_corpus_sample, training_order_pipeline,
-    # token_budget_mixture.
+    # token_budget_mixture, streaming_weighted_sample.
     # Disjointness vs CORRECTNESS_r10.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the
