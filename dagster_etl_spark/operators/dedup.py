@@ -1006,3 +1006,49 @@ class IncrementalNearDupIndex:
     def drop(self) -> None:
         for t in (self.bands_table, self.hashes_table, self.pairs_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def dedup_self_repeats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repetition removal — the within-doc complement of
+    :func:`dedup_lines` (crawl pages repeat their own nav blocks,
+    footers, and spam paragraphs; cross-document frequency never sees
+    it). Keep the FIRST occurrence of each normalized line per
+    document, drop later repeats, reassemble in original order.
+
+    Returns (id_col, text_col, n_lines, n_dropped).
+
+    Scale shape: NO cross-document state at all — one explode, one
+    window partitioned by (doc, line-fingerprint), one reassembly
+    aggregate, everything keyed by the document. At 100 TB this is a
+    single hash exchange on doc_id-grain keys (and none at all if the
+    corpus is already laid out by doc). Blank lines are document
+    structure, never dropped (same convention as dedup_lines); NULL
+    texts drop out (split(NULL) explodes to nothing).
+    """
+    from pyspark.sql.window import Window
+
+    sep_rx = "\\Q" + line_sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("line_no", "line"),
+    )
+    fp = F.expr("md5(trim(lower(line)))")
+    w = Window.partitionBy(id_col, fp).orderBy("line_no")
+    flagged = lines.withColumn("rn", F.row_number().over(w)).withColumn(
+        "keep", (F.col("rn") == 1) | (F.expr("trim(line) = ''"))
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("line_no", "line")))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["line"]), line_sep).alias(
+            text_col
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(~F.col("keep"), F.lit(1))).alias("n_dropped"),
+    )

@@ -1188,3 +1188,63 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return token_budget_mixture(docs, _MIX_BUDGETS, seed=13)
+
+
+_SELF_REPEAT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), relined AS (
+  SELECT doc_id,
+         array_to_string(list(ln ORDER BY i), chr(10)) AS text
+  FROM (
+    SELECT doc_id, i,
+           replace(array_to_string(list_slice(tk, (i-1)*10+1, (i-1)*10+10), ' '),
+                   chr(10), ' ') AS ln
+    FROM toks, unnest(range(1, CAST(ceil(len(tk)/10.0) AS BIGINT) + 1)) u(i)
+  ) GROUP BY doc_id
+), selfrep AS (
+  -- induce a deterministic self-repeat: append the doc's own first
+  -- line (the fixture has no natural intra-doc repeats)
+  SELECT doc_id,
+         text || chr(10) || string_split(text, chr(10))[1] AS text
+  FROM relined
+), lines AS (
+  SELECT doc_id, i - 1 AS line_no, string_split(text, chr(10))[i] AS line
+  FROM selfrep, unnest(range(1, CAST(len(string_split(text, chr(10))) AS BIGINT) + 1)) u(i)
+), flagged AS (
+  SELECT doc_id, line_no, line,
+         (row_number() OVER (
+            PARTITION BY doc_id, md5(trim(lower(line))) ORDER BY line_no
+          ) = 1 OR trim(line) = '') AS keep
+  FROM lines
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+         list(line ORDER BY line_no) FILTER (WHERE keep), chr(10)), '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
+@register(
+    "self_repetition_removal",
+    oracle=_SELF_REPEAT_ORACLE,
+    tags=("llm", "dedup", "text"),
+    doc="Intra-document repetition removal (the within-doc complement "
+    "of dedup_lines -- crawl pages repeating their own nav/footer "
+    "blocks): keep the first occurrence of each normalized line per "
+    "doc, reassemble in order. No cross-document state -- one window "
+    "partitioned by (doc, line-md5). The fixture has no natural "
+    "intra-doc repeats, so both engines deterministically append each "
+    "doc's own first line first; the operator must drop exactly it.",
+)
+def q_self_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import dedup_self_repeats
+
+    docs = reline_10_tokens(load_table(spark, sf_dir, "documents"))
+    with_rep = docs.selectExpr(
+        "doc_id",
+        "concat(text, '\\n', split(text, '\\n')[0]) AS text",
+    )
+    return dedup_self_repeats(with_rep)

@@ -85,16 +85,17 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     #   epoch_shuffle_order         (post-sweep r10; judge spot-check PASS)
     # -- then the CORRECTNESS_r09.json names in artifact order. 55
     # candidates for 50 slots: the last 5 r9 names age to r12 and are
-    # r12 rotation heads, together with the NINE queries registered
+    # r12 rotation heads, together with the TEN queries registered
     # mid-r11 (behind slot 50, ALLCHECK_r11-green x3 SFs + merged via
-    # check_correctness --merge, no driver row yet). 14 r12 heads, in
+    # check_correctness --merge, no driver row yet). 15 r12 heads, in
     # order: doc_chunks,
     # stratified_event_sample, bigram_novelty, vocab_oov,
     # winnow_fingerprints, cycle_time_stats_incremental,
     # minhash_neardup_incremental, ivf_ann_incremental,
     # streaming_neardup_ingest, audio_fingerprint_groups,
     # weighted_corpus_sample, training_order_pipeline,
-    # token_budget_mixture, streaming_weighted_sample.
+    # token_budget_mixture, streaming_weighted_sample,
+    # self_repetition_removal.
     # Disjointness vs CORRECTNESS_r10.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the

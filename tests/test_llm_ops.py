@@ -671,3 +671,25 @@ def test_epoch_shuffle_is_seeded_permutation(spark):
     ord3 = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
     ord4 = [r.doc_id for r in sorted(other, key=lambda r: (r.shard, r.pos))]
     assert ord3 != ord4
+
+
+def test_dedup_self_repeats(spark):
+    """Within-doc repetition removal: later repeats of a normalized
+    line drop, first stays, blanks always stay (structure), other
+    docs' identical lines are untouched (NO cross-doc state), and the
+    reassembly preserves original order."""
+    import pandas as pd
+
+    from dagster_etl_spark.operators.dedup import dedup_self_repeats
+
+    rows = [
+        # doc 1: 'spam' repeats 3x (case/space variants), blank kept
+        (1, "alpha\nSpam\nbeta\n\nspam \ngamma\nSPAM"),
+        # doc 2: the same 'spam' line once — must NOT be dropped
+        (2, "spam\ndelta"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {r.doc_id: r for r in dedup_self_repeats(df).collect()}
+    assert got[1].text == "alpha\nSpam\nbeta\n\ngamma"
+    assert got[1].n_lines == 7 and got[1].n_dropped == 2
+    assert got[2].text == "spam\ndelta" and got[2].n_dropped == 0
