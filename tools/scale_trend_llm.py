@@ -86,6 +86,9 @@ QUERIES: dict[str, str] = {
     # per-source windows sweep the grown corpus)
     "training_order_pipeline": "cipher",
     "token_budget_mixture": "cipher",
+    # per-character translation preserves each copy's line structure,
+    # so the induced self-repeat (and its removal) scales 1:1 with docs
+    "self_repetition_removal": "cipher",
 }
 _sel = os.environ.get("SCALE_LLM_QUERIES")
 if _sel:
