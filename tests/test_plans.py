@@ -324,6 +324,41 @@ def test_registry_fronts_driver_window_priority():
     assert len(pri) <= 51
 
 
+def test_next_rotation_heads_derive_from_artifacts():
+    """r11 verdict task 6: the next round's rotation heads must be
+    COMPUTED from the artifacts, not hand-maintained. A registered
+    query has a driver-green row coming from either the newest
+    CORRECTNESS_r*.json (last round) or the current 50-slot window
+    (this round); anything in neither will be the stalest name in the
+    fleet next round and must be pre-declared in
+    registry._NEXT_ROTATION_HEADS. Set equality both ways: a missing
+    name means a mid-round registration was not pre-declared (the r10
+    and r11 process gap); an extra name means the tuple is stale."""
+    import json
+    import re
+    from pathlib import Path
+
+    from dagster_etl_spark import registry
+
+    root = Path(__file__).resolve().parents[1]
+    arts = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not arts:
+        pytest.skip("no correctness artifacts yet")
+    newest = set(json.loads(arts[-1].read_text()))
+    registered = list(registry.all_queries())
+    window = set(registered[:50])
+    expected = [n for n in registered if n not in newest and n not in window]
+    declared = list(registry._NEXT_ROTATION_HEADS)
+    assert sorted(declared) == sorted(expected), (
+        "registry._NEXT_ROTATION_HEADS out of sync with artifacts: "
+        f"missing={sorted(set(expected) - set(declared))} "
+        f"stale={sorted(set(declared) - set(expected))}"
+    )
+
+
 def test_registry_keeps_rotation_headroom():
     """Perfect window disjointness round-over-round requires at least
     50 queries OUTSIDE the 50-slot window (len(registry) - 50 >= 50).
@@ -376,7 +411,8 @@ def test_driver_window_rotates_vs_last_round():
     bug. Perfect disjointness is achievable iff
     len(registry) - 50 >= 50; test_registry_keeps_rotation_headroom
     pins that invariant so it stays provable as the registry grows
-    (currently 105 registered queries).
+    (115 registered queries at the r12 rotation; derive, don't trust:
+    test_registry_keeps_rotation_headroom pins the live count).
 
     DELIBERATE lifecycle (r9 ADVICE adjudication): the newest artifact
     is written by the round driver AT ROUND END, so the moment
