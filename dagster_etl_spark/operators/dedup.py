@@ -999,7 +999,16 @@ class IncrementalNearDupIndex:
 
         Refreshed first: appends made by OTHER sessions (foreachBatch
         micro-batch clones) don't invalidate this session's relation
-        cache, so a stale file listing would under-report."""
+        cache, so a stale file listing would under-report.
+
+        If no ingest ever created the table (e.g. a stream whose
+        micro-batches were all empty — ingest_batch returns early on
+        isEmpty), returns an EMPTY (id_a, id_b, jaccard) frame instead
+        of raising table-not-found."""
+        if not self.spark.catalog.tableExists(self.pairs_table):
+            return self.spark.createDataFrame(
+                [], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
+            )
         self.spark.catalog.refreshTable(self.pairs_table)
         return self.spark.table(self.pairs_table)
 

@@ -226,20 +226,33 @@ FROM k
 def _ticket_expr(id_col: str, weight_expr: str, seed: int, d: str) -> str:
     """Min over ``w`` deterministic ticket hashes — one expression per
     row, no shuffle. Weight 0 yields an empty ticket list -> NULL key
-    (filtered out: a zero-weight row is never sampled)."""
+    (filtered out: a zero-weight row is never sampled).
+
+    Weights are integer ticket counts by construction. Fractional
+    weights are rounded HALF-UP (``FLOOR(w + 0.5)``, identical in both
+    dialects — a bare CAST would floor-truncate in Spark, so 0 < w < 1
+    would silently become "never sampled", and DuckDB's CAST rounds,
+    so the engines would disagree). Rows rounding to 0 tickets are
+    excluded; callers needing sub-unit probability resolution should
+    pre-scale weights (e.g. ``weight * 100``). Cost bound: the ticket
+    min materializes an O(w) array per row before reducing, so the MAX
+    weight bounds per-row work/memory — keep weights small (quality
+    tiers, not raw byte counts); w <= ~10^4 is cheap, w ~ 10^7 is not.
+    """
+    w_int = f"CAST(FLOOR(({weight_expr}) + 0.5) AS INT)"
     if d == x.SPARK:
         # sequence(1, 0) counts DOWN in Spark ([1, 0]) instead of being
         # empty — guard non-positive weights to NULL explicitly
-        seq = f"sequence(1, CAST({weight_expr} AS INT))"
+        seq = f"sequence(1, {w_int})"
         body = x.h60(
             f"concat('{seed}:', CAST({id_col} AS STRING), ':', CAST(c AS STRING))",
             d,
         )
         return (
-            f"CASE WHEN CAST({weight_expr} AS INT) < 1 THEN NULL "
+            f"CASE WHEN {w_int} < 1 THEN NULL "
             f"ELSE {x.xmin(x.xform(seq, 'c', body, d), d)} END"
         )
-    seq = f"range(1, CAST({weight_expr} AS INT) + 1)"
+    seq = f"range(1, {w_int} + 1)"
     body = x.h60(
         f"('{seed}:' || CAST({id_col} AS VARCHAR) || ':' || CAST(c AS VARCHAR))",
         d,

@@ -51,18 +51,32 @@ def write_bucketed(
         # managed path.
         spark = df.sparkSession
         location = None
+        table_type = None
         if spark.catalog.tableExists(table):
-            row = (
-                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-                .filter("col_name = 'Location'")
-                .select("data_type")
-                .head()
+            meta = {
+                r.col_name: r.data_type
+                for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            }
+            location = meta.get("Location")
+            table_type = meta.get("Type")
+        if table_type == "EXTERNAL":
+            # DROP TABLE on an external table deliberately preserves its
+            # data; silently delete_path()ing the resolved location here
+            # would destroy data outside the warehouse whenever a caller
+            # reuses a name that collides with an external table. Refuse
+            # -- the caller must drop/relocate the external table
+            # explicitly if the overwrite is really intended.
+            raise ValueError(
+                f"write_bucketed overwrite target {table!r} is an EXTERNAL "
+                f"table at {location}; refusing to delete data outside the "
+                "warehouse -- drop it explicitly first"
             )
-            location = row[0] if row is not None else None
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         from dagster_etl_spark.sources.lake import delete_path
 
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        # only clean up MANAGED locations (or the default managed path
+        # for orphaned directories the catalog no longer knows about)
         delete_path(spark, location or f"{warehouse}/{table.lower()}")
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:

@@ -150,18 +150,16 @@ def test_write_bucketed_rejects_qualified_table_name(spark):
         write_bucketed(li, "somedb.bkt_t", ["l_orderkey"], num_buckets=2)
 
 
-def test_write_bucketed_cleans_custom_catalog_location(spark, tmp_path):
-    """r10 ADVICE: when the catalog KNOWS the table, overwrite must
-    resolve and clean the table's REAL location (external/custom
-    LOCATION), not blindly delete whatever sits at the default managed
-    path. If the old table lived elsewhere AND an unrelated directory
-    occupies the managed destination, the write must fail LOUDLY
-    (LOCATION_ALREADY_EXISTS) with the innocent directory intact — the
-    old code silently destroyed it."""
+def test_write_bucketed_refuses_external_table_overwrite(spark, tmp_path):
+    """r10 ADVICE resolved the table's real location before cleanup;
+    r11 ADVICE tightened it: for an EXTERNAL table, DROP TABLE
+    deliberately preserves the data, so overwrite must REFUSE rather
+    than silently delete data outside the warehouse. Both the external
+    data and any unrelated directory at the default managed path must
+    survive the refused call; after the caller drops the external
+    table explicitly, the overwrite proceeds onto the managed path."""
     import shutil
     from pathlib import Path
-
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from dagster_etl_spark.sources.bucketed import write_bucketed
     from dagster_etl_spark.sources.fixtures import load_table
@@ -172,20 +170,23 @@ def test_write_bucketed_cleans_custom_catalog_location(spark, tmp_path):
     try:
         li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey")
         li.limit(5).write.option("path", str(custom)).saveAsTable(table)
-        # plant a decoy at the DEFAULT managed path: the old cleanup
-        # deleted this innocent directory; now the conflict surfaces
+        # plant a decoy at the DEFAULT managed path too: neither the
+        # external location nor this innocent directory may be touched
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         decoy = Path(warehouse.removeprefix("file:")) / table
         decoy.mkdir(parents=True, exist_ok=True)
         (decoy / "innocent.txt").write_text("unrelated data")
 
-        with pytest.raises(SparkRuntimeException, match="LOCATION_ALREADY_EXISTS"):
+        with pytest.raises(ValueError, match="EXTERNAL"):
             write_bucketed(li.limit(10), table, ["l_orderkey"], num_buckets=2)
-        assert (decoy / "innocent.txt").exists(), "cleanup deleted the wrong path"
-        # the resolved cleanup DID clear the external table's own data
-        assert not custom.exists()
+        assert custom.exists(), "refused overwrite deleted external data"
+        assert (decoy / "innocent.txt").exists(), "cleanup touched the decoy"
+        assert spark.table(table).count() == 5, "external table was dropped"
 
-        # with the managed destination free, the same overwrite succeeds
+        # explicit drop (data preserved, per external semantics) + a
+        # free managed destination -> the same overwrite succeeds
+        spark.sql(f"DROP TABLE {table}")
+        assert custom.exists()
         shutil.rmtree(decoy)
         write_bucketed(li.limit(10), table, ["l_orderkey"], num_buckets=2)
         assert spark.table(table).count() == 10
@@ -193,6 +194,7 @@ def test_write_bucketed_cleans_custom_catalog_location(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         if decoy is not None and decoy.exists():
             shutil.rmtree(decoy, ignore_errors=True)
+        shutil.rmtree(custom, ignore_errors=True)
 
 
 def test_bucketed_pipeline_append_stays_exchange_free(bucket_env):

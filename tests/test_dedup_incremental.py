@@ -145,3 +145,18 @@ def test_compact_preserves_pairs_and_colocates(idx_env):
     idx.ingest(docs.filter(F.col("doc_id") % 4 == 3), threshold=THRESH)
     want = minhash_neardup_pairs(docs, threshold=THRESH)
     assert _pairs_set(idx.pairs()) == _pairs_set(want)
+
+
+def test_pairs_before_any_ingest_is_empty(spark):
+    """r11 ADVICE: pairs() on an index whose ingests were all empty
+    (table never created) must return an empty frame, not raise
+    table-not-found."""
+    from dagster_etl_spark.operators.dedup import IncrementalNearDupIndex
+
+    idx = IncrementalNearDupIndex(spark, "never_ingested_idx")
+    try:
+        got = idx.pairs()
+        assert got.count() == 0
+        assert got.columns == ["id_a", "id_b", "jaccard"]
+    finally:
+        idx.drop()

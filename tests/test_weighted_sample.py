@@ -135,3 +135,31 @@ def test_token_budget_mixture_semantics(spark):
     again = {(r.source, r.doc_id) for r in token_budget_mixture(
         docs, budgets, seed=5).collect()}
     assert again == {(r.source, r.doc_id) for r in rows}
+
+
+def test_fractional_weights_round_half_up(spark):
+    """r11 ADVICE: a bare CAST(w AS INT) floor-truncates, so
+    0 < w < 1 silently became 'never sampled'. Weights now round
+    HALF-UP on both dialects: 0.6 -> 1 ticket (sampled), 0.4 -> 0
+    tickets (excluded), 2.5 -> 3 tickets (== integer weight 3)."""
+    from dagster_etl_spark.operators.sampling import (
+        _ticket_expr,
+        weighted_sample_topk,
+    )
+    from dagster_etl_spark.functions import xdialect as x
+
+    df = spark.createDataFrame(
+        [(1, 0.6), (2, 0.4), (3, 2.5)], "doc_id BIGINT, w DOUBLE"
+    )
+    got = weighted_sample_topk(df, "w", k=10, seed=7)
+    ids = {r.doc_id for r in got.collect()}
+    assert 1 in ids, "w=0.6 must round up to 1 ticket"
+    assert 2 not in ids, "w=0.4 must round down to 0 tickets"
+    # 2.5 rounds half-up to 3: identical ticket to an integer weight 3
+    frac = df.filter("doc_id = 3").selectExpr(
+        f"{_ticket_expr('doc_id', 'w', 7, x.SPARK)} AS t"
+    ).head()[0]
+    inte = spark.createDataFrame([(3, 3)], "doc_id BIGINT, w INT").selectExpr(
+        f"{_ticket_expr('doc_id', 'w', 7, x.SPARK)} AS t"
+    ).head()[0]
+    assert frac == inte
