@@ -333,6 +333,20 @@ class IncrementalANNIndex:
     init slice; re-init is a rebuild, not an incident). Search results
     are bit-reproducible in SQL — same oracle shape as ivf_ann_topk
     with centroid selection restricted to the init slice.
+
+    100 TB sizing rule (measured, tools/ann_nprobe_sweep.py ->
+    ANN_NPROBE_r12.json): search scans ``nprobe * N / nlist`` vectors
+    per query, so at FIXED nlist the latency grows linearly with the
+    corpus (the 1.94 -> 3.26 s curve in SCALETREND_INGEST_r11). The
+    knob is nlist, not nprobe: grow ``nlist ~ sqrt(N)`` as the corpus
+    grows (re-init at rebuild cadence — nlist is frozen with the
+    quantizer) and keep the ``nprobe / nlist`` FRACTION fixed at the
+    recall target (>= 1/4 holds recall@10 >= 0.9 on clustered data at
+    every measured scale; the sweep shows the same fraction at
+    nlist=64 costs ~4x less per probe list than nlist=16). Per-query
+    scanned rows are then ``(nprobe/nlist) * N`` with nlist tracking
+    sqrt(N), i.e. candidate lists of O(sqrt(N)) — the standard IVF
+    deployment posture.
     """
 
     def __init__(
