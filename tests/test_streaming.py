@@ -512,3 +512,70 @@ def test_checkpoint_stop_restart_recovers_session_state(spark, tmp_path):
     # state genuinely crossed the restart: at least one user was folded
     # in BOTH runs (n_batches == 2 only if run 2 loaded run 1's state)
     assert any(nb == 2 for (_, _, nb) in got.values())
+
+
+def test_watermark_evicts_expired_session_state(spark, tmp_path):
+    """r11 verdict task 5: expired sessions must actually LEAVE state
+    (state.remove() on event-time timeout), so long-horizon state is
+    bounded by OPEN sessions, not users-ever-seen. Deterministic
+    churn scenario in three ts-ordered micro-batches:
+      batch 1: users 1..40, one event each at T0;
+      batch 2: user 0 at T0+3h  (advances max event time);
+      batch 3: user 0 at T0+4h  (batch watermark = T0+3h - 30min,
+               far past every batch-1 session's gap -> all 40 time
+               out, emit, and are REMOVED from state).
+    Final state must hold only user 0's open session."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.streaming.stateful import sessionize_with_timeout
+
+    t0 = "2024-01-01 00:00:00"
+    batch1 = spark.range(1, 41).select(
+        F.col("id").alias("user_id"), F.lit(t0).cast("timestamp").alias("ts")
+    )
+    batch2 = spark.createDataFrame(
+        [(0, "2024-01-01 03:00:00")], "user_id BIGINT, ts STRING"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    batch3 = spark.createDataFrame(
+        [(0, "2024-01-01 04:00:00")], "user_id BIGINT, ts STRING"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    in_dir = str(tmp_path / "churn_events")
+    for b in (batch1, batch2, batch3):
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.05)  # distinct mtimes -> batches process in ts order
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    name = "evict_sessions"
+    q = (
+        sessionize_with_timeout(stream, watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        ops = q.lastProgress["stateOperators"]
+        rows_total = ops[0]["numRowsTotal"]
+        removed = sum(
+            (p.get("stateOperators") or [{}])[0].get("numRowsRemoved") or 0
+            for p in q.recentProgress
+        )
+        emitted = {r.user_id for r in spark.table(name).collect()}
+        # every batch-1 user's session closed, was emitted, and LEFT state
+        assert emitted >= set(range(1, 41)), sorted(emitted)
+        assert removed >= 40, f"only {removed} state rows evicted"
+        assert rows_total <= 2, (
+            f"state still holds {rows_total} rows; expired sessions "
+            "were not evicted"
+        )
+    finally:
+        spark.catalog.dropTempView(name)

@@ -33,6 +33,20 @@ state grows with users on the inflate axis — so the planning number
 needs a trend, not a point ("recovery" in the output is keyed by
 scale).
 
+r12 adds the STATE-SIZE axis (r11 verdict task 5): the stateful path's
+state is per-user and grows with users, so each stateful run now
+records the state operator's numRowsTotal / memoryUsedBytes from the
+query's final progress. The ceiling demonstration is the new
+"eviction" section: the TIMEOUT sessionizer (event-time watermark,
+state.remove() on expiry) over a long time-ordered horizon — events
+split into 8 ts-ordered files, one micro-batch each, so the watermark
+advances monotonically and expired sessions actually LEAVE state.
+Reported per batch: numRowsTotal / numRowsRemoved / memoryUsedBytes;
+asserted: rows are actually removed and the final state is a fraction
+of total users (bounded by OPEN sessions, not by history). The
+NoTimeout sessionizer's state == distinct users is the unbounded
+contrast, visible in the same artifact.
+
 Usage: python tools/stream_throughput.py [sf_dir] [mult ...]
 Defaults: /root/testdata/sf0.1, mults 10 50. Prints one JSON line.
 """
@@ -83,7 +97,19 @@ def main() -> None:
             .parquet(path)
         )
 
-    def run_to_completion(result, mode: str) -> float:
+    def _state_metrics(q) -> dict | None:
+        """(rows, bytes) of the state operator at the final progress,
+        None for stateless plans."""
+        prog = q.lastProgress
+        ops = (prog or {}).get("stateOperators") or []
+        if not ops:
+            return None
+        return {
+            "rows_total": ops[0].get("numRowsTotal"),
+            "memory_bytes": ops[0].get("memoryUsedBytes"),
+        }
+
+    def run_to_completion(result, mode: str) -> tuple[float, dict | None]:
         name = f"tp_{int(time.monotonic() * 1e6)}"
         t0 = time.perf_counter()
         q = (
@@ -95,8 +121,9 @@ def main() -> None:
         )
         q.awaitTermination()
         dt = time.perf_counter() - t0
+        state = _state_metrics(q)
         spark.catalog.dropTempView(name)
-        return dt
+        return dt, state
 
     queries = {
         "windowed": lambda path: (
@@ -115,13 +142,14 @@ def main() -> None:
         for qname, build in queries.items():
             df, mode = build(path)
             run_to_completion(df, mode)  # warm: codegen + state store init
-            best = min(
-                run_to_completion(build(path)[0], mode) for _ in range(RUNS)
-            )
+            runs = [run_to_completion(build(path)[0], mode) for _ in range(RUNS)]
+            best = min(dt for dt, _ in runs)
+            state = next((s for _, s in runs if s), None)
             scale[qname] = {
                 "sec": round(best, 3),
                 "events_per_sec": round(n_rows / best),
                 "micro_batches": -(-FILES // FILES_PER_TRIGGER),
+                "state": state,
             }
         out[f"x{k}"] = scale
 
@@ -188,6 +216,98 @@ def main() -> None:
 
     recovery = {f"x{k}": measure_recovery(k) for k in MULTS}
 
+    # ---- eviction axis: watermark-driven state ceiling (r12) ----
+    from dagster_etl_spark.streaming.stateful import sessionize_with_timeout
+
+    N_HORIZON_FILES = 8
+
+    def measure_eviction(k: int) -> dict:
+        """Long time-ordered horizon through the TIMEOUT sessionizer:
+        8 ts-ordered files, one micro-batch each, watermark advancing
+        monotonically — expired sessions must actually LEAVE state
+        (state.remove() on event-time timeout), so state tracks OPEN
+        sessions, not users-ever-seen.
+
+        The fixture's users are active across the WHOLE horizon (no
+        churn), which can't distinguish eviction from one-session-per-
+        user steady state; real crawls churn. Churn is synthesized
+        deterministically: user u's lifetime is octiles [u%8, u%8+2]
+        of the ts range — each batch retires one cohort (times out,
+        leaves state) and admits another, so peak state is ~3 cohorts
+        and final state is the still-alive tail, both FRACTIONS of
+        users-ever-seen."""
+        work = tempfile.mkdtemp(prefix="stream_eviction_")
+        in_dir = f"{work}/events"
+        ev = spark.read.parquet(paths[k]).filter("ts IS NOT NULL")
+        n_users = ev.select("user_id").distinct().count()
+        fracs = [i / N_HORIZON_FILES for i in range(1, N_HORIZON_FILES)]
+        bounds = ev.selectExpr(
+            f"percentile_approx(ts, array({', '.join(map(str, fracs))})) AS b"
+        ).first().b
+        lo = None
+        for i in range(N_HORIZON_FILES):
+            hi = bounds[i] if i < len(bounds) else None
+            cohort = F.pmod(F.col("user_id"), F.lit(N_HORIZON_FILES))
+            sl = ev.filter((cohort <= i) & (cohort >= i - 2))
+            if lo is not None:
+                sl = sl.filter(F.col("ts") > lo)
+            if hi is not None:
+                sl = sl.filter(F.col("ts") <= hi)
+            sl.coalesce(1).write.mode("append").parquet(in_dir)
+            time.sleep(1.05)  # distinct mtimes: file source processes in time order
+            lo = hi
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            sessionize_with_timeout(stream, watermark="30 minutes")
+            .writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        series = []
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            if ops:
+                series.append(
+                    {
+                        "rows_total": ops[0].get("numRowsTotal"),
+                        "rows_removed": ops[0].get("numRowsRemoved"),
+                        "memory_bytes": ops[0].get("memoryUsedBytes"),
+                    }
+                )
+        shutil.rmtree(work, ignore_errors=True)
+        removed = sum(s["rows_removed"] or 0 for s in series)
+        peak = max(s["rows_total"] for s in series)
+        final = series[-1]["rows_total"]
+        # the ceiling claims, asserted: (a) eviction actually happens;
+        # (b) standing state never approaches users-ever-seen — with
+        # 3-octile lifetimes, at most ~4 cohorts can be in state at
+        # once (3 alive + 1 awaiting its timeout batch); (c) the final
+        # state is the still-alive tail, not accumulated history.
+        assert removed > 0, "watermark never evicted any session state"
+        ceiling = n_users * 5 / N_HORIZON_FILES
+        assert peak <= ceiling, (
+            f"peak state {peak} above the churn ceiling {ceiling:.0f} "
+            f"({n_users} users ever seen): eviction is not keeping up"
+        )
+        assert final <= ceiling, f"final state {final} above {ceiling:.0f}"
+        return {
+            "distinct_users": n_users,
+            "horizon_files": N_HORIZON_FILES,
+            "per_batch_state": series,
+            "peak_state_rows": peak,
+            "final_state_rows": final,
+            "rows_removed_total": removed,
+            "unbounded_counterfactual_rows": removed + final,
+        }
+
+    eviction = {f"x{k}": measure_eviction(k) for k in MULTS}
+
     summary = {}
     for k in MULTS:
         if k <= 1:
@@ -210,6 +330,7 @@ def main() -> None:
                 "scales": out,
                 "scaling": summary,
                 "recovery": recovery,
+                "eviction": eviction,
             }
         )
     )
