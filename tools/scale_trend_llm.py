@@ -66,10 +66,11 @@ QUERIES: dict[str, str] = {
     # documents axis IS its growth axis); dhash media is synthesized
     # 1:1 from documents rows (synth_real_media_table: content a
     # closed form of doc_id), so the documents axis is the media-count
-    # axis. NOTE the dhash pairing is decode-vs-formula: Spark decodes
-    # real container bytes while the oracle computes the closed form —
-    # the RATIO overstates DuckDB; the Spark TREND (no superlinear
-    # knee) is the graded claim.
+    # axis. The dhash/afp duck pairing is decode-vs-formula (the
+    # oracle never touches bytes) — kept for the trend only; r12 adds
+    # a single-process Python decode baseline (_python_media_baseline)
+    # so those two rows also carry a like-for-like
+    # ratio_vs_python_decode, which is the quotable number.
     "duplicate_ngram_spans": "cipher",
     "epoch_shuffle_order": "cipher",
     "image_dhash_groups": "cipher",
@@ -89,7 +90,26 @@ QUERIES: dict[str, str] = {
     # per-character translation preserves each copy's line structure,
     # so the induced self-repeat (and its removal) scales 1:1 with docs
     "self_repetition_removal": "cipher",
+    # r12 registrations, trend-rowed in the same round: the graded
+    # contamination score and its bloom gate ride the documents axis
+    # (each cipher copy contributes ~1/17 of its ids to the benchmark
+    # slice, so the benchmark grows with the corpus — the worst case
+    # for the broadcast side); semantic_dedup rides the rotated
+    # embeddings and is SPECIAL-CASED below: its within-bucket
+    # pairwise cost is N^2/nlist, so the trend applies the operator's
+    # own sizing rule (nlist ~ sqrt(N)) on BOTH engines instead of
+    # freezing the sf0.01 nlist=16 and measuring a quadratic nobody
+    # would deploy.
+    "contamination_score": "cipher",
+    "decontaminate_bloom_gate": "cipher",
+    "semantic_dedup": "cipher",
 }
+
+
+def _semantic_nlist(n_vecs: int) -> int:
+    """The IncrementalANNIndex sizing rule applied to SemDeDup's
+    quantizer: nlist ~ sqrt(N) (x50: 100k vecs -> 316 lists)."""
+    return max(16, int(n_vecs ** 0.5))
 _sel = os.environ.get("SCALE_LLM_QUERIES")
 if _sel:
     QUERIES = {q: QUERIES[q] for q in _sel.split(",") if q}
@@ -97,6 +117,97 @@ if _sel:
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _python_media_baseline(doc_ids, which: str) -> float:
+    """Single-process decode-to-decode comparator for the two media
+    rows (r11 verdict task 4). The DuckDB oracle computes a CLOSED
+    FORM of doc_id — no container bytes ever exist on that side — so
+    the duck ratio for image_dhash_groups / audio_fingerprint_groups
+    was decode-vs-formula: fine for correctness, unquotable for
+    performance. This runs the SAME work as the Spark operator —
+    synthesize the container bytes (multimodal.py synth_real_media_
+    table), decode them, hash (image_dhash / audio_fingerprint inner
+    loops), group and join back — in ONE Python process with the same
+    codecs and numpy, no Spark. Returns wall seconds."""
+    import numpy as np
+
+    from dagster_etl_spark.operators.codecs import (
+        decode_media,
+        decode_wav,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        sniff_format,
+    )
+    from dagster_etl_spark.operators.codecs_jpeg import encode_jpeg
+
+    t0 = time.perf_counter()
+    per_asset: dict[int, int] = {}
+    for aid in doc_ids:
+        aid = int(aid)
+        kind = aid % 4
+        # payload synthesis == multimodal.py:142-168
+        if kind == 0:
+            w, h = 8 + aid % 9, 8 + (aid * 3) % 9
+            y, x = np.mgrid[0:h, 0:w]
+            img = (x + y)[:, :, None] + np.arange(3)[None, None, :]
+            payload = encode_ppm(img.astype(np.uint8))
+        elif kind == 1:
+            n = 50 + aid % 200
+            payload = encode_wav((np.arange(n) % 7 - 3).astype(np.int16))
+        elif kind == 2:
+            w, h = 8 + aid % 9, 8 + (aid * 3) % 9
+            y, x = np.mgrid[0:h, 0:w]
+            payload = encode_png((x + y).astype(np.uint8))
+        else:
+            wb, hb = 1 + aid % 3, 1 + (aid * 3) % 3
+            by, bx = np.mgrid[0:hb, 0:wb]
+            blocks = (aid % 200 + 7 * bx + 13 * by).astype(np.uint8)
+            img = blocks.repeat(8, axis=0).repeat(8, axis=1)
+            payload = encode_jpeg(img, quality=100)
+
+        if which == "dhash":
+            # == image_dhash inner loop (multimodal.py:281-308)
+            arr = decode_media(payload)
+            if arr.ndim < 2:
+                continue
+            g = (
+                arr.astype(np.int64).sum(axis=2)
+                if arr.ndim == 3
+                else arr.astype(np.int64)
+            )
+            h, w = g.shape
+            yi = (np.arange(8) * h) // 8
+            xi = (np.arange(9) * w) // 9
+            s = g[np.ix_(yi, xi)]
+            bits = (s[:, 1:] > s[:, :-1]).ravel()
+            weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+            u = int(weights[bits].sum(dtype=np.uint64))
+        else:
+            # == audio_fingerprint inner loop (multimodal.py:607-633)
+            if sniff_format(payload) != "wav":
+                continue
+            arr = decode_wav(payload)[0].astype(np.int64)
+            if arr.ndim == 2:
+                arr = arr.sum(axis=1)
+            n = arr.size
+            idx = (np.arange(66, dtype=np.int64) * n) // 65
+            cum = np.concatenate(([0], np.cumsum(arr)))
+            s = cum[idx[1:]] - cum[idx[:-1]]
+            bits = s[1:] > s[:-1]
+            weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+            u = int(weights[bits].sum(dtype=np.uint64))
+        per_asset[aid] = u - (1 << 64) if u >= (1 << 63) else u
+
+    # group + join-back (the query's groupBy/join, single-process)
+    groups: dict[int, list[int]] = {}
+    for a, hsh in per_asset.items():
+        g = groups.setdefault(hsh, [0, a])
+        g[0] += 1
+        g[1] = min(g[1], a)
+    _ = [(a, hsh, groups[hsh][0], groups[hsh][1]) for a, hsh in per_asset.items()]
+    return time.perf_counter() - t0
 
 
 def _cipher_docs(docs, k: int, n: int):
@@ -234,6 +345,26 @@ def main() -> None:
                 release_pinned()
                 return qs[qname](spark, data_dir)
 
+            if qname == "semantic_dedup":
+                from dagster_etl_spark.operators.dedup import semantic_dedup
+                from dagster_etl_spark.queries_llm import (
+                    SEMDEDUP_COS_T,
+                    _semantic_dedup_oracle,
+                )
+                from dagster_etl_spark.sources.fixtures import load_table
+
+                n_vecs = rows[f"x{k}"]["embeddings"]
+                nlist = _semantic_nlist(n_vecs)
+                oracle = _semantic_dedup_oracle(nlist=nlist)
+
+                def build(nlist=nlist, data_dir=data_dir):
+                    release_pinned()
+                    return semantic_dedup(
+                        load_table(spark, data_dir, "embeddings"),
+                        nlist=nlist,
+                        threshold=SEMDEDUP_COS_T,
+                    )
+
             con.execute(oracle).arrow()  # warm
             _noop(build())
             ducks: list[float] = []
@@ -255,6 +386,23 @@ def main() -> None:
                 "duck_spread_sec": round(max(ducks) - min(ducks), 3),
                 "spark_spread_sec": round(max(sparks) - min(sparks), 3),
             }
+            if qname in ("image_dhash_groups", "audio_fingerprint_groups"):
+                # the duck oracle is a closed form (no bytes), so its
+                # ratio is decode-vs-formula; pair these rows with a
+                # like-for-like single-process decode loop instead
+                which = "dhash" if qname == "image_dhash_groups" else "afp"
+                doc_ids = (
+                    con.execute("SELECT doc_id FROM documents")
+                    .fetchnumpy()["doc_id"]
+                )
+                py = _python_media_baseline(doc_ids, which)
+                row = result[qname][f"x{k}"]
+                row["python_single_sec"] = round(py, 3)
+                row["ratio_vs_python_decode"] = round(s / py, 3)
+                row["duck_ratio_note"] = (
+                    "duckdb side is a closed form of doc_id (no decode); "
+                    "quote ratio_vs_python_decode"
+                )
             print(
                 f"# {qname} x{k}: duck {d:.3f}s spark {s:.3f}s "
                 f"ratio {s / d:.2f}",
@@ -274,7 +422,12 @@ def main() -> None:
                 "noop-sink registered query with release_pinned between "
                 "builds; cipher axis = distinct copies (linear pair "
                 "growth), dup axis = identical copies (dedup workload), "
-                "embeddings rotated per copy",
+                "embeddings rotated per copy. Media rows (dhash/afp) "
+                "additionally carry python_single_sec: the SAME synth+"
+                "decode+hash+group loop in one Python process (same "
+                "codecs/numpy, no Spark) — the decode-to-decode "
+                "comparator; their duckdb_sec is a closed form of "
+                "doc_id (no bytes) and is kept for the trend only.",
                 "queries": result,
             }
         )
