@@ -792,6 +792,93 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    nlist: int = 16,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster the embeddings with a
+    coarse quantizer, compute pairwise cosine WITHIN each cluster
+    only, and drop every vector that has a semantic duplicate
+    (cosine >= threshold) of higher keep-priority. Keep-priority
+    follows the paper's best-performing policy: within a duplicate
+    pair the member LESS similar to its cluster centroid survives
+    (low-centroid-similarity representatives preserve diversity);
+    exact cent-cosine ties break on lower id.
+
+    Returns one row per input vector:
+    ``(id_col, bucket, cent_cosine, kept)``.
+
+    Scale shape: the quantizer is the deterministic hash quantizer
+    (similarity.hash_centroids — bounded nlist-row collect, oracle-
+    reproducible); assignment is a per-row fold expression; the only
+    shuffle is the within-bucket self-join, whose cost is
+    sum(bucket^2) — bounded by growing nlist with the corpus exactly
+    like IVF search (nlist ~ sqrt(N), see IncrementalANNIndex's
+    sizing rule). This within-cluster-pairwise structure is the
+    paper's own design; giant skewed clusters fall to AQE skew
+    handling, or compose with MinHash-LSH inside the cluster.
+    """
+    from dagster_etl_spark.operators.similarity import (
+        _topn_centroid_buckets_expr,
+        hash_centroids,
+    )
+
+    cents = hash_centroids(df, nlist, id_col=id_col, vec_col=vec_col)
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], ["bucket", "cv"]
+    ).selectExpr("bucket", "CAST(cv AS array<float>) AS cv")
+    bucket = f"{_topn_centroid_buckets_expr(vec_col, cents, 1)}[0]"
+    cent_cos = x.cosine(vec_col, "cv", dim, x.SPARK)
+    assigned = pin(
+        df.selectExpr(id_col, vec_col, f"{bucket} AS bucket")
+        .join(F.broadcast(cent_df), on="bucket")
+        .selectExpr(id_col, vec_col, "bucket", f"{cent_cos} AS cent_cosine")
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        "bucket",
+        F.col("cent_cosine").alias("_ca"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        "bucket",
+        F.col("cent_cosine").alias("_cb"),
+    )
+    pair_cos = x.cosine("_va", "_vb", dim, x.SPARK)
+    dropped = (
+        a.join(b, on="bucket")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(F.expr(f"{pair_cos} >= {threshold}"))
+        # the OTHER member wins: strictly smaller cent-cosine, or the
+        # smaller id on an exact tie
+        .filter(
+            (F.col("_cb") < F.col("_ca"))
+            | ((F.col("_cb") == F.col("_ca")) & (F.col("_idb") < F.col("_ida")))
+        )
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, on=id_col, how="left")
+        .select(
+            id_col,
+            "bucket",
+            "cent_cosine",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 # -- incremental near-dup index ------------------------------------------------
 
 class IncrementalNearDupIndex:

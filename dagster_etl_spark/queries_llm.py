@@ -260,6 +260,72 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_COS_T = 0.30  # fixture embeddings are near-random (max pair
+# cosine 0.51); real text embeddings use ~0.95+
+
+
+def _semantic_dedup_oracle(nlist: int = 16, threshold: float = SEMDEDUP_COS_T) -> str:
+    """Recompute the whole SemDeDup pass in SQL: hash-quantizer
+    centroid selection + max-dot assignment (identical CTEs to
+    _ivf_oracle), centroid cosine per vector, within-bucket duplicate
+    pairs, and the paper's keep rule (the pair member LESS similar to
+    its centroid survives; exact ties keep the lower id)."""
+    hh = x.h60("('ivfc:' || CAST(vec_id AS VARCHAR))", x.DUCK)
+    dot = x.dot_chain("e.embedding", "c.cv", EMB_DIM, x.DUCK)
+    ccos = x.cosine("e.embedding", "c.cv", EMB_DIM, x.DUCK)
+    pcos = x.cosine("p.embedding", "q.embedding", EMB_DIM, x.DUCK)
+    return f"""
+WITH cent AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+  FROM (SELECT embedding AS cv, vec_id, {hh} AS hh
+        FROM embeddings ORDER BY hh, vec_id LIMIT {nlist})
+), scored_all AS (
+  SELECT e.vec_id, c.cidx, {dot} AS d
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cidx AS bucket FROM (
+    SELECT vec_id, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx DESC) AS r
+    FROM scored_all
+  ) WHERE r = 1
+), a AS (
+  SELECT e.vec_id, e.embedding, s.bucket, {ccos} AS cent_cosine
+  FROM embeddings e
+  JOIN assign s USING (vec_id)
+  JOIN cent c ON c.cidx = s.bucket
+), dropped AS (
+  SELECT DISTINCT p.vec_id
+  FROM a p JOIN a q ON p.bucket = q.bucket AND p.vec_id <> q.vec_id
+  WHERE {pcos} >= {threshold}
+    AND (q.cent_cosine < p.cent_cosine
+         OR (q.cent_cosine = p.cent_cosine AND q.vec_id < p.vec_id))
+)
+SELECT a.vec_id, a.bucket, a.cent_cosine,
+       (d.vec_id IS NULL) AS kept
+FROM a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("llm", "dedup", "similarity"),
+    doc="SemDeDup (arXiv:2303.09540): coarse-quantizer clustering, "
+    "within-cluster pairwise cosine only, drop the duplicate-pair "
+    "member MORE similar to its centroid (diversity-preserving keep "
+    "rule). The oracle recomputes the entire pass — centroids, "
+    "max-dot assignment, within-bucket pairs, keep rule — bit-exact.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        threshold=SEMDEDUP_COS_T,
+    )
+
+
 def _lsh_oracle(planes: int = 4, tables: int = 8) -> str:
     """Exact DuckDB twin of the LSH search: the hyperplanes are md5-
     derived literals and the sign-test dot products execute the

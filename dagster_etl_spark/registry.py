@@ -169,6 +169,10 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "streaming_attribution_join",
     "asof_purchase_prior_view",
     "packed_sequences",
+    # mid-r12 registrations (ALLCHECK_r12-swept; no driver row yet)
+    "semantic_dedup",
+    "contamination_score",
+    "decontaminate_bloom_gate",
 )
 
 

@@ -693,3 +693,62 @@ def test_dedup_self_repeats(spark):
     assert got[1].text == "alpha\nSpam\nbeta\n\ngamma"
     assert got[1].n_lines == 7 and got[1].n_dropped == 2
     assert got[2].text == "spam\ndelta" and got[2].n_dropped == 0
+
+
+def test_semantic_dedup_matches_numpy_replica(spark):
+    """semantic_dedup (SemDeDup) vs an independent numpy recompute of
+    the whole pass on the sf0.001 (SF_SMALL) embeddings: same hash-quantizer
+    centroids, max-dot assignment, within-bucket pairs, and the
+    keep-the-least-centroid-similar rule."""
+    import hashlib
+
+    import numpy as np
+
+    from dagster_etl_spark.operators.dedup import semantic_dedup
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    got = {
+        r.vec_id: (r.bucket, r.cent_cosine, r.kept)
+        for r in semantic_dedup(emb, threshold=0.30).collect()
+    }
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([[float(v) for v in r.embedding] for r in rows])
+    # hash centroids: nlist smallest 60-bit md5('ivfc:' || id) prefixes
+    hh = np.array(
+        [int(hashlib.md5(f"ivfc:{i}".encode()).hexdigest()[:15], 16) for i in ids]
+    )
+    order = np.lexsort((ids, hh))[:16]
+    C = V[order]
+    dots = V @ C.T
+    bucket = np.argmax(dots, axis=1)  # ties: argmax picks LOWEST idx...
+    # ...but the operator ranks (score, idx) structs descending, so an
+    # exact-dot tie picks the HIGHEST idx; replicate with a reversed scan
+    bucket = (C.shape[0] - 1) - np.argmax(dots[:, ::-1], axis=1)
+    norms = np.linalg.norm(V, axis=1)
+    cnorm = np.linalg.norm(C, axis=1)
+    ccos = dots[np.arange(len(ids)), bucket] / (norms * cnorm[bucket])
+    kept = {}
+    for i, vid in enumerate(ids):
+        drop = False
+        for j, wid in enumerate(ids):
+            if i == j or bucket[i] != bucket[j]:
+                continue
+            pc = float(V[i] @ V[j]) / (norms[i] * norms[j])
+            if pc < 0.30:
+                continue
+            if (ccos[j] < ccos[i]) or (ccos[j] == ccos[i] and wid < vid):
+                drop = True
+                break
+        kept[int(vid)] = not drop
+
+    assert set(got) == {int(v) for v in ids}
+    n_dropped = sum(1 for k in kept.values() if not k)
+    assert n_dropped > 0, "fixture produced no semantic dups; lower the threshold"
+    for vid in kept:
+        b, cc, k = got[vid]
+        assert b == bucket[list(ids).index(vid)], (vid, b)
+        assert k == kept[vid], (vid, k, kept[vid])
