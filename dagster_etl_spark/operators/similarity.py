@@ -305,6 +305,182 @@ def quantized_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# -- product quantization (the 32x-memory ANN scale path) -------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: for each of ``m`` subspaces, the
+    ``ksub`` subvectors of the corpus vectors with smallest
+    md5('pqc{j}:' || id) hash — the same data-sampled quantizer trade
+    as :func:`hash_centroids` (KMeans codebooks cluster better; hash
+    codebooks make the ENTIRE compressed search oracle-reproducible
+    from the table alone). Per-subspace hashes differ, so the m
+    codebooks sample m independent vector subsets. Bounded collect:
+    m * ksub rows."""
+    ds = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        hh = x.h60(f"concat('pqc{j}:', CAST({id_col} AS STRING))", x.SPARK)
+        rows = (
+            corpus.selectExpr(
+                id_col, f"slice({vec_col}, {j * ds + 1}, {ds}) AS sub", f"{hh} AS _hh"
+            )
+            .orderBy("_hh", id_col)
+            .limit(ksub)
+            .collect()
+        )
+        books.append([[float(v) for v in r["sub"]] for r in rows])
+    return books
+
+
+def _pq_code_expr(vec_col: str, book: list[list[float]], j: int, ds: int) -> str:
+    """argmin-L2 codeword index for subspace ``j`` — explicit
+    per-codeword squared-distance chains packed into (d, i) structs,
+    ascending array_sort, take [0].i (exact ties pick the lower
+    index, mirrored by the oracle's ORDER BY d, cidx)."""
+    base = j * ds
+    entries = []
+    for i, w in enumerate(book):
+        terms = " + ".join(
+            f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
+            f"CAST({w[t]!r} AS DOUBLE)) * "
+            f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
+            f"CAST({w[t]!r} AS DOUBLE))"
+            for t in range(ds)
+        )
+        entries.append(f"named_struct('d', ({terms}), 'i', {i})")
+    return f"array_sort(array({', '.join(entries)}))[0].i"
+
+
+def pq_reconstruct_expr(code_cols: list[str], books: list[list[list[float]]]) -> str:
+    """64-dim reconstruction x-hat from the m stored codes: concat of
+    per-subspace codeword lookups against the codebook literals —
+    scan-local, no join (the codebooks are plan constants)."""
+    parts = []
+    for j, (col, book) in enumerate(zip(code_cols, books)):
+        lits = ", ".join(
+            "array(" + ", ".join(f"CAST({v!r} AS FLOAT)" for v in w) + ")"
+            for w in book
+        )
+        parts.append(f"element_at(array({lits}), {col} + 1)")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The compressed table: (id, code_0..code_{m-1}) — m small ints
+    per vector (~m bytes against dim*4 for float32: 32x at the 64-dim
+    fixture, 96x for a 1536-dim production embedding at m=16). This is
+    the table a 100 TB store actually keeps hot; full vectors stay on
+    cold storage for reranking."""
+    m = len(books)
+    ds = dim // m
+    exprs = [
+        f"{_pq_code_expr(vec_col, book, j, ds)} AS code_{j}"
+        for j, book in enumerate(books)
+    ]
+    return spread(corpus).selectExpr(id_col, *exprs)
+
+
+def pq_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search", TPAMI): each
+    corpus vector compresses to ``m`` codebook indices; search scores
+    cosine(query, reconstruction) — mathematically identical to the
+    classic ADC lookup-table sum (dot(q, x-hat) = sum_j dot(q_j,
+    codeword_j)), but expressed as one 64-dim cosine chain so Spark
+    and the DuckDB oracle execute the identical IEEE sequence.
+
+    Scale shape: the codebooks are plan literals; encoding and
+    reconstruction are scan-local expressions (no join, no shuffle);
+    the query side broadcasts as in every ANN variant here. The
+    memory story is the point: the hot table is m bytes/vector, so a
+    100 TB float32 store becomes ~3 TB of codes — compose with the
+    IVF bucketing (IncrementalANNIndex) for the standard IVF-PQ
+    layout where this dial matters most."""
+    books = pq_codebooks(corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, books, dim=dim, id_col=id_col, vec_col=vec_col)
+    recon = pq_reconstruct_expr([f"code_{j}" for j in range(m)], books)
+    c = codes.selectExpr(f"{id_col} AS neighbor_id", f"{recon} AS rv")
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv")
+    cos = x.cosine("qv", "rv", dim, x.SPARK)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{cos} AS pq_cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    rerank: int = 50,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-retrieve-then-exact-rerank — how PQ is actually deployed:
+    codes are lossy WITHIN a neighborhood (every member of a tight
+    cluster reconstructs to nearly the same x-hat, so the fine order
+    among them is noise), so production search takes the top
+    ``rerank`` PQ candidates and re-scores ONLY those against the
+    full float vectors. The expensive float table is touched for
+    rerank rows per query instead of the whole corpus — at 100 TB
+    that is the difference between scanning 3 TB of codes + point
+    lookups, and scanning 100 TB of floats.
+
+    Returns (query_id, neighbor_id, cosine, rank) with EXACT cosines
+    on the reranked top-k."""
+    cands = pq_cosine_topk(
+        queries, corpus, dim=dim, k=rerank, m=m, ksub=ksub,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    full = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv")
+    cos = x.cosine("qv", "cv", dim, x.SPARK)
+    scored = (
+        cands.join(full, on="neighbor_id")
+        .join(F.broadcast(q), on="query_id")
+        .selectExpr("query_id", "neighbor_id", f"{cos} AS cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # -- incremental ANN index -------------------------------------------------
 
 class IncrementalANNIndex:

@@ -474,6 +474,118 @@ def q_ivf_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(emb.filter("vec_id < 5"), k=10, nprobe=8)
 
 
+def _pq_oracle(m: int = 8, ksub: int = 16, k: int = 10) -> str:
+    """Recompute the ENTIRE PQ search in SQL: per-subspace codebook
+    selection (smallest md5 'pqc{j}:' hash), argmin-L2 encoding
+    (ties to the lower codeword index, like the Spark struct sort),
+    reconstruction via ORDER BY j list concat, and the same 64-dim
+    cosine chain over (query, x-hat)."""
+    ds = EMB_DIM // m
+    hh = x.h60("('pqc' || CAST(t.j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR))", x.DUCK)
+    dd = " + ".join(
+        f"(CAST(list_extract(e.embedding, cb.j*{ds} + {t + 1}) AS DOUBLE) - "
+        f"CAST(list_extract(cb.subvec, {t + 1}) AS DOUBLE)) * "
+        f"(CAST(list_extract(e.embedding, cb.j*{ds} + {t + 1}) AS DOUBLE) - "
+        f"CAST(list_extract(cb.subvec, {t + 1}) AS DOUBLE))"
+        for t in range(ds)
+    )
+    cos = x.cosine("q.embedding", "r.rv", EMB_DIM, x.DUCK)
+    return f"""
+WITH cb AS (
+  SELECT j, subvec, cidx FROM (
+    SELECT j, subvec,
+           ROW_NUMBER() OVER (PARTITION BY j ORDER BY hh, vec_id) - 1 AS cidx
+    FROM (
+      SELECT t.j, vec_id,
+             list_slice(embedding, t.j*{ds} + 1, (t.j + 1)*{ds}) AS subvec,
+             {hh} AS hh
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range({m})) AS j) t
+    )
+  ) WHERE cidx < {ksub}
+), dist AS (
+  SELECT e.vec_id, cb.j, cb.cidx, ({dd}) AS dd
+  FROM embeddings e CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT vec_id, j, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, cidx) AS r
+    FROM dist
+  ) WHERE r = 1
+), recon AS (
+  SELECT c.vec_id, flatten(list(cb.subvec ORDER BY c.j)) AS rv
+  FROM codes c JOIN cb ON cb.j = c.j AND cb.cidx = c.cidx
+  GROUP BY c.vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, {cos} AS pq_cosine
+  FROM embeddings q, recon r
+  WHERE q.vec_id < 5 AND q.vec_id <> r.vec_id
+)
+SELECT query_id, neighbor_id, pq_cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY pq_cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _pq_rerank_oracle(rerank: int = 50, k: int = 10) -> str:
+    """PQ retrieve (top-``rerank`` by reconstruction cosine) then
+    exact-cosine rerank — the deployment shape's oracle: reuse the
+    full PQ oracle as the candidate stage, then score candidates
+    against the float vectors with the standard cosine chain."""
+    inner = _pq_oracle(k=rerank)
+    cos = x.cosine("q.embedding", "n.embedding", EMB_DIM, x.DUCK)
+    return f"""
+WITH cand AS ({inner}),
+rescored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM rescored
+) WHERE rank <= {k}
+"""
+
+
+@register(
+    "pq_ann_rerank",
+    oracle=_pq_rerank_oracle(),
+    tags=("llm", "similarity", "sketch"),
+    doc="PQ retrieve-then-exact-rerank (the deployment shape): top-50 "
+    "by 8-byte-code reconstruction cosine, then exact float cosine on "
+    "those candidates only -- the float table is touched for 50 rows "
+    "per query instead of the whole corpus. Oracle recomputes both "
+    "stages.",
+)
+def q_pq_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import pq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_rerank_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10, rerank=50)
+
+
+@register(
+    "pq_ann_topk",
+    oracle=_pq_oracle(),
+    tags=("llm", "similarity", "sketch"),
+    doc="Product-quantized approximate cosine top-10 (Jegou et al. "
+    "2011): 8 subspaces x 16 hash-sampled codewords compress each "
+    "vector to 8 bytes (32x at dim 64); search scores cosine(query, "
+    "reconstruction) == the classic ADC sum, as one deterministic "
+    "64-dim chain. The oracle recomputes codebooks, argmin-L2 "
+    "encoding, reconstruction, and ranking bit-for-bit.",
+)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import pq_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+
+
 # hits (of k=10) each query's IVF result must share with the exact
 # top-10. Measured 5-10 per query at sf0.01 (stable across runs —
 # seeded KMeans on fixed data); 2 is the machinery-is-broken floor.

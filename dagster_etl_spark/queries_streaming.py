@@ -269,3 +269,40 @@ def q_streaming_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return streaming_weighted_sample(spark, sf_dir)
+
+
+def _streaming_decontam_oracle(n: int = 13) -> str:
+    """Batch truth for the streaming probe — identical to the batch
+    decontaminate_vs_benchmark oracle (the stream must reach the same
+    verdict set doc-for-doc)."""
+    from dagster_etl_spark.functions import xdialect as x
+
+    sh = x.let(x.tokens("text", x.DUCK), "_t", x.shingles("_t", n, x.DUCK), x.DUCK)
+    hashed = x.xform("_sh", "s", x.h60("s", x.DUCK), x.DUCK)
+    return f"""
+WITH corpus_g AS (
+  SELECT doc_id, unnest({hashed}) AS gh
+  FROM (SELECT doc_id, {sh} AS _sh FROM documents)
+), bench_g AS (
+  SELECT DISTINCT unnest({hashed}) AS gh
+  FROM (SELECT {sh} AS _sh FROM documents WHERE doc_id % 17 = 0)
+)
+SELECT DISTINCT doc_id FROM corpus_g
+WHERE gh IN (SELECT gh FROM bench_g)
+"""
+
+
+@register(
+    "streaming_decontaminate",
+    oracle=_streaming_decontam_oracle(),
+    tags=("streaming", "llm", "scrub"),
+    doc="Ingest-time 13-gram decontamination: a documents stream probes "
+    "the static broadcast benchmark-gram relation per micro-batch "
+    "(stream-static semi-join, stateless probe; dropDuplicates emits "
+    "each contaminated id once). Same oracle as the batch rule -- the "
+    "stream's verdict set must equal the batch verdict set.",
+)
+def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.decontaminate import streaming_decontaminate
+
+    return streaming_decontaminate(spark, sf_dir)

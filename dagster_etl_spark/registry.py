@@ -173,6 +173,9 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "semantic_dedup",
     "contamination_score",
     "decontaminate_bloom_gate",
+    "pq_ann_topk",
+    "pq_ann_rerank",
+    "streaming_decontaminate",
 )
 
 

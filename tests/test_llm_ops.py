@@ -752,3 +752,107 @@ def test_semantic_dedup_matches_numpy_replica(spark):
         b, cc, k = got[vid]
         assert b == bucket[list(ids).index(vid)], (vid, b)
         assert k == kept[vid], (vid, k, kept[vid])
+
+
+def test_pq_matches_numpy_replica(spark):
+    """pq_cosine_topk vs an independent numpy recompute of the whole
+    PQ pass on the sf0.001 embeddings: per-subspace hash codebooks,
+    argmin-L2 encoding (ties to lower index), reconstruction, cosine
+    ranking."""
+    import hashlib
+
+    import numpy as np
+
+    from dagster_etl_spark.operators.similarity import pq_cosine_topk
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.pq_cosine)
+        for r in pq_cosine_topk(emb.filter("vec_id < 5"), emb).collect()
+    }
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([[float(v) for v in r.embedding] for r in rows])
+    m, ksub, ds = 8, 16, 8
+    books = []
+    for j in range(m):
+        hh = np.array(
+            [
+                int(hashlib.md5(f"pqc{j}:{i}".encode()).hexdigest()[:15], 16)
+                for i in ids
+            ]
+        )
+        sel = np.lexsort((ids, hh))[:ksub]
+        books.append(V[sel, j * ds : (j + 1) * ds])
+    recon = np.empty_like(V)
+    for j in range(m):
+        sub = V[:, j * ds : (j + 1) * ds]
+        # argmin L2, ties to lower index (numpy argmin picks first)
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes = np.argmin(d2, axis=1)
+        recon[:, j * ds : (j + 1) * ds] = books[j][codes]
+    for qi in ids[ids < 5]:
+        q = V[list(ids).index(qi)]
+        cos = (recon @ q) / (
+            np.linalg.norm(recon, axis=1) * np.linalg.norm(q)
+        )
+        order = sorted(
+            ((float(-c), int(i)) for c, i in zip(cos, ids) if i != qi)
+        )[:10]
+        for rank, (negc, nid) in enumerate(order, start=1):
+            gnid, gcos = got[(qi, rank)]
+            assert gnid == nid, (qi, rank, gnid, nid)
+            assert abs(gcos - (-negc)) < 1e-9
+
+
+def test_pq_compresses_and_recalls_on_clustered(spark):
+    """The PQ design point: on clustered vectors (the test_ann_recall
+    regime) the 8-byte codes preserve cluster geometry — recall@10 vs
+    exact must clear a floor no random ranking could (random recall
+    at k=10/N=1280 is ~0.008). Also pins the compression claim: the
+    encoded table is m small ints per vector."""
+    import numpy as np
+
+    from dagster_etl_spark.operators.similarity import (
+        cosine_topk,
+        pq_codebooks,
+        pq_cosine_topk,
+        pq_encode,
+    )
+
+    rng = np.random.default_rng(99)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers.repeat(80, axis=0) + 0.08 * rng.normal(size=(1280, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    queries = corpus.filter("vec_id % 107 = 0").cache()
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, corpus, dim=64, k=10).collect()
+    }
+    approx = pq_cosine_topk(queries, corpus, dim=64, k=10).collect()
+    recall = sum((r.query_id, r.neighbor_id) in exact for r in approx) / len(exact)
+    # pure PQ is lossy WITHIN a tight cluster (members reconstruct to
+    # near-identical x-hat, so the fine order among them is noise):
+    # measured 0.22 here vs 0.008 random — the floor checks the codes
+    # preserve COARSE geometry; fine order is the rerank stage's job
+    assert recall >= 0.15, f"PQ recall {recall:.3f} below the clustered floor"
+
+    # retrieve-then-rerank (the deployment shape): exact scores on the
+    # top-50 PQ candidates recover nearly all true neighbors
+    from dagster_etl_spark.operators.similarity import pq_rerank_topk
+
+    rer = pq_rerank_topk(queries, corpus, dim=64, k=10, rerank=50).collect()
+    rrecall = sum((r.query_id, r.neighbor_id) in exact for r in rer) / len(exact)
+    assert rrecall >= 0.8, f"PQ+rerank recall {rrecall:.3f} below floor"
+
+    codes = pq_encode(corpus, pq_codebooks(corpus))
+    assert codes.columns == ["vec_id"] + [f"code_{j}" for j in range(8)]

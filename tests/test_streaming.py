@@ -579,3 +579,37 @@ def test_watermark_evicts_expired_session_state(spark, tmp_path):
         )
     finally:
         spark.catalog.dropTempView(name)
+
+
+def test_streaming_decontaminate_equals_batch(spark, tmp_path):
+    """The ingest-time 13-gram probe must reach the batch verdict set
+    doc-for-doc, including when the corpus arrives across multiple
+    micro-batches (each batch probes the same static benchmark; the
+    id-dedup state stitches re-sightings)."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.scrub import contaminated_ids
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.decontaminate import contaminated_stream
+    from dagster_etl_spark.streaming.windowed import run_stream_to_batch
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bench = docs.filter("doc_id % 17 = 0")
+    split_dir = str(tmp_path / "docs_stream")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(split_dir)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+    )
+    got = {
+        r.doc_id
+        for r in run_stream_to_batch(
+            contaminated_stream(stream, bench), mode="append"
+        ).collect()
+    }
+    want = {r.doc_id for r in contaminated_ids(docs, bench).collect()}
+    assert got == want
+    assert want, "fixture produced no contaminated docs"
