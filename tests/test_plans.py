@@ -69,6 +69,15 @@ AUDITED = [
     "quantized_ann_topk",
     "dedup_lines",
     "url_dedup",
+    # r12 registrations (pure expression trees, no Python anywhere):
+    # semantic_dedup and the PQ pair do bounded centroid/codebook
+    # collects on build (like ivf) but plan as expressions; the bloom
+    # gate's corpus probe must stay broadcast-join-only
+    "semantic_dedup",
+    "contamination_score",
+    "decontaminate_bloom_gate",
+    "pq_ann_topk",
+    "pq_ann_rerank",
     # r6 sweep widening: every remaining batch query that is cheap to
     # plan (excluded: streaming — executes on build; ivf/dedup_clusters/
     # dedup_survivors — iterative fit or CC jobs on build; media_* —

@@ -103,6 +103,12 @@ QUERIES: dict[str, str] = {
     "contamination_score": "cipher",
     "decontaminate_bloom_gate": "cipher",
     "semantic_dedup": "cipher",
+    # PQ rides the rotated embeddings; codebooks/encode are plan
+    # constants + scan-local expressions, so the axis measures the
+    # encode+score scan (the rerank variant adds the bounded
+    # candidate join)
+    "pq_ann_topk": "cipher",
+    "pq_ann_rerank": "cipher",
 }
 
 
