@@ -324,18 +324,30 @@ def pq_codebooks(
     codebooks sample m independent vector subsets. Bounded collect:
     m * ksub rows."""
     ds = dim // m
-    books: list[list[list[float]]] = []
+    # ONE corpus scan for all m codebooks (not m scans): explode each
+    # vector into its m (j, hash, subvector) candidates, per-j window
+    # top-ksub, bounded m*ksub-row collect. At 100 TB the difference
+    # between 1 scan and m scans is the whole cost of this step.
+    parts = []
     for j in range(m):
         hh = x.h60(f"concat('pqc{j}:', CAST({id_col} AS STRING))", x.SPARK)
-        rows = (
-            corpus.selectExpr(
-                id_col, f"slice({vec_col}, {j * ds + 1}, {ds}) AS sub", f"{hh} AS _hh"
-            )
-            .orderBy("_hh", id_col)
-            .limit(ksub)
-            .collect()
+        parts.append(
+            f"named_struct('j', {j}, 'hh', {hh}, "
+            f"'sub', slice({vec_col}, {j * ds + 1}, {ds}))"
         )
-        books.append([[float(v) for v in r["sub"]] for r in rows])
+    stack = ", ".join(parts)
+    w = Window.partitionBy("j").orderBy("hh", id_col)
+    rows = (
+        corpus.selectExpr(id_col, f"explode(array({stack})) AS s")
+        .select(id_col, "s.j", "s.hh", "s.sub")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= ksub)
+        .orderBy("j", "_r")
+        .collect()
+    )
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["j"]].append([float(v) for v in r["sub"]])
     return books
 
 
