@@ -259,6 +259,21 @@ EXCHANGE_BUDGET = {
     "gopher_quality_flags": 1,
     "ngram_jaccard_pairs": 3,
     "embedding_neardup": 0,
+    # r12: semantic_dedup = assignment window (1) + within-bucket pair
+    # join (2 sides) + dropped-distinct (2 partial/final) + kept join
+    # side shuffles; budget is the measured count at SF_SMALL.
+    "semantic_dedup": 7,
+    # corpus-gram distinct (2) + per-doc aggregate (1) + all-docs left
+    # join side (1); the benchmark side broadcasts
+    "contamination_score": 4,
+    # the gate runs BOTH paths (bloom build aggregate, exact distinct,
+    # two id-distincts, full-outer join, final single-row agg); the
+    # bloom PROBE itself contributes zero corpus exchanges
+    # (test_bloom_probe_plan_has_no_corpus_shuffle pins that)
+    "decontaminate_bloom_gate": 10,
+    # broadcast query side: only the top-k window shuffles (+AQE read)
+    "pq_ann_topk": 2,
+    "pq_ann_rerank": 2,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the
@@ -271,6 +286,16 @@ BUILD_JOB_BUDGET = {
     "priority_wip_join": 3,
     "curation_pipeline": 2,
     "validation_report": 3,
+    # bounded build-time actions, documented per operator: the
+    # hash-quantizer centroid collect (semantic_dedup), the one-pass
+    # m*ksub codebook collect (pq_*; orderBy+window = multi-job under
+    # AQE), and the bloom gate's n_corpus count for its in-query
+    # over-removal bound
+    "semantic_dedup": 2,
+    "contamination_score": 1,
+    "decontaminate_bloom_gate": 3,
+    "pq_ann_topk": 4,
+    "pq_ann_rerank": 4,
 }
 
 
