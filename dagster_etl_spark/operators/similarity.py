@@ -506,6 +506,92 @@ def pq_rerank_topk(
     )
 
 
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with exact rerank — the standard production ANN layout
+    (FAISS's IndexIVFPQ shape), composed from the two index structures
+    this engine already ships: the IVF coarse quantizer restricts each
+    query to ``nprobe`` of ``nlist`` inverted lists (search touches
+    nprobe/nlist of the corpus), PQ codes compress what those lists
+    store to ``m`` bytes per vector (ADC scoring against
+    reconstructions), and the final ``rerank`` candidates are rescored
+    against the full float vectors. At 100 TB this is the whole
+    serving story in one plan: the hot state is nlist centroid rows +
+    m-byte codes bucketed by list; the float table is touched for
+    rerank rows per query.
+
+    Both quantizers are the deterministic hash-sampled kind
+    (hash_centroids / pq_codebooks), so the ENTIRE three-stage search
+    is recomputable in SQL — the registered query's oracle does
+    exactly that. Returns (query_id, neighbor_id, cosine, rank) with
+    EXACT cosines on the reranked top-k."""
+    cents = hash_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks(corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col)
+    ds = dim // m
+    bucket = f"{_topn_centroid_buckets_expr(vec_col, cents, 1)}[0]"
+    code_exprs = [
+        f"{_pq_code_expr(vec_col, book, j, ds)} AS code_{j}"
+        for j, book in enumerate(books)
+    ]
+    codes = spread(corpus).selectExpr(
+        id_col, f"{bucket} AS bucket", *code_exprs
+    )
+    recon = pq_reconstruct_expr([f"code_{j}" for j in range(m)], books)
+    c = codes.selectExpr(
+        f"{id_col} AS neighbor_id", "bucket", f"{recon} AS rv"
+    ).selectExpr(
+        "neighbor_id", "bucket", "rv", f"{x.norm_fold('rv', x.SPARK)} AS rn"
+    )
+    probe = _topn_centroid_buckets_expr("qv", cents, nprobe)
+    q = (
+        queries.selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv")
+        .selectExpr("query_id", "qv", f"{x.norm_fold('qv', x.SPARK)} AS qn")
+        .selectExpr("query_id", "qv", "qn", f"explode({probe}) AS bucket")
+    )
+    adc = f"({x.dot_fold('qv', 'rv', x.SPARK)} / nullif(qn * rn, 0.0d))"
+    scored = (
+        F.broadcast(q)
+        .join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{adc} AS adc")
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    full = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qf = queries.selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv2")
+    cos = x.cosine("qv2", "cv", dim, x.SPARK)
+    rescored = (
+        cands.join(full, on="neighbor_id")
+        .join(F.broadcast(qf), on="query_id")
+        .selectExpr("query_id", "neighbor_id", f"{cos} AS cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # -- incremental ANN index -------------------------------------------------
 
 class IncrementalANNIndex:

@@ -586,6 +586,118 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
 
 
+def _ivf_pq_oracle(
+    nlist: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 50,
+    k: int = 10,
+) -> str:
+    """The ENTIRE three-stage IVF-PQ search in SQL: IVF centroid
+    selection + max-dot list assignment + nprobe probing (the
+    _ivf_oracle CTEs), PQ codebooks + argmin-L2 codes +
+    reconstruction (the _pq_oracle CTEs), ADC scoring restricted to
+    the probed lists, top-``rerank`` candidates, exact-cosine rerank,
+    final top-k."""
+    ds = EMB_DIM // m
+    ihh = x.h60("('ivfc:' || CAST(vec_id AS VARCHAR))", x.DUCK)
+    idot = x.dot_chain("e.embedding", "c.cv", EMB_DIM, x.DUCK)
+    phh = x.h60("('pqc' || CAST(t.j AS VARCHAR) || ':' || CAST(vec_id AS VARCHAR))", x.DUCK)
+    dd = " + ".join(
+        f"(CAST(list_extract(e.embedding, cb.j*{ds} + {t + 1}) AS DOUBLE) - "
+        f"CAST(list_extract(cb.subvec, {t + 1}) AS DOUBLE)) * "
+        f"(CAST(list_extract(e.embedding, cb.j*{ds} + {t + 1}) AS DOUBLE) - "
+        f"CAST(list_extract(cb.subvec, {t + 1}) AS DOUBLE))"
+        for t in range(ds)
+    )
+    adc = x.cosine("q.embedding", "r.rv", EMB_DIM, x.DUCK)
+    cos = x.cosine("q2.embedding", "n.embedding", EMB_DIM, x.DUCK)
+    return f"""
+WITH icent AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cidx
+  FROM (SELECT embedding AS cv, vec_id, {ihh} AS hh
+        FROM embeddings ORDER BY hh, vec_id LIMIT {nlist})
+), iscored AS (
+  SELECT e.vec_id, c.cidx, {idot} AS d
+  FROM embeddings e CROSS JOIN icent c
+), iranked AS (
+  SELECT vec_id, cidx,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx DESC) AS r
+  FROM iscored
+), iassign AS (
+  SELECT vec_id, cidx AS bucket FROM iranked WHERE r = 1
+), iprobe AS (
+  SELECT vec_id AS query_id, cidx AS bucket
+  FROM iranked WHERE r <= {nprobe} AND vec_id < 5
+), cb AS (
+  SELECT j, subvec, cidx FROM (
+    SELECT j, subvec,
+           ROW_NUMBER() OVER (PARTITION BY j ORDER BY hh, vec_id) - 1 AS cidx
+    FROM (
+      SELECT t.j, vec_id,
+             list_slice(embedding, t.j*{ds} + 1, (t.j + 1)*{ds}) AS subvec,
+             {phh} AS hh
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range({m})) AS j) t
+    )
+  ) WHERE cidx < {ksub}
+), dist AS (
+  SELECT e.vec_id, cb.j, cb.cidx, ({dd}) AS dd
+  FROM embeddings e CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, j, cidx FROM (
+    SELECT vec_id, j, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, cidx) AS r
+    FROM dist
+  ) WHERE r = 1
+), recon AS (
+  SELECT c.vec_id, flatten(list(cb.subvec ORDER BY c.j)) AS rv
+  FROM codes c JOIN cb ON cb.j = c.j AND cb.cidx = c.cidx
+  GROUP BY c.vec_id
+), adc_scored AS (
+  SELECT p.query_id, r.vec_id AS neighbor_id, {adc} AS adc
+  FROM iprobe p
+  JOIN iassign a ON a.bucket = p.bucket
+  JOIN recon r ON r.vec_id = a.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS cr
+    FROM adc_scored
+  ) WHERE cr <= {rerank}
+), rescored AS (
+  SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
+  FROM cand
+  JOIN embeddings q2 ON q2.vec_id = cand.query_id
+  JOIN embeddings n ON n.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM rescored
+) WHERE rank <= {k}
+"""
+
+
+@register(
+    "ivf_pq_ann_topk",
+    oracle=_ivf_pq_oracle(),
+    tags=("llm", "similarity", "sketch"),
+    doc="IVF-PQ with exact rerank (the FAISS IndexIVFPQ production "
+    "shape) composed from the engine's two deterministic index "
+    "structures: nprobe/nlist list restriction, 8-byte ADC scoring "
+    "within the probed lists, exact float rerank of 50 candidates. "
+    "The oracle recomputes all three stages bit-for-bit.",
+)
+def q_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+
+
 # hits (of k=10) each query's IVF result must share with the exact
 # top-10. Measured 5-10 per query at sf0.01 (stable across runs —
 # seeded KMeans on fixed data); 2 is the machinery-is-broken floor.

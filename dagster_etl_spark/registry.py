@@ -175,6 +175,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "decontaminate_bloom_gate",
     "pq_ann_topk",
     "pq_ann_rerank",
+    "ivf_pq_ann_topk",
     "streaming_decontaminate",
 )
 

@@ -856,3 +856,32 @@ def test_pq_compresses_and_recalls_on_clustered(spark):
 
     codes = pq_encode(corpus, pq_codebooks(corpus))
     assert codes.columns == ["vec_id"] + [f"code_{j}" for j in range(8)]
+
+
+def test_ivf_pq_recall_on_clustered(spark):
+    """IVF-PQ + exact rerank on clustered vectors (the deployment
+    shape end-to-end): probing half the lists and rescoring 50
+    candidates must recover nearly all true neighbors — the PQ codes
+    only need to get the right candidates INTO the rerank window."""
+    import numpy as np
+
+    from dagster_etl_spark.operators.similarity import cosine_topk, ivf_pq_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers.repeat(80, axis=0) + 0.08 * rng.normal(size=(1280, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    queries = corpus.filter("vec_id % 107 = 0").cache()
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, corpus, dim=64, k=10).collect()
+    }
+    got = ivf_pq_topk(queries, corpus, dim=64, k=10, nprobe=8).collect()
+    recall = sum((r.query_id, r.neighbor_id) in exact for r in got) / len(exact)
+    assert recall >= 0.7, f"IVF-PQ+rerank recall {recall:.3f} below floor"

@@ -274,6 +274,9 @@ EXCHANGE_BUDGET = {
     # broadcast query side: only the top-k window shuffles (+AQE read)
     "pq_ann_topk": 2,
     "pq_ann_rerank": 2,
+    # list-restricted ADC + candidate window + rerank window; both
+    # join build sides broadcast
+    "ivf_pq_ann_topk": 2,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the
@@ -296,6 +299,8 @@ BUILD_JOB_BUDGET = {
     "decontaminate_bloom_gate": 3,
     "pq_ann_topk": 4,
     "pq_ann_rerank": 4,
+    # centroid collect + one-pass codebook collect (multi-job under AQE)
+    "ivf_pq_ann_topk": 6,
 }
 
 

@@ -109,6 +109,7 @@ QUERIES: dict[str, str] = {
     # candidate join)
     "pq_ann_topk": "cipher",
     "pq_ann_rerank": "cipher",
+    "ivf_pq_ann_topk": "cipher",
 }
 
 
