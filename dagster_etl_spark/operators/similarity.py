@@ -751,3 +751,219 @@ class IncrementalANNIndex:
     def drop(self) -> None:
         for t in (self.centroids_table, self.vectors_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class IncrementalIVFPQIndex:
+    """Daily-cadence IVF-PQ — the incremental form of :func:`ivf_pq_topk`
+    and the fourth member of the incremental family (next to
+    BucketedPipeline, IncrementalNearDupIndex, IncrementalANNIndex):
+    a production embedding store is IVF-PQ (FAISS IndexIVFPQ) AND
+    grows by a slice per day, so the daily unit of work must be
+    O(new slice). Both quantizers FREEZE at init — the IVF coarse
+    centroids (hash_centroids) and the m per-subspace PQ codebooks
+    (pq_codebooks), both sampled from the init slice — and every
+    append touches ONLY its own vectors: assign a list, encode m
+    codes, append to the bucket-bucketed codes table. Because encode
+    is a pure function of the frozen state, the accumulated index is
+    IDENTICAL regardless of slicing (property-tested: accumulated ==
+    one-shot), the same invariant the other incremental surfaces pin.
+
+    State = three catalog tables:
+
+    * ``{name}_ivfpq_centroids`` (cidx, cv) — nlist rows, written once;
+    * ``{name}_ivfpq_codebooks`` (j, cidx, subvec) — m*ksub rows, once;
+    * ``{name}_ivfpq_codes`` (id, bucket, code_0..code_{m-1}) —
+      bucketed by ``bucket``; the HOT state, m small ints per vector
+      (~8 bytes against dim*4 float32) — what a 100 TB store keeps
+      resident while the float vectors live cold.
+
+    Search probes nprobe lists, ADC-scores the stored codes against
+    reconstructions (codebooks are a bounded m*ksub collect, turned
+    into plan literals), and — given a ``rerank_source`` (the cold
+    float table) — exact-reranks the top candidates. Fully
+    SQL-recomputable: the registered query's oracle restricts BOTH
+    quantizer pools to the init slice and replays all three stages.
+    """
+
+    def __init__(
+        self,
+        spark,
+        name: str,
+        dim: int = 64,
+        nlist: int = 16,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        num_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.centroids_table = f"{name}_ivfpq_centroids"
+        self.codebooks_table = f"{name}_ivfpq_codebooks"
+        self.codes_table = f"{name}_ivfpq_codes"
+        self.dim = dim
+        self.nlist = nlist
+        self.m = m
+        self.ksub = ksub
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.num_buckets = num_buckets
+
+    # -- frozen state (bounded collects: nlist + m*ksub rows) --
+
+    def _centroids(self) -> list[list[float]]:
+        rows = self.spark.table(self.centroids_table).orderBy("cidx").collect()
+        return [[float(v) for v in r["cv"]] for r in rows]
+
+    def _books(self) -> list[list[list[float]]]:
+        rows = (
+            self.spark.table(self.codebooks_table)
+            .orderBy("j", "cidx")
+            .collect()
+        )
+        books: list[list[list[float]]] = [[] for _ in range(self.m)]
+        for r in rows:
+            books[r["j"]].append([float(v) for v in r["subvec"]])
+        return books
+
+    def init(self, vectors: DataFrame) -> None:
+        """Freeze both quantizers on the first slice and ingest it."""
+        from dagster_etl_spark.sources.bucketed import write_bucketed
+        from dagster_etl_spark.sources.lake import delete_path
+
+        self.drop()
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        for t in (self.centroids_table, self.codebooks_table):
+            delete_path(self.spark, f"{warehouse}/{t.lower()}")
+        cents = hash_centroids(
+            vectors, self.nlist, id_col=self.id_col, vec_col=self.vec_col
+        )
+        self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], ["cidx", "cv"]
+        ).selectExpr("cidx", "CAST(cv AS array<float>) AS cv").write.saveAsTable(
+            self.centroids_table
+        )
+        books = pq_codebooks(
+            vectors, m=self.m, ksub=self.ksub, dim=self.dim,
+            id_col=self.id_col, vec_col=self.vec_col,
+        )
+        self.spark.createDataFrame(
+            [(j, i, w) for j, book in enumerate(books) for i, w in enumerate(book)],
+            ["j", "cidx", "subvec"],
+        ).selectExpr(
+            "j", "cidx", "CAST(subvec AS array<float>) AS subvec"
+        ).write.saveAsTable(self.codebooks_table)
+        write_bucketed(
+            self._encode(vectors, cents, books),
+            self.codes_table,
+            ["bucket"],
+            num_buckets=self.num_buckets,
+        )
+
+    def _encode(self, vectors: DataFrame, cents, books) -> DataFrame:
+        """List assignment + m PQ codes for a slice — one scan-local
+        projection against the frozen-state literals."""
+        ds = self.dim // self.m
+        bucket = f"{_topn_centroid_buckets_expr(self.vec_col, cents, 1)}[0]"
+        code_exprs = [
+            f"{_pq_code_expr(self.vec_col, book, j, ds)} AS code_{j}"
+            for j, book in enumerate(books)
+        ]
+        return spread(vectors).selectExpr(
+            self.id_col, f"{bucket} AS bucket", *code_exprs
+        )
+
+    def append(self, vectors: DataFrame) -> None:
+        """Ingest a slice: encode ONLY the new rows against the frozen
+        quantizers and append into the bucketed codes layout."""
+        from dagster_etl_spark.sources.bucketed import append_bucketed
+
+        append_bucketed(
+            self._encode(vectors, self._centroids(), self._books()),
+            self.codes_table,
+        )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 8,
+        rerank: int = 50,
+        rerank_source: DataFrame | None = None,
+    ) -> DataFrame:
+        """IVF-PQ search over everything ingested so far. With
+        ``rerank_source`` (the cold float table) the top ``rerank``
+        ADC candidates are exact-rescored; without it the ADC ranking
+        itself is returned (columns query_id, neighbor_id, adc/cosine,
+        rank)."""
+        cents = self._centroids()
+        books = self._books()
+        self.spark.catalog.refreshTable(self.codes_table)
+        recon = pq_reconstruct_expr(
+            [f"code_{j}" for j in range(self.m)], books
+        )
+        c = (
+            self.spark.table(self.codes_table)
+            .selectExpr(
+                f"{self.id_col} AS neighbor_id", "bucket", f"{recon} AS rv"
+            )
+            .selectExpr(
+                "neighbor_id", "bucket", "rv",
+                f"{x.norm_fold('rv', x.SPARK)} AS rn",
+            )
+        )
+        probe = _topn_centroid_buckets_expr("qv", cents, nprobe)
+        q = (
+            queries.selectExpr(f"{self.id_col} AS query_id", f"{self.vec_col} AS qv")
+            .selectExpr("query_id", "qv", f"{x.norm_fold('qv', x.SPARK)} AS qn")
+            .selectExpr("query_id", "qv", "qn", f"explode({probe}) AS bucket")
+        )
+        adc = f"({x.dot_fold('qv', 'rv', x.SPARK)} / nullif(qn * rn, 0.0d))"
+        scored = (
+            F.broadcast(q)
+            .join(c, on="bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .selectExpr("query_id", "neighbor_id", f"{adc} AS adc")
+        )
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("adc").desc(), F.col("neighbor_id")
+        )
+        if rerank_source is None:
+            return (
+                scored.withColumn("rank", F.row_number().over(wc))
+                .filter(F.col("rank") <= k)
+            )
+        cands = (
+            scored.withColumn("crank", F.row_number().over(wc))
+            .filter(F.col("crank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        full = rerank_source.select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("cv"),
+        )
+        qf = queries.selectExpr(
+            f"{self.id_col} AS query_id", f"{self.vec_col} AS qv2"
+        )
+        cos = x.cosine("qv2", "cv", self.dim, x.SPARK)
+        rescored = (
+            cands.join(full, on="neighbor_id")
+            .join(F.broadcast(qf), on="query_id")
+            .selectExpr("query_id", "neighbor_id", f"{cos} AS cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return rescored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Collapse the per-append code files (spec preserved)."""
+        from dagster_etl_spark.sources.bucketed import compact_bucketed
+
+        return {self.codes_table: compact_bucketed(self.spark, self.codes_table)}
+
+    def drop(self) -> None:
+        for t in (self.centroids_table, self.codebooks_table, self.codes_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")

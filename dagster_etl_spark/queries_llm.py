@@ -593,13 +593,16 @@ def _ivf_pq_oracle(
     ksub: int = 16,
     rerank: int = 50,
     k: int = 10,
+    pool_where: str = "",
 ) -> str:
     """The ENTIRE three-stage IVF-PQ search in SQL: IVF centroid
     selection + max-dot list assignment + nprobe probing (the
     _ivf_oracle CTEs), PQ codebooks + argmin-L2 codes +
     reconstruction (the _pq_oracle CTEs), ADC scoring restricted to
     the probed lists, top-``rerank`` candidates, exact-cosine rerank,
-    final top-k."""
+    final top-k. ``pool_where`` restricts BOTH quantizer candidate
+    pools (the incremental index freezes centroids AND codebooks on
+    its init slice)."""
     ds = EMB_DIM // m
     ihh = x.h60("('ivfc:' || CAST(vec_id AS VARCHAR))", x.DUCK)
     idot = x.dot_chain("e.embedding", "c.cv", EMB_DIM, x.DUCK)
@@ -617,7 +620,7 @@ def _ivf_pq_oracle(
 WITH icent AS (
   SELECT cv, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cidx
   FROM (SELECT embedding AS cv, vec_id, {ihh} AS hh
-        FROM embeddings ORDER BY hh, vec_id LIMIT {nlist})
+        FROM embeddings {pool_where} ORDER BY hh, vec_id LIMIT {nlist})
 ), iscored AS (
   SELECT e.vec_id, c.cidx, {idot} AS d
   FROM embeddings e CROSS JOIN icent c
@@ -638,7 +641,8 @@ WITH icent AS (
       SELECT t.j, vec_id,
              list_slice(embedding, t.j*{ds} + 1, (t.j + 1)*{ds}) AS subvec,
              {phh} AS hh
-      FROM embeddings CROSS JOIN (SELECT UNNEST(range({m})) AS j) t
+      FROM (SELECT * FROM embeddings {pool_where}) pool
+      CROSS JOIN (SELECT UNNEST(range({m})) AS j) t
     )
   ) WHERE cidx < {ksub}
 ), dist AS (
@@ -679,6 +683,39 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM rescored
 ) WHERE rank <= {k}
 """
+
+
+@register(
+    "ivf_pq_ann_incremental",
+    oracle=_ivf_pq_oracle(pool_where="WHERE vec_id % 3 = 0"),
+    tags=("llm", "similarity", "sketch", "layout", "incremental"),
+    doc="Daily-cadence IVF-PQ (operators/similarity.py "
+    "IncrementalIVFPQIndex): BOTH quantizers freeze on the init slice "
+    "(vec_id % 3 = 0) -- IVF centroids and all m PQ codebooks -- so "
+    "each append encodes only its own vectors into the bucketed "
+    "8-byte-code table; search probes the standing codes and exact- "
+    "reranks against the cold float table. The oracle restricts both "
+    "quantizer pools to the init slice and replays all three stages.",
+)
+def q_ivf_pq_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN layout's growth path as a hash-gated query:
+    retraining either quantizer per ingest is the O(corpus) daily
+    cost a 100 TB store can't pay. Rebuilt from scratch each call
+    (correctness surface; same discipline as the other incremental
+    queries)."""
+    import hashlib
+
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IncrementalIVFPQIndex(spark, f"ivfpq_inc_{sfx}", dim=EMB_DIM)
+    idx.init(emb.filter("vec_id % 3 = 0"))
+    idx.append(emb.filter("vec_id % 3 = 1"))
+    idx.append(emb.filter("vec_id % 3 = 2"))
+    return idx.topk(
+        emb.filter("vec_id < 5"), k=10, nprobe=8, rerank=50, rerank_source=emb
+    )
 
 
 @register(

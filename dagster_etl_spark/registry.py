@@ -176,6 +176,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "pq_ann_topk",
     "pq_ann_rerank",
     "ivf_pq_ann_topk",
+    "ivf_pq_ann_incremental",
     "streaming_decontaminate",
 )
 

@@ -128,3 +128,42 @@ def test_recall_floor_vs_exact(ann_env):
             & {n for a, n in exact if a == qid}
         )
         assert hits >= 2, f"query {qid}: only {hits} of exact top-10 found"
+
+
+def test_ivfpq_incremental_slicing_invariance(spark):
+    """IncrementalIVFPQIndex: because BOTH quantizers freeze at init
+    and encode is a pure function of the frozen state, the accumulated
+    index — and therefore search — is identical regardless of how the
+    post-init corpus was sliced. Two different slicings of the same
+    corpus (same init slice) must return the exact same top-k."""
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter("vec_id < 5")
+
+    def run(name: str, slices) -> set:
+        idx = IncrementalIVFPQIndex(spark, name)
+        idx.init(emb.filter("vec_id % 3 = 0"))
+        for cond in slices:
+            idx.append(emb.filter(cond))
+        got = {
+            (r.query_id, r.rank, r.neighbor_id, r.cosine)
+            for r in idx.topk(q, k=10, rerank_source=emb).collect()
+        }
+        idx.drop()
+        return got
+
+    two = run("ivfpq_s2", ["vec_id % 3 = 1", "vec_id % 3 = 2"])
+    four = run(
+        "ivfpq_s4",
+        [
+            "vec_id % 3 = 1 AND vec_id % 2 = 0",
+            "vec_id % 3 = 1 AND vec_id % 2 = 1",
+            "vec_id % 3 = 2 AND vec_id % 2 = 0",
+            "vec_id % 3 = 2 AND vec_id % 2 = 1",
+        ],
+    )
+    assert two == four
+    assert len(two) == 50
