@@ -1,4 +1,4 @@
-"""Multi-day cadence soak for the incremental trilogy (r11 verdict
+"""Multi-day cadence soak for the incremental surfaces (r11 verdict
 task 2): SCALETREND_INGEST_r11 proved THREE ingests are flat; a daily
 pipeline runs 30+. This simulates ~30 date-sliced ingests on each
 surface with compact() interleaved every 7 slices — the realistic
@@ -27,7 +27,10 @@ scale_trend_ingest.py):
 * IncrementalNearDupIndex.ingest — one ciphered documents copy per
   day (5k docs);
 * IncrementalANNIndex.append — one rotated embeddings copy per day
-  (2k vectors).
+  (2k vectors);
+* IncrementalIVFPQIndex.append (r12, the 4th incremental surface) —
+  the same rotated embeddings slice encoded against the frozen
+  IVF+PQ quantizers into the bucketed 8-byte-code table.
 
 Usage: python tools/cadence_soak.py [sf_dir] [days] [compact_every]
 Defaults: /root/testdata/sf0.1, 30 days, compact every 7.
@@ -92,7 +95,10 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from dagster_etl_spark.operators.dedup import IncrementalNearDupIndex
-    from dagster_etl_spark.operators.similarity import IncrementalANNIndex
+    from dagster_etl_spark.operators.similarity import (
+        IncrementalANNIndex,
+        IncrementalIVFPQIndex,
+    )
     from dagster_etl_spark.session import get_spark
     from dagster_etl_spark.sources.bucketed import (
         BucketedPipeline,
@@ -118,6 +124,7 @@ def main() -> None:
     nd = IncrementalNearDupIndex(spark, "soak_nd")
     nd.drop()
     ann = IncrementalANNIndex(spark, "soak_ann")
+    ivfpq = IncrementalIVFPQIndex(spark, "soak_ivfpq")
     pipe = BucketedPipeline(
         spark, "soak_pipe", fact_key="l_partkey", dim_key="p_partkey"
     )
@@ -139,10 +146,14 @@ def main() -> None:
     def _q_ann():
         return ann.topk(q_emb, k=10, nprobe=8).count()
 
+    def _q_ivfpq():
+        return ivfpq.topk(q_emb, k=10, nprobe=8, rerank_source=emb).count()
+
     surfaces: dict[str, dict] = {
         "bucketed": {"ingest_secs": [], "compacts": []},
         "neardup": {"ingest_secs": [], "compacts": []},
         "ann": {"ingest_secs": [], "compacts": []},
+        "ivfpq": {"ingest_secs": [], "compacts": []},
     }
 
     for day in range(DAYS):
@@ -165,10 +176,17 @@ def main() -> None:
             s, _ = _timed(lambda: ann.append(esl))
         surfaces["ann"]["ingest_secs"].append(round(s, 3))
 
+        if day == 0:
+            s, _ = _timed(lambda: ivfpq.init(esl))
+        else:
+            s, _ = _timed(lambda: ivfpq.append(esl))
+        surfaces["ivfpq"]["ingest_secs"].append(round(s, 3))
+
         print(
             f"# day {day}: bucketed {surfaces['bucketed']['ingest_secs'][-1]}s "
             f"neardup {surfaces['neardup']['ingest_secs'][-1]}s "
-            f"ann {surfaces['ann']['ingest_secs'][-1]}s",
+            f"ann {surfaces['ann']['ingest_secs'][-1]}s "
+            f"ivfpq {surfaces['ivfpq']['ingest_secs'][-1]}s",
             file=sys.stderr,
         )
 
@@ -177,6 +195,7 @@ def main() -> None:
                 ("bucketed", pipe, _q_bucketed),
                 ("neardup", nd, _q_neardup),
                 ("ann", ann, _q_ann),
+                ("ivfpq", ivfpq, _q_ivfpq),
             ):
                 pre_q, _ = _timed(q)
                 c_sec, report = _timed(obj.compact)
@@ -207,6 +226,7 @@ def main() -> None:
     assert bucket_spec(spark, nd.bands_table)[1] == ["bkey"]
     assert bucket_spec(spark, nd.hashes_table)[1] == ["doc_id"]
     assert bucket_spec(spark, ann.vectors_table)[1] == ["bucket"]
+    assert bucket_spec(spark, ivfpq.codes_table)[1] == ["bucket"]
 
     # final standing state
     finals = {
@@ -214,10 +234,11 @@ def main() -> None:
         "neardup_corpus_docs": spark.table(nd.hashes_table).count(),
         "neardup_pairs": nd.pairs().count(),
         "ann_vectors": spark.table(ann.vectors_table).count(),
+        "ivfpq_codes": spark.table(ivfpq.codes_table).count(),
         "join_exchanges_at_day30": n_ex,
     }
 
-    for obj in (nd, ann):
+    for obj in (nd, ann, ivfpq):
         obj.drop()
     for t in (pipe.fact_table, pipe.dim_table):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
