@@ -428,3 +428,76 @@ def test_cluster_survivors_invariants(spark, texts):
         assert r.best_score == best
         assert r.kept_doc == min(d for d in members if scores[d] == best)
         assert r.n_dropped == r.n_docs - 1 == len(members) - 1
+
+
+words = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+)
+docs_texts = st.lists(
+    st.lists(words, min_size=0, max_size=20).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(corpus=docs_texts, bench=docs_texts)
+@settings(**SETTINGS)
+def test_contamination_score_matches_python_model(spark, corpus, bench):
+    """contamination_score vs a direct python recompute over arbitrary
+    small-vocab corpora (n=3 grams keep the docs meaningfully gram-y):
+    exact counts, exact ratio, one row per doc, and consistency with
+    the binary contaminated_ids rule."""
+    from dagster_etl_spark.operators.scrub import (
+        contaminated_ids,
+        contamination_score,
+    )
+
+    n = 3
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id BIGINT, text STRING"
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id BIGINT, text STRING"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_hit, r.overlap_ratio)
+        for r in contamination_score(cdf, bdf, n=n).collect()
+    }
+
+    def grams(t: str) -> set:
+        toks = t.split()
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bg = set().union(*(grams(t) for t in bench)) if bench else set()
+    assert set(got) == set(range(len(corpus)))
+    for i, t in enumerate(corpus):
+        g = grams(t)
+        ng, nh, ratio = got[i]
+        assert ng == len(g)
+        assert nh == len(g & bg)
+        assert ratio == (nh / ng if ng else 0.0)
+    binary = {r.doc_id for r in contaminated_ids(cdf, bdf, n=n).collect()}
+    assert binary == {i for i, v in got.items() if v[2] > 0}
+
+
+@given(corpus=docs_texts, bench=docs_texts)
+@settings(**SETTINGS)
+def test_bloom_gate_never_under_removes(spark, corpus, bench):
+    """The bloom path's structural guarantee on arbitrary inputs: the
+    exact-contaminated set is ALWAYS a subset of the bloom-removed set
+    (false negatives impossible), and the gate's one-row shape holds
+    even for empty/no-overlap corpora."""
+    from dagster_etl_spark.operators.scrub import bloom_decontaminate_gate
+
+    n = 3
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id BIGINT, text STRING"
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id BIGINT, text STRING"
+    )
+    rows = bloom_decontaminate_gate(cdf, bdf, n=n).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.superset_ok
+    assert r.n_bloom_removed >= r.n_exact_removed >= 0
