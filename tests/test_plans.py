@@ -78,6 +78,10 @@ AUDITED = [
     "decontaminate_bloom_gate",
     "pq_ann_topk",
     "pq_ann_rerank",
+    # like the PQ pair: bounded centroid+codebook collects on build,
+    # pure expression tree afterwards (r12 ADVICE: budgets existed but
+    # the name was missing here, so they never ran)
+    "ivf_pq_ann_topk",
     # r6 sweep widening: every remaining batch query that is cheap to
     # plan (excluded: streaming — executes on build; ivf/dedup_clusters/
     # dedup_survivors — iterative fit or CC jobs on build; media_* —
@@ -363,6 +367,7 @@ def test_registry_fronts_driver_window_priority():
     assert len(pri) <= 51
 
 
+@pytest.mark.rotation_tripwire
 def test_next_rotation_heads_derive_from_artifacts():
     """r11 verdict task 6: the next round's rotation heads must be
     COMPUTED from the artifacts, not hand-maintained. A registered
@@ -372,7 +377,15 @@ def test_next_rotation_heads_derive_from_artifacts():
     fleet next round and must be pre-declared in
     registry._NEXT_ROTATION_HEADS. Set equality both ways: a missing
     name means a mid-round registration was not pre-declared (the r10
-    and r11 process gap); an extra name means the tuple is stale."""
+    and r11 process gap); an extra name means the tuple is stale.
+
+    r12 ADVICE: at round boundary the round driver writes
+    CORRECTNESS_rN.json for exactly the current window, which made
+    this test a SECOND deliberate red alongside
+    test_driver_window_rotates_vs_last_round. Only one tripwire needs
+    to force the rotation — when the newest artifact equals the
+    not-yet-rotated window, skip here and let the rotation test carry
+    the red."""
     import json
     import re
     from pathlib import Path
@@ -389,6 +402,11 @@ def test_next_rotation_heads_derive_from_artifacts():
     newest = set(json.loads(arts[-1].read_text()))
     registered = list(registry.all_queries())
     window = set(registered[:50])
+    if newest == window:
+        pytest.skip(
+            "round boundary: newest CORRECTNESS artifact is this window; "
+            "test_driver_window_rotates_vs_last_round forces the rotation"
+        )
     expected = [n for n in registered if n not in newest and n not in window]
     declared = list(registry._NEXT_ROTATION_HEADS)
     assert sorted(declared) == sorted(expected), (
@@ -442,6 +460,7 @@ def test_allcheck_artifacts_cover_full_registry():
         )
 
 
+@pytest.mark.rotation_tripwire
 def test_driver_window_rotates_vs_last_round():
     """Rotation invariant (round-agnostic): the 50 names the driver
     will check next must be disjoint from the most recent
@@ -479,6 +498,40 @@ def test_driver_window_rotates_vs_last_round():
     next_window = set(list(registry.all_queries())[:50])
     overlap = next_window & last_window
     assert not overlap, f"window repeats last round's queries: {sorted(overlap)}"
+
+
+def test_no_query_stale_beyond_three_rounds():
+    """r12 verdict task 7: staleness invariant. With 123 registered
+    queries and a 50-slot window the coverage cycle is ~3 rounds; as
+    the registry grows, a query could silently stop getting driver
+    rows. Pin the bound: every registered query must either be in the
+    CURRENT window (gets a row this round) or have a driver row in one
+    of the three newest CORRECTNESS artifacts (a row within the last
+    three rounds). A name in neither has gone >3 rounds without a
+    fresh oracle check — rotate it in or shrink the registry."""
+    import json
+    import re
+    from pathlib import Path
+
+    from dagster_etl_spark import registry
+
+    root = Path(__file__).resolve().parents[1]
+    arts = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if len(arts) < 3:
+        pytest.skip("need >= 3 correctness artifacts to measure staleness")
+    recent: set[str] = set()
+    for p in arts[-3:]:
+        recent |= set(json.loads(p.read_text()))
+    registered = list(registry.all_queries())
+    window = set(registered[:50])
+    stale = [n for n in registered if n not in window and n not in recent]
+    assert not stale, (
+        f"{len(stale)} queries have no driver row in 3 rounds and are not "
+        f"in the current window: {sorted(stale)}"
+    )
 
 
 def test_session_conf_contract(spark):
