@@ -274,6 +274,47 @@ def _bloom_member(
     return out.select(id_col, "gh")
 
 
+def bloom_contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    num_bits: int = 4_000_000,
+) -> DataFrame:
+    """The PRODUCTION bloom path (no exact twin in the plan): distinct
+    ids of corpus docs with any (possible) benchmark n-gram, via the
+    broadcast word-table probe. Superset of
+    :func:`contaminated_ids` — false positives over-remove < 1% of
+    the corpus at the default sizing (asserted by the gate query);
+    false negatives are structurally impossible. The corpus side pays
+    ZERO shuffles for the probe (plan-pinned by
+    test_bloom_probe_plan_has_no_corpus_shuffle); the only corpus
+    exchange is the final doc-id distinct."""
+    corpus_grams = _grams(spread(corpus), text_col, id_col, n, distinct=False)
+    words = _bloom_words(_grams(benchmark, text_col, None, n), num_bits)
+    return (
+        _bloom_member(corpus_grams, words, num_bits, id_col)
+        .select(id_col)
+        .distinct()
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    num_bits: int = 4_000_000,
+) -> DataFrame:
+    """Corpus minus bloom-flagged docs — the 100 TB form of
+    :func:`decontaminate`: the benchmark ships as a few MB of bloom
+    words instead of the full distinct-gram relation."""
+    bad = bloom_contaminated_ids(corpus, benchmark, text_col, id_col, n, num_bits)
+    return corpus.join(bad, on=id_col, how="left_anti")
+
+
 def bloom_decontaminate_gate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -306,38 +347,46 @@ def bloom_decontaminate_gate(
     Returns ONE row ``(n_exact_removed, n_bloom_removed,
     superset_ok, fp_excess_ok)`` where superset_ok = every exactly-
     contaminated doc is bloom-removed, and fp_excess_ok = the bloom
-    over-removal is < 1% of the corpus. The DuckDB oracle computes
-    ``n_exact_removed`` and asserts the two booleans as literals —
-    hash-green iff the bounds hold on the real run.
+    over-removal is < ceil(1% of the corpus) — integer ceiling, so a
+    corpus of 150 docs tolerates 1 false positive (floor division
+    demanded strictly zero below 200 docs, stricter than the
+    documented bound; r12 ADVICE). The corpus-doc count feeds the
+    bound as a one-row aggregate cross-joined into the plan — zero
+    build-time Spark jobs (same principle that retired the r8 eager
+    count() shapes). The DuckDB oracle computes ``n_exact_removed``
+    and asserts the two booleans as literals — hash-green iff the
+    bounds hold on the real run.
     """
-    corpus_grams = _grams(spread(corpus), text_col, id_col, n, distinct=False)
-    bench_grams = _grams(benchmark, text_col, None, n)
-    words = _bloom_words(bench_grams, num_bits)
-    # a gram is a (possible) member iff ALL K probe bits are set; a doc
-    # is bloom-removed iff any of its grams is a member. The only
-    # shuffle on the corpus side is the final doc-id distinct.
-    bloom_hit = (
-        _bloom_member(corpus_grams, words, num_bits, id_col)
-        .select(id_col)
-        .distinct()
+    bloom_hit = bloom_contaminated_ids(
+        corpus, benchmark, text_col, id_col, n, num_bits
     )
     exact_hit = contaminated_ids(corpus, benchmark, text_col, id_col, n)
-    n_corpus = corpus.select(id_col).distinct().count()
+    n_corpus = corpus.agg(
+        F.countDistinct(id_col).cast("long").alias("_n_corpus")
+    )
     bloom_c = bloom_hit.withColumn("_b", F.lit(1))
     exact_c = exact_hit.withColumn("_e", F.lit(1))
     joined = bloom_c.join(exact_c, on=id_col, how="full")
-    return joined.agg(
+    counted = joined.agg(
         F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_exact_removed"),
         F.coalesce(F.sum("_b"), F.lit(0)).cast("long").alias("n_bloom_removed"),
         # no exact-contaminated doc may escape the bloom
         (F.sum(F.when(F.col("_e").isNotNull() & F.col("_b").isNull(), 1)).isNull()).alias(
             "superset_ok"
         ),
-        (
-            F.coalesce(
-                F.sum(F.when(F.col("_b").isNotNull() & F.col("_e").isNull(), 1)),
-                F.lit(0),
-            )
-            < F.lit(max(1, n_corpus // 100))
-        ).alias("fp_excess_ok"),
+        F.coalesce(
+            F.sum(F.when(F.col("_b").isNotNull() & F.col("_e").isNull(), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_fp_excess"),
+    )
+    return counted.crossJoin(F.broadcast(n_corpus)).selectExpr(
+        "n_exact_removed",
+        "n_bloom_removed",
+        "superset_ok",
+        # integer ceil: (n + 99) DIV 100; GREATEST keeps an empty
+        # corpus from demanding fp_excess < 0
+        "_fp_excess < GREATEST(CAST(1 AS BIGINT), (_n_corpus + 99) DIV 100)"
+        " AS fp_excess_ok",
     )

@@ -33,10 +33,22 @@ def contaminated_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 13,
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Distinct contaminated ids from a documents STREAM — each batch's
     grams left-semi join the static benchmark grams (broadcast; the
-    stream side never shuffles for the probe)."""
+    stream side never shuffles for the probe).
+
+    State contract (r12 ADVICE): the plain ``dropDuplicates([id])``
+    form keeps every emitted id as state forever — fine for a
+    single-pass/bounded ingest (the registered query), unbounded on a
+    long-running crawl. For long-horizon streams pass
+    ``event_time_col``: the dedup switches to
+    ``dropDuplicatesWithinWatermark`` under a ``watermark`` on that
+    column, so state is bounded by the dedup horizon and a doc re-
+    arriving later than the watermark may re-emit (same contract as
+    streaming/dedup.py's delivery dedup)."""
     from dagster_etl_spark.operators.scrub import _grams
 
     bench_grams = F.broadcast(_grams(benchmark, text_col, None, n))
@@ -44,14 +56,19 @@ def contaminated_stream(
         x.tokens(text_col, x.SPARK), "_t", x.shingles("_t", n, x.SPARK), x.SPARK
     )
     hashed = f"{x.xform('_sh', 's', x.h60('s', x.SPARK), x.SPARK)}"
-    grams = stream.selectExpr(id_col, f"{sh} AS _sh").selectExpr(
-        id_col, f"explode({hashed}) AS gh"
+    time_cols = [event_time_col] if event_time_col else []
+    grams = stream.selectExpr(id_col, *time_cols, f"{sh} AS _sh").selectExpr(
+        id_col, *time_cols, f"explode({hashed}) AS gh"
     )
-    return (
-        grams.join(bench_grams, on="gh", how="left_semi")
-        .select(id_col)
-        .dropDuplicates([id_col])
-    )
+    hits = grams.join(bench_grams, on="gh", how="left_semi")
+    if event_time_col:
+        return (
+            hits.select(id_col, event_time_col)
+            .withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark([id_col])
+            .select(id_col)
+        )
+    return hits.select(id_col).dropDuplicates([id_col])
 
 
 def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,10 +271,12 @@ EXCHANGE_BUDGET = {
     # join side (1); the benchmark side broadcasts
     "contamination_score": 4,
     # the gate runs BOTH paths (bloom build aggregate, exact distinct,
-    # two id-distincts, full-outer join, final single-row agg); the
-    # bloom PROBE itself contributes zero corpus exchanges
+    # two id-distincts, full-outer join, final single-row agg) PLUS the
+    # in-plan corpus countDistinct that replaced the r12 build-time
+    # count() job (2 exchanges); the bloom PROBE itself contributes
+    # zero corpus exchanges
     # (test_bloom_probe_plan_has_no_corpus_shuffle pins that)
-    "decontaminate_bloom_gate": 10,
+    "decontaminate_bloom_gate": 12,
     # broadcast query side: only the top-k window shuffles (+AQE read)
     "pq_ann_topk": 2,
     "pq_ann_rerank": 2,
@@ -296,11 +298,10 @@ BUILD_JOB_BUDGET = {
     # bounded build-time actions, documented per operator: the
     # hash-quantizer centroid collect (semantic_dedup), the one-pass
     # m*ksub codebook collect (pq_*; orderBy+window = multi-job under
-    # AQE), and the bloom gate's n_corpus count for its in-query
-    # over-removal bound
+    # AQE). The bloom gate's n_corpus count moved INTO the plan in r13
+    # (cross-joined one-row aggregate) — zero build jobs now
     "semantic_dedup": 2,
     "contamination_score": 1,
-    "decontaminate_bloom_gate": 3,
     "pq_ann_topk": 4,
     "pq_ann_rerank": 4,
     # centroid collect + one-pass codebook collect (multi-job under AQE)

@@ -158,3 +158,29 @@ def test_bloom_probe_plan_has_no_corpus_shuffle(spark):
         ).collect()
     }
     assert truth <= got, "bloom produced a false negative"
+
+
+def test_bloom_decontaminate_production_path(spark):
+    """The bloom-ONLY path (no exact twin in the plan — the 100 TB
+    shape): its removed-id set must be a superset of the exact rule's
+    (no false negatives) and its survivors a subset of the exact
+    survivors, with over-removal inside the gate's 1% ceiling."""
+    from dagster_etl_spark.operators.scrub import (
+        bloom_contaminated_ids,
+        bloom_decontaminate,
+        contaminated_ids,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bench = docs.filter("doc_id % 17 = 0")
+    bloom_ids = {r.doc_id for r in bloom_contaminated_ids(docs, bench).collect()}
+    exact_ids = {r.doc_id for r in contaminated_ids(docs, bench).collect()}
+    assert exact_ids, "fixture benchmark slice found nothing"
+    assert exact_ids <= bloom_ids, "production bloom path under-removed"
+    n_docs = docs.count()
+    assert len(bloom_ids - exact_ids) < max(1, -(-n_docs // 100)) + 1
+
+    survivors = {r.doc_id for r in bloom_decontaminate(docs, bench).collect()}
+    assert survivors == {r.doc_id for r in docs.collect()} - bloom_ids

@@ -613,3 +613,37 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
     want = {r.doc_id for r in contaminated_ids(docs, bench).collect()}
     assert got == want
     assert want, "fixture produced no contaminated docs"
+
+
+def test_streaming_decontaminate_watermark_variant(spark, tmp_path):
+    """The long-horizon form (r12 ADVICE): with an event-time column
+    the id-dedup switches to dropDuplicatesWithinWatermark, bounding
+    state by the dedup horizon instead of keeping every contaminated
+    id forever. Within a single pass (no doc re-arrives past the
+    horizon) the verdict set must equal the batch verdicts exactly."""
+    from dagster_etl_spark.operators.scrub import contaminated_ids
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.decontaminate import contaminated_stream
+    from dagster_etl_spark.streaming.windowed import run_stream_to_batch
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bench = docs.filter("doc_id % 17 = 0")
+    split_dir = str(tmp_path / "docs_stream_wm")
+    docs.coalesce(1).write.parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(split_dir)
+        .selectExpr("*", "timestamp_seconds(1700000000 + doc_id % 600) AS ts")
+    )
+    got = {
+        r.doc_id
+        for r in run_stream_to_batch(
+            contaminated_stream(
+                stream, bench, event_time_col="ts", watermark="10 minutes"
+            ),
+            mode="append",
+        ).collect()
+    }
+    want = {r.doc_id for r in contaminated_ids(docs, bench).collect()}
+    assert got == want
