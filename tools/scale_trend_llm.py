@@ -110,6 +110,17 @@ QUERIES: dict[str, str] = {
     "pq_ann_topk": "cipher",
     "pq_ann_rerank": "cipher",
     "ivf_pq_ann_topk": "cipher",
+    # r13 registrations, trend-rowed in the same round: the
+    # temperature mixer is a dimension-sized aggregate over the
+    # documents axis (source/n_chars preserved per cipher copy); the
+    # filtered ANN rides the rotated embeddings (labels preserved per
+    # copy, queries constant at vec_id < 20); cross-corpus near-dup
+    # splits each cipher corpus 2:1 on doc_id % 3 — per-copy
+    # translation keeps the cross-boundary dup density linear in K
+    # exactly like the self-join row
+    "temperature_mixture": "cipher",
+    "filtered_ann_topk": "cipher",
+    "cross_corpus_neardup": "cipher",
 }
 
 
