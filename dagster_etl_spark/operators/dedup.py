@@ -303,6 +303,83 @@ def minhash_neardup_pairs(
     )
 
 
+def cross_corpus_neardup_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dups BETWEEN two corpora — the train-vs-eval dedup step
+    (remove training docs that near-duplicate held-out/benchmark
+    docs), which the self-join form can't express: candidates must
+    pair one doc from each side, never two from the same side.
+
+    Same MinHash(16)+LSH(4 bands) machinery as
+    :func:`minhash_neardup_pairs` (one md5 pass, banded candidate
+    join, exact-Jaccard verify), but the band join is LEFT-banded ⋈
+    RIGHT-banded — at 100 TB the right side (a benchmark/eval set) is
+    typically small, so AQE broadcasts its band table and the left
+    corpus never shuffles for candidate generation; the verify join
+    touches candidates only.
+
+    Returns (left_id, right_id, jaccard) with jaccard >= threshold.
+    Ids may coincide across corpora (different tables); no id
+    ordering is imposed between sides.
+    """
+    def _banded_melted(df: DataFrame):
+        tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
+        sh = shingled(
+            spread(df).filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k
+        )
+        hashed = sh.selectExpr(
+            id_col,
+            f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs",
+        )
+        sigs = hashed.selectExpr(
+            id_col, *minhash_signature_exprs("hs", x.SPARK, num_hashes)
+        )
+        banded = sigs.selectExpr(id_col, *band_exprs(x.SPARK, num_hashes, bands))
+        band_arr = "array(" + ", ".join(f"band{b}" for b in range(bands)) + ")"
+        melted = pin(
+            banded.selectExpr(
+                id_col, f"posexplode({band_arr}) AS (band_idx, bh)"
+            )
+        )
+        return hashed, melted
+
+    l_hashed, l_melt = _banded_melted(left)
+    r_hashed, r_melt = _banded_melted(right)
+    a, b = l_melt.alias("a"), r_melt.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("left_id"),
+            F.col(f"b.{id_col}").alias("right_id"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    ha = l_hashed.select(F.col(id_col).alias("left_id"), F.col("hs").alias("hs_a"))
+    hb = r_hashed.select(F.col(id_col).alias("right_id"), F.col("hs").alias("hs_b"))
+    jac = (
+        "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) / "
+        "size(array_distinct(concat(hs_a, hs_b)))"
+    )
+    return (
+        cands.join(ha, on="left_id")
+        .join(hb, on="right_id")
+        .selectExpr("left_id", "right_id", f"{jac} AS jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

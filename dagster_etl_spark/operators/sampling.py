@@ -431,3 +431,90 @@ WITH keyed AS (
 )
 SELECT * FROM c WHERE cum_tokens - {token_col} < budget
 """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_chars",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-flattened mixture weights (alpha = 0.5): the
+    standard multilingual/multi-source rebalancing rule — sampling
+    weight proportional to (source token share)^alpha — which upweights
+    small sources relative to proportional sampling (alpha=1) without
+    the uniform extreme (alpha=0).
+
+    alpha is FIXED at 0.5 because sqrt is the one fractional power
+    IEEE 754 requires to be exactly rounded — pow(x, 0.25) etc. differ
+    between libm implementations and would break the bit-exact oracle
+    contract. Weights are INTEGER sqrt (CAST(FLOOR(SQRT(tokens)) AS
+    BIGINT)): the double sqrt of an exact BIGINT is engine-identical,
+    floor/cast are exact, and all downstream arithmetic (weight sums,
+    budget allocation) stays in exact integers — shares are one
+    exact-int division in double, the registry's avg contract. The
+    integer truncation perturbs a source's weight by at most 1 part in
+    isqrt(tokens) — noise at corpus scale. Valid for token totals
+    < 2^52 per source (exact-double range for sqrt input) and
+    budget * isqrt(total) < 2^63.
+
+    Scale shape: ONE map-side-combinable hash aggregate on the source
+    key (sources are few — the output is dimension-sized), then a
+    broadcast one-row total cross-joined in-plan (no build-time jobs).
+
+    Returns one row per source: (source, n_tokens, raw_share,
+    temp_weight, temp_share, alloc_tokens) where alloc_tokens =
+    budget * temp_weight DIV total_weight (exact integer).
+    """
+    per = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).cast("long").alias("n_tokens")
+    )
+    w = per.selectExpr(
+        source_col,
+        "n_tokens",
+        "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS temp_weight",
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("long").alias("_tot_tokens"),
+        F.sum("temp_weight").cast("long").alias("_tot_w"),
+    )
+    return w.crossJoin(F.broadcast(tot)).selectExpr(
+        source_col,
+        "n_tokens",
+        "CAST(n_tokens AS DOUBLE) / CAST(_tot_tokens AS DOUBLE) AS raw_share",
+        "temp_weight",
+        "CAST(temp_weight AS DOUBLE) / CAST(_tot_w AS DOUBLE) AS temp_share",
+        f"CAST(({budget} * temp_weight) DIV _tot_w AS BIGINT) AS alloc_tokens",
+    )
+
+
+def temperature_mixture_oracle_sql(
+    budget: int,
+    table: str = "documents",
+    token_col: str = "n_chars",
+    source_col: str = "source",
+) -> str:
+    """DuckDB mirror of :func:`temperature_mixture` (same isqrt
+    weights, same exact-int divisions; DuckDB's ``//`` is Spark's
+    ``DIV``)."""
+    return f"""
+WITH per AS (
+  SELECT {source_col},
+         CAST(SUM(CAST({token_col} AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY {source_col}
+), w AS (
+  SELECT {source_col}, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS temp_weight
+  FROM per
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS _tot_tokens,
+         CAST(SUM(temp_weight) AS BIGINT) AS _tot_w
+  FROM w
+)
+SELECT {source_col}, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(_tot_tokens AS DOUBLE) AS raw_share,
+       temp_weight,
+       CAST(temp_weight AS DOUBLE) / CAST(_tot_w AS DOUBLE) AS temp_share,
+       CAST(({budget} * temp_weight) // _tot_w AS BIGINT) AS alloc_tokens
+FROM w, tot
+"""

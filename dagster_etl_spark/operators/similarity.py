@@ -54,6 +54,58 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def filtered_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+) -> DataFrame:
+    """FILTERED vector search — top-k among corpus vectors sharing the
+    query's ``filter_col`` value (the metadata-predicate ANN every
+    retrieval stack needs: "nearest neighbors WITH lang='en' / same
+    category / same tenant").
+
+    Spark-first shape: the filter is the JOIN KEY, not a post-score
+    predicate — the broadcast hash join on ``filter_col`` replaces
+    cosine_topk's crossJoin, so only same-group pairs are ever scored
+    (pre-filtering, the strategy vector stores call "filtered search
+    done right"; post-filtering a global top-k under-fills k when the
+    predicate is selective). With G distinct groups the scored-pair
+    count drops ~G-fold vs the unfiltered scan; the corpus side
+    additionally prunes rows whose group has no query at all via the
+    same broadcast join. The corpus never shuffles — the only
+    exchange is the per-query top-k window.
+
+    Returns (query_id, neighbor_id, cosine, rank), rank <= k, with
+    the deterministic (cosine desc, neighbor_id) tiebreak.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(filter_col).alias("_grp"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(filter_col).alias("_grp"),
+    )
+    cos = x.cosine("qv", "cv", dim, x.SPARK)
+    scored = (
+        c.join(F.broadcast(q), on="_grp")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{cos} AS cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _hyperplane(plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 — reproducible
     everywhere, no RNG state."""

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dagster_etl_spark.functions import xdialect as x
 from dagster_etl_spark.operators.dedup import (
     band_exprs,
+    cross_corpus_neardup_pairs,
     embedding_neardup_pairs,
     minhash_neardup_pairs,
     minhash_signature_exprs,
@@ -232,6 +233,116 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+
+
+_FILTERED_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS _grp
+  FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {x.cosine('q.qv', 'c.embedding', EMB_DIM, x.DUCK)} AS cosine
+  FROM q JOIN embeddings c ON c.label = q._grp
+  WHERE q.query_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "filtered_ann_topk",
+    oracle=_FILTERED_ANN_ORACLE,
+    tags=("llm", "similarity"),
+    doc="Metadata-FILTERED vector search: top-10 neighbors sharing the "
+    "query's label — the predicate is the JOIN KEY (pre-filtering), "
+    "not a post-score filter, so only same-group pairs are scored and "
+    "the corpus never shuffles; the broadcast join replaces the "
+    "crossJoin entirely.",
+)
+def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import filtered_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_cosine_topk(
+        emb.filter("vec_id < 20"), emb, dim=EMB_DIM, k=10
+    )
+
+
+def _cross_corpus_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = JACCARD_T,
+    left_where: str = "doc_id % 3 != 0",
+    right_where: str = "doc_id % 3 = 0",
+) -> str:
+    """Two-corpus mirror of _minhash_oracle: band both slices, join
+    LEFT x RIGHT per band (no same-side pairs), verify exact Jaccard."""
+    sig_cols = ",\n         ".join(
+        minhash_signature_exprs("hs", x.DUCK, num_hashes)
+    )
+    band_cols = ",\n         ".join(band_exprs(x.DUCK, num_hashes, bands))
+    unions = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS left_id, b.doc_id AS right_id"
+        f" FROM bl a JOIN br b ON a.band{b} = b.band{b}"
+        for b in range(bands)
+    )
+
+    def side(where: str, p: str) -> str:
+        rel = f"(SELECT doc_id, text FROM documents WHERE {where})"
+        return f"""sh{p} AS (
+  SELECT * FROM {_duck_shingle_rel(rel=rel)}
+), h{p} AS (
+  SELECT doc_id, {shingle_hashes_expr('shingles', x.DUCK)} AS hs
+  FROM sh{p} WHERE len(shingles) > 0
+), sig{p} AS (
+  SELECT doc_id, hs,
+         {sig_cols}
+  FROM h{p}
+), b{p} AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM sig{p}
+)"""
+
+    return f"""
+WITH {side(left_where, 'l')},
+{side(right_where, 'r')},
+cands AS (
+{unions}
+), scored AS (
+  SELECT c.left_id, c.right_id,
+         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+  FROM cands c
+  JOIN hl a ON a.doc_id = c.left_id
+  JOIN hr b ON b.doc_id = c.right_id
+)
+SELECT left_id, right_id, jaccard FROM scored WHERE jaccard >= {threshold}
+"""
+
+
+@register(
+    "cross_corpus_neardup",
+    oracle=_cross_corpus_oracle(),
+    tags=("llm", "dedup"),
+    doc="Train-vs-eval near-dup: MinHash(16)+LSH(4 bands) candidate "
+    "join BETWEEN two corpus slices (train = doc_id % 3 != 0, eval = "
+    "doc_id % 3 = 0), exact-Jaccard verified — the held-out-set "
+    "contamination sweep the self-join form can't express; the eval "
+    "band table broadcasts, the train corpus never shuffles for "
+    "candidates.",
+)
+def q_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cross_corpus_neardup_pairs(
+        docs.filter("doc_id % 3 != 0"),
+        docs.filter("doc_id % 3 = 0"),
+        threshold=JACCARD_T,
+    )
 
 
 _EMB_NEARDUP_ORACLE = f"""

@@ -1259,6 +1259,36 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mixture(docs, _MIX_BUDGETS, seed=13)
 
 
+_TEMP_MIX_BUDGET = 1_000_000
+
+
+def _temperature_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import (
+        temperature_mixture_oracle_sql,
+    )
+
+    return temperature_mixture_oracle_sql(_TEMP_MIX_BUDGET)
+
+
+@register(
+    "temperature_mixture",
+    oracle=_temperature_oracle(),
+    tags=("llm", "sampling"),
+    doc="Temperature-flattened (alpha=0.5) mixture weights per source "
+    "— the multilingual/multi-source rebalancing rule, with integer-"
+    "sqrt weights so every share and token allocation is exact-int "
+    "arithmetic plus one IEEE-exact division (sqrt is the one "
+    "fractional power IEEE requires exactly rounded). One map-side "
+    "hash aggregate + a broadcast one-row total; dimension-sized "
+    "output.",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return temperature_mixture(docs, _TEMP_MIX_BUDGET)
+
+
 _SELF_REPEAT_ORACLE = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tk FROM documents

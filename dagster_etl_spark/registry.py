@@ -178,6 +178,10 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "quality_deciles",
     "corpus_bigram_counts",
     "gopher_quality_flags",
+    # mid-r13 registrations (ALLCHECK_r13-swept; no driver row yet)
+    "temperature_mixture",
+    "filtered_ann_topk",
+    "cross_corpus_neardup",
 )
 
 

@@ -885,3 +885,106 @@ def test_ivf_pq_recall_on_clustered(spark):
     got = ivf_pq_topk(queries, corpus, dim=64, k=10, nprobe=8).collect()
     recall = sum((r.query_id, r.neighbor_id) in exact for r in got) / len(exact)
     assert recall >= 0.7, f"IVF-PQ+rerank recall {recall:.3f} below floor"
+
+
+def test_cross_corpus_neardup_pairs_semantics(spark):
+    """Cross-corpus near-dup must pair docs ACROSS the two inputs only
+    (never two train docs or two eval docs), find the cross near-dup
+    the self-join would also find, and agree with exhaustive Jaccard
+    on the cross pairs it emits."""
+    from dagster_etl_spark.operators.dedup import cross_corpus_neardup_pairs
+
+    d = docs(spark)
+    left = d.filter("doc_id IN (1, 4, 5)")   # train slice
+    right = d.filter("doc_id IN (2, 3, 6)")  # eval slice
+    got = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in cross_corpus_neardup_pairs(left, right, threshold=0.2).collect()
+    }
+    # exact dups always collide on every band (identical signatures):
+    # 1 vs 2 (same text) and 1 vs 3 (case/whitespace-normalized dup)
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0
+    # 4 vs 2 (jaccard ~0.4) MAY be missed — band-match probability at
+    # 16 hashes / 4 bands is ~10% there; a miss is the documented LSH
+    # trade-off, a wrong score would be a bug
+    if (4, 2) in got:
+        assert 0.2 <= got[(4, 2)] < 1.0
+    # sides are disjoint by construction: every pair is (left, right)
+    left_ids, right_ids = {1, 4, 5}, {2, 3, 6}
+    for li, ri in got:
+        assert li in left_ids and ri in right_ids
+    # agreement with exhaustive cross Jaccard (LSH may miss, never
+    # hallucinate: candidates are verified exactly)
+    exhaustive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(d, threshold=0.2).collect()
+    }
+    for (li, ri), j in got.items():
+        a, b = min(li, ri), max(li, ri)
+        assert abs(exhaustive[(a, b)] - j) < 1e-12
+
+
+def test_filtered_cosine_topk_respects_group(spark):
+    """Filtered search: every returned neighbor shares the query's
+    label; within the group the ranking equals brute-force cosine."""
+    from dagster_etl_spark.operators.similarity import (
+        cosine_topk,
+        filtered_cosine_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    got = filtered_cosine_topk(emb.filter("vec_id < 5"), emb, k=5).collect()
+    assert got, "no filtered neighbors returned"
+    for r in got:
+        assert labels[r.neighbor_id] == labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+    # equivalence: filtered top-k == brute-force top-k over the
+    # pre-filtered corpus, per query group
+    for qid in {r.query_id for r in got}:
+        sub = emb.filter(f"label = {labels[qid]}")
+        want = [
+            (r.neighbor_id, r.rank)
+            for r in cosine_topk(
+                emb.filter(f"vec_id = {qid}"), sub, k=5
+            ).collect()
+        ]
+        have = sorted(
+            [(r.neighbor_id, r.rank) for r in got if r.query_id == qid],
+            key=lambda t: t[1],
+        )
+        assert have == sorted(want, key=lambda t: t[1])
+
+
+def test_temperature_mixture_flattens_and_allocates(spark):
+    """alpha=0.5 temperature weights: shares sum to ~1, small sources
+    gain share vs proportional, allocations are exact integers that
+    never exceed the budget in total."""
+    from dagster_etl_spark.operators.sampling import temperature_mixture
+
+    rows = [
+        Row(source="big", n_chars=90_000),
+        Row(source="big", n_chars=10_000),
+        Row(source="small", n_chars=900),
+        Row(source="small", n_chars=100),
+    ]
+    out = {
+        r.source: r
+        for r in temperature_mixture(
+            spark.createDataFrame(rows), budget=1_000_000
+        ).collect()
+    }
+    big, small = out["big"], out["small"]
+    assert big.n_tokens == 100_000 and small.n_tokens == 1_000
+    # isqrt weights: 316 and 31
+    assert big.temp_weight == 316 and small.temp_weight == 31
+    assert abs(big.raw_share + small.raw_share - 1.0) < 1e-12
+    assert abs(big.temp_share + small.temp_share - 1.0) < 1e-12
+    # flattening: the small source's share grows, the big one's shrinks
+    assert small.temp_share > small.raw_share
+    assert big.temp_share < big.raw_share
+    # exact integer allocation, total within budget
+    assert big.alloc_tokens == 1_000_000 * 316 // 347
+    assert small.alloc_tokens == 1_000_000 * 31 // 347
+    assert big.alloc_tokens + small.alloc_tokens <= 1_000_000

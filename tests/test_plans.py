@@ -111,6 +111,10 @@ AUDITED = [
     "gopher_quality_flags",
     "ngram_jaccard_pairs",
     "embedding_neardup",
+    # r13 registrations (pure expression trees)
+    "temperature_mixture",
+    "filtered_ann_topk",
+    "cross_corpus_neardup",
 ]
 
 
@@ -283,6 +287,15 @@ EXCHANGE_BUDGET = {
     # list-restricted ADC + candidate window + rerank window; both
     # join build sides broadcast
     "ivf_pq_ann_topk": 2,
+    # r13: source aggregate (1) + one-row total (Single) + AQE read;
+    # the mixture output is dimension-sized
+    "temperature_mixture": 3,
+    # broadcast group join contributes zero; only the per-query top-k
+    # window shuffles (+AQE read)
+    "filtered_ann_topk": 2,
+    # two banded sides (pinned melts) + candidate dedup + two verify
+    # joins — same shape as minhash_neardup's 5
+    "cross_corpus_neardup": 5,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the
@@ -524,11 +537,26 @@ def test_no_query_stale_beyond_three_rounds():
     if len(arts) < 3:
         pytest.skip("need >= 3 correctness artifacts to measure staleness")
     recent: set[str] = set()
-    for p in arts[-3:]:
-        recent |= set(json.loads(p.read_text()))
+    all_seen: set[str] = set()
+    for p in arts:
+        names = set(json.loads(p.read_text()))
+        all_seen |= names
+        if p in arts[-3:]:
+            recent |= names
     registered = list(registry.all_queries())
     window = set(registered[:50])
-    stale = [n for n in registered if n not in window and n not in recent]
+    # names never seen in ANY artifact are mid-round registrations —
+    # the heads-derivation test forces them to front the NEXT window,
+    # so their first row lands within the bound by construction. A
+    # name seen before but in neither the window nor the last three
+    # artifacts has genuinely aged out — exactly the failure this
+    # test exists to catch (heads membership does NOT excuse it: an
+    # overflowing head set is the mechanism by which it would happen).
+    stale = [
+        n
+        for n in registered
+        if n not in window and n not in recent and n in all_seen
+    ]
     assert not stale, (
         f"{len(stale)} queries have no driver row in 3 rounds and are not "
         f"in the current window: {sorted(stale)}"
