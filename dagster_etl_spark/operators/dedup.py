@@ -303,6 +303,107 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_estimate_accuracy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Sketch-accuracy report for the MinHash signatures: on every
+    verified near-dup pair, compare the SIGNATURE-estimated Jaccard
+    (matching sig positions / num_hashes — the estimator a 100 TB
+    pipeline would use to score pairs without re-reading text) against
+    the exact shingle-set Jaccard the verify stage computes anyway.
+
+    Same family as approx_distinct_gate: the sketch's error is
+    measured in-query, in exact arithmetic — est = m/16 is an exact
+    binary double, exact Jaccard is one int division, and the output
+    is integer COUNTS of pairs inside error bands (|err| <= 0.25 is
+    the 2-sigma band at 16 hashes; > 0.5 would be 4-sigma — estimator
+    machinery broken, not sampling noise).
+
+    Returns ONE row ``(n_pairs, n_within_025, n_above_05)`` — a
+    DuckDB oracle recomputes every stage bit-for-bit.
+    """
+    tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
+    sh = shingled(
+        spread(df).filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k
+    )
+    hashed = sh.selectExpr(
+        id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
+    )
+    sigs = hashed.selectExpr(
+        id_col, *minhash_signature_exprs("hs", x.SPARK, num_hashes)
+    )
+    banded = sigs.selectExpr(id_col, *band_exprs(x.SPARK, num_hashes, bands))
+    band_arr = "array(" + ", ".join(f"band{b}" for b in range(bands)) + ")"
+    melted = pin(
+        banded.selectExpr(id_col, f"posexplode({band_arr}) AS (band_idx, bh)")
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
+    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"sig{i}").alias(f"sa{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"sig{i}").alias(f"sb{i}") for i in range(num_hashes)],
+    )
+    m = " + ".join(
+        f"(CASE WHEN sa{i} = sb{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    jac = (
+        "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) / "
+        "size(array_distinct(concat(hs_a, hs_b)))"
+    )
+    pairs = (
+        cands.join(ha, on="id_a")
+        .join(hb, on="id_b")
+        .join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .selectExpr(
+            "id_a",
+            "id_b",
+            f"{jac} AS jaccard",
+            f"CAST(({m}) AS DOUBLE) / {num_hashes} AS est",
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.expr("abs(est - jaccard) <= 0.25"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_within_025"),
+        F.coalesce(
+            F.sum(F.when(F.expr("abs(est - jaccard) > 0.5"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_above_05"),
+    )
+
+
 def cross_corpus_neardup_pairs(
     left: DataFrame,
     right: DataFrame,

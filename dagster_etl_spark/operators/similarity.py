@@ -265,6 +265,65 @@ def ivf_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def filtered_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int = 64,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    filter_col: str = "label",
+) -> DataFrame:
+    """Filtered IVF search — :func:`ivf_cosine_topk`'s list restriction
+    COMPOSED with :func:`filtered_cosine_topk`'s metadata predicate:
+    one shared index over the whole corpus (the index is built once,
+    not per predicate value), with the query's ``filter_col`` value
+    pushed into the candidate join alongside the bucket key, so
+    non-matching vectors are dropped at candidate generation — never
+    scored, never ranked. This is pre-filtering at IVF granularity:
+    the alternative (top-k first, filter after) under-fills k whenever
+    the predicate is selective, which is the classic filtered-ANN
+    failure mode.
+
+    Uses the deterministic hash quantizer (same as ``ivf_ann_topk``'s
+    oracle-able path) so the DuckDB oracle recomputes the entire
+    filtered search. Scale shape: centroids are a bounded collect
+    (nlist rows); the corpus assignment is one scan-local expression;
+    the probe join broadcasts queries x nprobe rows; the only corpus
+    exchange is the final top-k window.
+    """
+    centroids = hash_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
+    bucket = f"{_topn_centroid_buckets_expr(vec_col, centroids, 1)}[0]"
+    assigned = spread(corpus).selectExpr(
+        id_col, vec_col, filter_col, f"{bucket} AS bucket"
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(filter_col).alias("_grp"),
+        "bucket",
+    )
+    probe = _topn_centroid_buckets_expr("qv", centroids, nprobe)
+    q = queries.selectExpr(
+        f"{id_col} AS query_id", f"{vec_col} AS qv", f"{filter_col} AS _grp"
+    ).selectExpr("query_id", "qv", "_grp", f"explode({probe}) AS bucket")
+    cos = x.cosine("qv", "cv", dim, x.SPARK)
+    scored = (
+        F.broadcast(q)
+        .join(c, on=["bucket", "_grp"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", f"{cos} AS cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

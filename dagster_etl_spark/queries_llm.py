@@ -272,6 +272,78 @@ def q_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_estimate_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = JACCARD_T
+) -> str:
+    """Recompute the sketch-accuracy report: signatures, banded
+    candidates, exact Jaccard, m/16 estimate, error-band counts."""
+    sig_cols = ",\n         ".join(
+        minhash_signature_exprs("hs", x.DUCK, num_hashes)
+    )
+    band_cols = ",\n         ".join(band_exprs(x.DUCK, num_hashes, bands))
+    unions = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+        f" FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(bands)
+    )
+    m = " + ".join(
+        f"(CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH sh AS (
+  SELECT * FROM {_duck_shingle_rel()}
+), hashed AS (
+  SELECT doc_id, {shingle_hashes_expr('shingles', x.DUCK)} AS hs
+  FROM sh WHERE len(shingles) > 0
+), sigs AS (
+  SELECT doc_id, hs,
+         {sig_cols}
+  FROM hashed
+), banded AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM sigs
+), cands AS (
+{unions}
+), pairs AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard,
+         CAST(({m}) AS DOUBLE) / {num_hashes} AS est
+  FROM cands c
+  JOIN hashed a ON a.doc_id = c.id_a
+  JOIN hashed b ON b.doc_id = c.id_b
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN abs(est - jaccard) <= 0.25 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_within_025,
+       CAST(COALESCE(SUM(CASE WHEN abs(est - jaccard) > 0.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_above_05
+FROM pairs WHERE jaccard >= {threshold}
+"""
+
+
+@register(
+    "minhash_estimate_gate",
+    oracle=_minhash_estimate_oracle(),
+    tags=("llm", "dedup", "sketch"),
+    doc="Sketch-accuracy report for the MinHash signatures: on every "
+    "verified near-dup pair, the signature-estimated Jaccard "
+    "(matching positions / 16 — what a 100 TB pipeline scores pairs "
+    "with, no text re-read) vs the exact shingle-set Jaccard, counted "
+    "into exact-arithmetic error bands (0.25 = 2 sigma at 16 hashes; "
+    "> 0.5 = machinery broken). Same family as approx_distinct_gate; "
+    "the oracle recomputes every stage.",
+)
+def q_minhash_estimate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import minhash_estimate_accuracy
+
+    return minhash_estimate_accuracy(
+        load_table(spark, sf_dir, "documents"), threshold=JACCARD_T
+    )
+
+
 def _cross_corpus_oracle(
     num_hashes: int = 16,
     bands: int = 4,
@@ -489,7 +561,12 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle(
-    nlist: int = 16, nprobe: int = 8, k: int = 10, cent_where: str = ""
+    nlist: int = 16,
+    nprobe: int = 8,
+    k: int = 10,
+    cent_where: str = "",
+    q_where: str = "vec_id < 5",
+    label_filtered: bool = False,
 ) -> str:
     """Recompute the ENTIRE hash-quantizer IVF search in SQL: centroid
     selection (smallest md5 id-hash), max-dot corpus assignment, probe
@@ -497,10 +574,19 @@ def _ivf_oracle(
     expression exactly: the probe ranking reverses an ascending
     (score, idx) sort, so equal scores order by centroid idx DESC.
     ``cent_where`` restricts the centroid CANDIDATE pool (the
-    incremental index freezes its quantizer on the init slice)."""
+    incremental index freezes its quantizer on the init slice);
+    ``label_filtered`` additionally equi-joins the query's label into
+    candidate generation (the filtered_ivf_ann_topk composition)."""
     hh = x.h60("('ivfc:' || CAST(vec_id AS VARCHAR))", x.DUCK)
     dot = x.dot_chain("e.embedding", "c.cv", EMB_DIM, x.DUCK)
     cos = x.cosine("q.embedding", "n.embedding", EMB_DIM, x.DUCK)
+    label_join = (
+        "JOIN embeddings ql ON ql.vec_id = p.query_id "
+        "JOIN embeddings nl ON nl.vec_id = a.vec_id "
+        "AND nl.label = ql.label"
+        if label_filtered
+        else ""
+    )
     return f"""
 WITH cent AS (
   SELECT cv, ROW_NUMBER() OVER (ORDER BY hh, vec_id) - 1 AS cidx
@@ -517,10 +603,11 @@ WITH cent AS (
   SELECT vec_id, cidx AS bucket FROM ranked_all WHERE r = 1
 ), probe AS (
   SELECT vec_id AS query_id, cidx AS bucket
-  FROM ranked_all WHERE r <= {nprobe} AND vec_id < 5
+  FROM ranked_all WHERE r <= {nprobe} AND {q_where}
 ), cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probe p JOIN assign a ON a.bucket = p.bucket
+  {label_join}
   WHERE a.vec_id <> p.query_id
 ), scored AS (
   SELECT cd.query_id, cd.neighbor_id, {cos} AS cosine
@@ -552,6 +639,23 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(
         emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10, quantizer="hash"
     )
+
+
+@register(
+    "filtered_ivf_ann_topk",
+    oracle=_ivf_oracle(q_where="vec_id < 20", label_filtered=True),
+    tags=("llm", "similarity"),
+    doc="Filtered IVF search: ONE shared hash-quantizer index over the "
+    "whole corpus, with the query's label pushed into the candidate "
+    "join next to the bucket key (pre-filtering at IVF granularity) — "
+    "non-matching vectors are never scored. The oracle recomputes "
+    "centroids, assignment, probing, the label join, and the top-k.",
+)
+def q_filtered_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import filtered_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_ivf_topk(emb.filter("vec_id < 20"), emb, dim=EMB_DIM, k=10)
 
 
 @register(

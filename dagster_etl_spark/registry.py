@@ -182,6 +182,8 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "temperature_mixture",
     "filtered_ann_topk",
     "cross_corpus_neardup",
+    "filtered_ivf_ann_topk",
+    "minhash_estimate_gate",
 )
 
 

@@ -988,3 +988,44 @@ def test_temperature_mixture_flattens_and_allocates(spark):
     assert big.alloc_tokens == 1_000_000 * 316 // 347
     assert small.alloc_tokens == 1_000_000 * 31 // 347
     assert big.alloc_tokens + small.alloc_tokens <= 1_000_000
+
+
+def test_filtered_ivf_recall_vs_filtered_exact(spark):
+    """Filtered IVF: every hit shares the query's label (the predicate
+    is enforced at candidate generation), and per-query overlap with
+    the exact filtered top-k clears the machinery-is-broken floor
+    (uniform-random fixture vectors are the IVF worst case)."""
+    from dagster_etl_spark.operators.similarity import (
+        filtered_cosine_topk,
+        filtered_ivf_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    q = emb.filter("vec_id < 5")
+    approx = filtered_ivf_topk(q, emb, k=10).collect()
+    assert approx, "filtered IVF returned nothing"
+    for r in approx:
+        assert labels[r.neighbor_id] == labels[r.query_id]
+    exact = filtered_cosine_topk(q, emb, k=10).collect()
+    for qid in {r.query_id for r in exact}:
+        want = {r.neighbor_id for r in exact if r.query_id == qid}
+        have = {r.neighbor_id for r in approx if r.query_id == qid}
+        assert len(want & have) >= 2, (
+            f"query {qid}: filtered IVF shares {len(want & have)}/10 "
+            "with filtered exact — below the machinery floor"
+        )
+
+
+def test_minhash_estimate_gate_bands(spark):
+    """The signature estimator on verified near-dup pairs: exact
+    arithmetic error bands — no pair may be off by more than 0.5
+    (4 sigma at 16 hashes = broken machinery, not sampling noise),
+    and the 2-sigma band holds the majority."""
+    from dagster_etl_spark.operators.dedup import minhash_estimate_accuracy
+
+    docs = load_table(spark, SF, "documents")
+    row = minhash_estimate_accuracy(docs).collect()[0]
+    assert row.n_pairs > 0, "fixture produced no verified pairs"
+    assert row.n_above_05 == 0
+    assert row.n_within_025 * 2 >= row.n_pairs

@@ -111,10 +111,13 @@ AUDITED = [
     "gopher_quality_flags",
     "ngram_jaccard_pairs",
     "embedding_neardup",
-    # r13 registrations (pure expression trees)
+    # r13 registrations (pure expression trees; filtered IVF does the
+    # bounded nlist-centroid collect on build like semantic_dedup)
     "temperature_mixture",
     "filtered_ann_topk",
     "cross_corpus_neardup",
+    "filtered_ivf_ann_topk",
+    "minhash_estimate_gate",
 ]
 
 
@@ -296,6 +299,12 @@ EXCHANGE_BUDGET = {
     # two banded sides (pinned melts) + candidate dedup + two verify
     # joins — same shape as minhash_neardup's 5
     "cross_corpus_neardup": 5,
+    # broadcast probe join on (bucket, label): only the top-k window
+    # shuffles (+AQE read)
+    "filtered_ivf_ann_topk": 2,
+    # minhash_neardup's candidate machinery (5) + the two signature
+    # re-attach joins for the estimator + final one-row agg
+    "minhash_estimate_gate": 8,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the
@@ -319,6 +328,8 @@ BUILD_JOB_BUDGET = {
     "pq_ann_rerank": 4,
     # centroid collect + one-pass codebook collect (multi-job under AQE)
     "ivf_pq_ann_topk": 6,
+    # the bounded nlist hash-centroid collect
+    "filtered_ivf_ann_topk": 1,
 }
 
 

@@ -121,6 +121,11 @@ QUERIES: dict[str, str] = {
     "temperature_mixture": "cipher",
     "filtered_ann_topk": "cipher",
     "cross_corpus_neardup": "cipher",
+    # filtered IVF rides the rotated embeddings like the other ANN
+    # rows; the estimate gate rides the cipher documents (pair count
+    # grows linearly, same axis as minhash_neardup)
+    "filtered_ivf_ann_topk": "cipher",
+    "minhash_estimate_gate": "cipher",
 }
 
 
