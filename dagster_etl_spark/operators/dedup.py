@@ -1269,6 +1269,52 @@ class IncrementalNearDupIndex:
             .filter(F.col("jaccard") >= threshold)
         )
 
+    def probe_external(
+        self, docs: DataFrame, threshold: float = 0.2
+    ) -> DataFrame:
+        """READ-ONLY cross-corpus sweep against the standing index: band
+        an EXTERNAL corpus (a newly released benchmark / eval set) and
+        probe the index without appending anything — "does my standing
+        training corpus near-duplicate any of these new docs?", the
+        recurring question a decontamination pipeline answers every
+        time an eval suite updates. Work is O(external x density): the
+        external side bands once and shuffles into the index's bkey
+        bucketing; the index side reads co-located (same plan shape as
+        ingest's probe, pinned by the ingest plan test).
+
+        Returns (left_id, right_id, jaccard): left = index member,
+        right = external doc, exact-Jaccard verified — identical
+        verdicts to the one-shot :func:`cross_corpus_neardup_pairs`
+        over (indexed corpus, external corpus)."""
+        spark = docs.sparkSession
+        ext_bands, ext_hashes = self._encode(docs)
+        probe = ext_bands.select(F.col(self.id_col).alias("__pid"), "bkey")
+        index = spark.table(self.bands_table)
+        cands = (
+            probe.join(index, probe["bkey"] == index["bkey"])
+            .select(
+                F.col(self.id_col).alias("left_id"),
+                F.col("__pid").alias("right_id"),
+            )
+            .dropDuplicates(["left_id", "right_id"])
+        )
+        ha = spark.table(self.hashes_table).select(
+            F.col(self.id_col).alias("left_id"), F.col("hs").alias("hs_a")
+        )
+        hb = ext_hashes.select(
+            F.col(self.id_col).alias("right_id"), F.col("hs").alias("hs_b")
+        )
+        jac = (
+            "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) / "
+            "size(array_distinct(concat(hs_a, hs_b)))"
+        )
+        return (
+            cands.join(ha, on="left_id")
+            .join(hb, on="right_id")
+            .selectExpr("left_id", "right_id", f"{jac} AS jaccard")
+            .filter(F.col("jaccard") >= threshold)
+        )
+
     def compact(self) -> dict[str, tuple[int, int]]:
         """Maintenance cadence: every ingest appends up to num_buckets
         files to each bucketed table (a streaming deployment appends

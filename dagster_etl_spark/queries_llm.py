@@ -417,6 +417,38 @@ def q_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cross_corpus_neardup_incremental",
+    oracle=_cross_corpus_oracle(),
+    tags=("llm", "dedup", "layout", "incremental"),
+    doc="The standing-index form of cross_corpus_neardup: the train "
+    "slice ingests into an IncrementalNearDupIndex over two days, then "
+    "the eval slice probes it READ-ONLY (probe_external) — the "
+    "recurring 'new benchmark released, is my standing corpus "
+    "contaminated?' sweep, O(eval x density) per run. Same oracle as "
+    "the one-shot: verdicts must match pair-for-pair.",
+)
+def q_cross_corpus_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.dedup import IncrementalNearDupIndex
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter("doc_id % 3 != 0")
+    idx = IncrementalNearDupIndex(spark, f"xc_inc_{sfx}")
+    idx.drop()  # fresh rebuild: correctness surface, staleness beats speed
+    for day in range(2):
+        idx.ingest(train.filter(F.col("doc_id") % 2 == day), threshold=JACCARD_T)
+    return idx.probe_external(
+        docs.filter("doc_id % 3 = 0"), threshold=JACCARD_T
+    )
+
+
 _EMB_NEARDUP_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {x.cosine('a.embedding', 'b.embedding', EMB_DIM, x.DUCK)} AS cosine

@@ -184,6 +184,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "cross_corpus_neardup",
     "filtered_ivf_ann_topk",
     "minhash_estimate_gate",
+    "cross_corpus_neardup_incremental",
 )
 
 

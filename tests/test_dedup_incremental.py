@@ -160,3 +160,46 @@ def test_pairs_before_any_ingest_is_empty(spark):
         assert got.columns == ["id_a", "id_b", "jaccard"]
     finally:
         idx.drop()
+
+
+def test_probe_external_matches_one_shot_and_is_read_only(idx_env):
+    """probe_external: the read-only cross-corpus sweep must reach the
+    one-shot cross_corpus_neardup_pairs verdicts pair-for-pair over
+    (indexed corpus, external corpus), and must leave all three index
+    tables untouched (no appends — a benchmark sweep is a query, not
+    an ingest)."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.dedup import cross_corpus_neardup_pairs
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark, idx = idx_env
+    docs = load_table(spark, SF_SMALL, "documents")
+    train = docs.filter("doc_id % 3 != 0")
+    external = docs.filter("doc_id % 3 = 0")
+    for day in range(2):
+        idx.ingest(train.filter(F.col("doc_id") % 2 == day), threshold=THRESH)
+
+    before = {
+        t: spark.table(t).count()
+        for t in (idx.bands_table, idx.hashes_table, idx.pairs_table)
+    }
+    got = {
+        (r.left_id, r.right_id, round(r.jaccard, 9))
+        for r in idx.probe_external(external, threshold=THRESH).collect()
+    }
+    want = {
+        (r.left_id, r.right_id, round(r.jaccard, 9))
+        for r in cross_corpus_neardup_pairs(
+            train, external, threshold=THRESH
+        ).collect()
+    }
+    # the standing index probes EVERY band (no LSH loss vs the one-shot
+    # on the same banding), so verdicts match exactly
+    assert got == want
+    assert want, "fixture produced no cross-corpus pairs"
+    after = {
+        t: spark.table(t).count()
+        for t in (idx.bands_table, idx.hashes_table, idx.pairs_table)
+    }
+    assert after == before, "probe_external mutated the index"
