@@ -1259,6 +1259,29 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mixture(docs, _MIX_BUDGETS, seed=13)
 
 
+def _cm_oracle() -> str:
+    from dagster_etl_spark.operators.text import cm_heavy_hitters_oracle_sql
+
+    return cm_heavy_hitters_oracle_sql()
+
+
+@register(
+    "cm_heavy_hitters",
+    oracle=_cm_oracle(),
+    tags=("llm", "text", "sketch"),
+    doc="Count-Min heavy hitters: top-20 corpus tokens with their "
+    "sketch estimates gated against exact counts in-query — the "
+    "12 KB mergeable frequency sketch a 100 TB pipeline keeps when "
+    "the vocabulary doesn't fit, with md5-derived hash rows so the "
+    "oracle recomputes the sketch bit-for-bit (approx_distinct_gate "
+    "family, exact not statistical).",
+)
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import cm_heavy_hitters
+
+    return cm_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
 _TEMP_MIX_BUDGET = 1_000_000
 
 

@@ -185,6 +185,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "filtered_ivf_ann_topk",
     "minhash_estimate_gate",
     "cross_corpus_neardup_incremental",
+    "cm_heavy_hitters",
 )
 
 

@@ -1029,3 +1029,21 @@ def test_minhash_estimate_gate_bands(spark):
     assert row.n_pairs > 0, "fixture produced no verified pairs"
     assert row.n_above_05 == 0
     assert row.n_within_025 * 2 >= row.n_pairs
+
+
+def test_cm_heavy_hitters_properties(spark):
+    """Count-Min structural guarantees on a pinned fixture: estimates
+    never under-count, the heavy hitter's estimate is exact when its
+    cells don't collide with heavier mass, and the rank order follows
+    exact counts."""
+    from dagster_etl_spark.operators.text import cm_heavy_hitters
+
+    rows = [Row(doc_id=1, text="alpha alpha alpha alpha beta beta gamma")]
+    out = cm_heavy_hitters(spark.createDataFrame(rows), k=5).collect()
+    by_tok = {r.token: r for r in out}
+    assert by_tok["alpha"].exact_count == 4
+    assert by_tok["beta"].exact_count == 2
+    assert all(r.cm_estimate >= r.exact_count for r in out)
+    assert all(r.overcount_ok for r in out)
+    ranks = [r.token for r in sorted(out, key=lambda r: r.rank)]
+    assert ranks[0] == "alpha" and ranks[1] == "beta"

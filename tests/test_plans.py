@@ -118,6 +118,7 @@ AUDITED = [
     "cross_corpus_neardup",
     "filtered_ivf_ann_topk",
     "minhash_estimate_gate",
+    "cm_heavy_hitters",
 ]
 
 
@@ -305,6 +306,11 @@ EXCHANGE_BUDGET = {
     # minhash_neardup's candidate machinery (5) + the two signature
     # re-attach joins for the estimator + final one-row agg
     "minhash_estimate_gate": 8,
+    # the pinned vocab aggregate's exchange PRINTS in both consumer
+    # branches (sketch melt + estimate joins) but executes once
+    # (plans/cache.pin); + cells aggregate + top-k Single (+AQE
+    # reads); the three cell joins broadcast
+    "cm_heavy_hitters": 7,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

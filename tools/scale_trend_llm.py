@@ -126,6 +126,10 @@ QUERIES: dict[str, str] = {
     # grows linearly, same axis as minhash_neardup)
     "filtered_ivf_ann_topk": "cipher",
     "minhash_estimate_gate": "cipher",
+    # the CM sketch rides the documents axis; translation grows the
+    # vocabulary linearly (each copy's tokens are distinct), which is
+    # exactly the regime the sketch exists for
+    "cm_heavy_hitters": "cipher",
 }
 
 
