@@ -81,6 +81,16 @@ def filtered_cosine_topk(
 
     Returns (query_id, neighbor_id, cosine, rank), rank <= k, with
     the deterministic (cosine desc, neighbor_id) tiebreak.
+
+    Boundedness contract (r13 ADVICE): ``queries`` is UNCONDITIONALLY
+    broadcast — same assumption as every bounded collect in this
+    module (nlist centroids, m*ksub codebooks): the query set is a
+    batch of user probes, orders of magnitude smaller than the corpus
+    and well under the broadcast limit. For a query set that can grow
+    with the corpus (e.g. all-pairs within a table), use
+    :func:`embedding-bucketed near-dup <dagster_etl_spark.operators.
+    dedup.embedding_neardup>` instead — a shuffled equi-join on the
+    group key, no broadcast.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -293,6 +303,13 @@ def filtered_ivf_topk(
     (nlist rows); the corpus assignment is one scan-local expression;
     the probe join broadcasts queries x nprobe rows; the only corpus
     exchange is the final top-k window.
+
+    Boundedness contract (r13 ADVICE): the exploded query side
+    (|queries| x nprobe rows) is UNCONDITIONALLY broadcast — the query
+    set is assumed to be a bounded probe batch, not corpus-scale; at
+    the defaults a 10k-query batch explodes to 80k rows (~25 MB of
+    64-dim floats). Corpus-scale all-pairs workloads belong to the
+    bucketed near-dup operators, not this entry point.
     """
     centroids = hash_centroids(corpus, nlist, id_col=id_col, vec_col=vec_col)
     bucket = f"{_topn_centroid_buckets_expr(vec_col, centroids, 1)}[0]"

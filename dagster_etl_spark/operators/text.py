@@ -468,7 +468,14 @@ def cm_heavy_hitters(
     the sketch (3N rows pre-combine, 3 x width rows out — broadcast-
     sized), one token aggregate for the exact side, three broadcast
     joins to read the cells. The sketch side never sees the token
-    string after bucketing — 8-byte keys through the exchange.
+    string after bucketing — 8-byte keys through the exchange. The
+    exact-count gate side necessarily materializes the vocabulary
+    (that is what makes the gate exact), but the top-k rank is
+    pre-trimmed per b0 sketch bucket before the global window, so the
+    single-partition sort sees at most width*k rows (20k at the
+    defaults) instead of the whole vocabulary — a pure-production
+    deployment keeps only the 12 KB cells and drops the gate side
+    entirely.
     """
     toks = df.selectExpr(
         f"explode({x.tokens(text_col, x.SPARK)}) AS tok"
@@ -514,12 +521,29 @@ def cm_heavy_hitters(
     mins = "least(" + ", ".join(f"c{r}" for r in range(depth)) + ")"
     from pyspark.sql.window import Window
 
-    ranked = est.selectExpr(
+    # r13 ADVICE: an unpartitioned row_number over the whole distinct
+    # vocabulary is a single-partition WindowExec — the scaling cliff.
+    # Every global top-k token is top-k WITHIN its b0 sketch bucket
+    # (<= k-1 tokens beat it globally, so <= k-1 in its bucket), so a
+    # per-bucket local rank (hash exchange on the 8-byte b0 key,
+    # distributed sort) pre-trims the global window's input from
+    # |vocabulary| rows to at most width*k.
+    scored = est.selectExpr(
         "tok AS token",
         "exact_count",
         f"CAST({mins} AS BIGINT) AS cm_estimate",
         f"{mins} >= exact_count AS overcount_ok",
-    ).withColumn(
+        "b0",
+    )
+    local = Window.partitionBy("b0").orderBy(
+        F.col("exact_count").desc(), F.col("token")
+    )
+    trimmed = (
+        scored.withColumn("_lr", F.row_number().over(local))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "b0")
+    )
+    ranked = trimmed.withColumn(
         "rank",
         F.row_number().over(
             Window.orderBy(F.col("exact_count").desc(), F.col("token"))

@@ -309,8 +309,10 @@ EXCHANGE_BUDGET = {
     # the pinned vocab aggregate's exchange PRINTS in both consumer
     # branches (sketch melt + estimate joins) but executes once
     # (plans/cache.pin); + cells aggregate + top-k Single (+AQE
-    # reads); the three cell joins broadcast
-    "cm_heavy_hitters": 7,
+    # reads); the three cell joins broadcast; +1 (r14): the hash(b0)
+    # exchange for the per-bucket local pre-trim that caps the
+    # single-partition top-k window at width*k rows (r13 ADVICE)
+    "cm_heavy_hitters": 8,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -180,7 +180,11 @@ def test_bloom_decontaminate_production_path(spark):
     assert exact_ids, "fixture benchmark slice found nothing"
     assert exact_ids <= bloom_ids, "production bloom path under-removed"
     n_docs = docs.count()
-    assert len(bloom_ids - exact_ids) < max(1, -(-n_docs // 100)) + 1
+    # same strict bound as the registered gate's fp_excess_ok flag
+    # (scrub.py bloom_decontaminate_gate: _fp_excess < GREATEST(1,
+    # integer-ceil(n/100))) — r13 ADVICE: the earlier "+ 1" slack could
+    # stay green on a run where the gate itself flips false
+    assert len(bloom_ids - exact_ids) < max(1, -(-n_docs // 100))
 
     survivors = {r.doc_id for r in bloom_decontaminate(docs, bench).collect()}
     assert survivors == {r.doc_id for r in docs.collect()} - bloom_ids
