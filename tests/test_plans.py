@@ -158,6 +158,63 @@ def test_no_cartesian_products(plans):
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
+# r13 verdict task 3: `df.crossJoin(broadcast(...))` plans a
+# BroadcastNestedLoopJoin, which test_no_cartesian_products never sees —
+# an unbounded BNLJ (corpus x corpus) would sail through the cartesian
+# audit. Every sanctioned BNLJ is listed here with its MAX planned count
+# and the boundedness reason; any other occurrence fails the audit.
+BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
+    # one-row scalar frames: crossJoin(broadcast(1-row aggregate)) --
+    # the zero-build-job pattern that replaced eager driver count()s
+    "rich_customers_without_low_orders": (
+        1, "TPC-H Q22 threshold: broadcast 1-row mean-balance frame"),
+    "major_suppliers": (
+        1, "scalar threshold: broadcast 1-row aggregate frame"),
+    "decontaminate_bloom_gate": (
+        1, "broadcast 1-row corpus-count frame (BUILD_JOB_BUDGET 0 path)"),
+    "tfidf_top_terms": (
+        1, "idf needs N_docs: broadcast 1-row doc-count frame"),
+    "temperature_mixture": (
+        1, "mixture weights normalize by a broadcast 1-row total frame"),
+    "semantic_dedup": (
+        3, "per-cluster stats + 1-row totals, all broadcast dimension-"
+           "sized frames (cluster count <= nlist)"),
+    # bounded query batches: ANN entry points score a broadcast probe
+    # batch against the corpus -- |queries| << |corpus| by contract
+    # (documented in similarity.py docstrings)
+    "ann_cosine_topk": (1, "broadcast bounded query batch vs corpus"),
+    "quantized_ann_topk": (1, "broadcast bounded query batch vs corpus"),
+    "pq_ann_topk": (1, "broadcast bounded query batch vs corpus"),
+    "pq_ann_rerank": (1, "broadcast bounded query batch (rerank frame)"),
+    # bounded verifier: capped-id all-pairs, sanctioned like its
+    # CartesianProduct sibling would be
+    "embedding_neardup": (
+        1, "bounded exact-cosine verify over banded candidates"),
+}
+
+
+def test_bnlj_only_on_allowlist(plans):
+    """BroadcastNestedLoopJoin is sanctioned ONLY for broadcast 1-row
+    scalar frames, bounded ANN query batches, and the capped verifier
+    — each pinned in BNLJ_ALLOWED with a reason and a max count. A
+    BNLJ anywhere else (or more of them than pinned) is an unbounded
+    nested loop waiting for a corpus-sized side."""
+    for name, (plan, _) in plans.items():
+        n = plan.count("BroadcastNestedLoopJoin")
+        cap, _reason = BNLJ_ALLOWED.get(name, (0, ""))
+        assert n <= cap, (
+            f"{name} plans {n} BroadcastNestedLoopJoin(s), allowlist cap "
+            f"{cap} — justify boundedness in BNLJ_ALLOWED or remove the "
+            "nested loop"
+        )
+    # stale entries hide future regressions: an allowlisted query that
+    # no longer plans any BNLJ must be dropped from the list
+    for name, (cap, _reason) in BNLJ_ALLOWED.items():
+        if name in plans:
+            n = plans[name][0].count("BroadcastNestedLoopJoin")
+            assert n > 0, f"BNLJ_ALLOWED entry for {name} is stale"
+
+
 def test_no_rowwise_python(plans):
     """BatchEvalPython = row-at-a-time Python UDF — banned everywhere.
     Arrow-batched Python (mapInPandas) is allowed only in multimodal
