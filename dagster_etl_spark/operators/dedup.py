@@ -662,6 +662,170 @@ FROM g LEFT JOIN agg a USING ({id_col})
 """
 
 
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al., *Deduplicating Training Data
+    Makes Language Models Better*, ACL 2022, sec. 4.2 — the step after
+    :func:`duplicate_ngram_spans`'s measurement): delete every maximal
+    token span of length >= ``k`` whose text occurs >= ``min_count``
+    times in the corpus, and reassemble the surviving tokens. The
+    k-gram coverage set is EXACT for the >= k threshold: a position
+    lies in a shared substring of length >= k iff some duplicated
+    k-gram covers it (every k-window of a shared span is itself
+    duplicated; conversely a duplicated k-gram IS a shared k-span), so
+    unioning the ``[pos, pos+k)`` intervals of duplicated shingles
+    reproduces the suffix-array answer at token grain without the
+    suffix array. Overlapping-or-touching intervals merge (gap <= k),
+    matching the paper's span coalescing.
+
+    Why full k-gram frequency and not winnowing-anchored candidates
+    (``winnow_fp_array_expr``): anchors only guarantee detection of
+    shared substrings >= w+k-1 tokens and blur span BOUNDARIES (the
+    removal set would be approximate); the exact relation costs the
+    same exchange COUNT — one hash aggregate on the 8-byte shingle
+    hash, map-side partials collapsing boilerplate repeats — and the
+    only rows through it are (doc_id, pos int, h bigint). Winnowing
+    remains the right filter when only detection (not removal) is
+    needed: that is ``winnow_fingerprints``.
+
+    Scale shape: frequency agg + left-semi join on the hash key (both
+    bucketed by h, never all-pairs), one per-doc window to coalesce
+    islands, one dimension-sized island aggregate (docs WITH long
+    duplicate spans only), and ONE equi-join back to the token arrays
+    on ``id_col`` — removal is a scan-local array lambda
+    (filter (t, i) -> no island covers i), so the text never shuffles.
+
+    Returns (doc_id, text, n_tokens, n_removed_tokens,
+    n_spans_removed) where ``text`` is the kept tokens rejoined with
+    single spaces (the normalized stream, as dedup_lines does for
+    lines); docs without duplicated spans pass through normalized.
+    """
+    from pyspark.sql.window import Window
+
+    body = (
+        f"named_struct('toks', _t, "
+        f"'hs', {x.pos_shingle_hashes('_t', k, x.SPARK)})"
+    )
+    g = df.selectExpr(
+        id_col,
+        f"{x.let(x.tokens(text_col, x.SPARK), '_t', body, x.SPARK)} AS _s",
+    ).select(
+        id_col,
+        F.col("_s.toks").alias("_t"),
+        F.col("_s.hs").alias("hs"),
+    )
+    g = pin(spread(g))
+    ex = g.select(id_col, F.posexplode("hs").alias("pos", "h"))
+    freq = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    dup = ex.join(freq, on="h", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = dup.withColumn(
+        "_new",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)) > k,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + k).alias("e"),
+    )
+    isl_arr = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
+    )
+    joined = g.join(isl_arr, on=id_col, how="left")
+    kept = (
+        "CASE WHEN _spans IS NULL THEN _t "
+        "ELSE filter(_t, (t, i) -> "
+        "NOT exists(_spans, a -> i >= a.s AND i < a.e)) END"
+    )
+    return joined.selectExpr(
+        id_col,
+        x.let(kept, "_k", "concat_ws(' ', _k)", x.SPARK) + " AS text",
+        "CAST(size(_t) AS BIGINT) AS n_tokens",
+        f"CAST(size(_t) - size({kept}) AS BIGINT) AS n_removed_tokens",
+        "CAST(COALESCE(size(_spans), 0) AS BIGINT) AS n_spans_removed",
+    )
+
+
+def dedup_substrings_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`dedup_substrings`: same shingle hashes,
+    same gap-<=-k island coalescing; removal via NOT EXISTS against
+    the island set and ``string_agg(... ORDER BY pos)`` reassembly."""
+    d = x.DUCK
+    body = f"{{'toks': _t, 'hs': {x.pos_shingle_hashes('_t', k, d)}}}"
+    s = x.let(x.tokens(text_col, d), "_t", body, d)
+    return f"""
+WITH g AS (
+  SELECT {id_col}, s['toks'] AS _t, s['hs'] AS hs
+  FROM (SELECT {id_col}, {s} AS s FROM {table})
+),
+ex AS (
+  SELECT {id_col}, CAST(u.i AS INT) AS pos, hs[u.i + 1] AS h
+  FROM g, unnest(range(0, len(hs))) u(i)
+),
+freq AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= {min_count}),
+dup AS (
+  SELECT {id_col}, pos,
+         CASE WHEN COALESCE(pos - lag(pos) OVER (
+           PARTITION BY {id_col} ORDER BY pos), {k + 1}) > {k}
+         THEN 1 ELSE 0 END AS _new
+  FROM ex WHERE h IN (SELECT h FROM freq)
+),
+isl0 AS (
+  SELECT {id_col}, pos,
+         SUM(_new) OVER (PARTITION BY {id_col} ORDER BY pos) AS _isl
+  FROM dup
+),
+isl AS (
+  SELECT {id_col}, _isl, MIN(pos) AS s, MAX(pos) + {k} AS e
+  FROM isl0 GROUP BY 1, 2
+),
+toks AS (
+  SELECT {id_col}, CAST(u.i AS INT) AS pos, _t[u.i + 1] AS tok
+  FROM g, unnest(range(0, len(_t))) u(i)
+),
+kept AS (
+  SELECT t.{id_col}, t.pos, t.tok
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM isl
+    WHERE isl.{id_col} = t.{id_col} AND t.pos >= isl.s AND t.pos < isl.e
+  )
+)
+SELECT g.{id_col},
+       COALESCE((SELECT string_agg(kept.tok, ' ' ORDER BY kept.pos)
+                 FROM kept WHERE kept.{id_col} = g.{id_col}), '') AS text,
+       CAST(len(g._t) AS BIGINT) AS n_tokens,
+       CAST(len(g._t) AS BIGINT)
+         - COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM kept
+                     WHERE kept.{id_col} = g.{id_col}), 0)
+         AS n_removed_tokens,
+       COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM isl
+                 WHERE isl.{id_col} = g.{id_col}), 0) AS n_spans_removed
+FROM g
+"""
+
+
 # -- SimHash near-dup ---------------------------------------------------------
 
 def simhash_neardup_pairs(

@@ -600,3 +600,164 @@ WITH toks AS (
 SELECT token, exact_count, cm_estimate, overcount_ok, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# -- BM25 ranked retrieval ----------------------------------------------------
+
+# Fixed-point BM25 parameters as exact rationals: k1 = 6/5 (1.2) and
+# b = 3/4 (0.75), the Robertson defaults. With avgdl floored to an
+# integer the per-term saturation becomes one exact integer ratio:
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#     = 44*avgdl*tf / (20*avgdl*tf + 6*avgdl + 18*dl)
+# and the half-shifted Robertson idf (N - df + 0.5)/(df + 0.5) is the
+# exact ratio (2N - 2df + 1)/(2df + 1). Scores are accumulated as
+# BIGINT fixed-point (contrib = SCALE*num DIV den) so the cross-term
+# SUM is order-independent — a double sum would make the result depend
+# on Spark's partial-aggregation order.
+BM25_SCALE = 1_000_000
+
+
+def bm25_topk_docs(
+    df: DataFrame,
+    k: int = 10,
+    seed_mod: int = 97,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = BM25_SCALE,
+) -> DataFrame:
+    """BM25-ranked more-like-this retrieval: every document whose
+    ``id_col % seed_mod == 0`` becomes a query (its distinct token set
+    is the query term set), and the corpus is ranked against each
+    query by fixed-point BM25 (k1=1.2, b=0.75, floored integer avgdl,
+    Robertson half-shifted idf — see BM25_SCALE above). This is the
+    lexical scorer every curation stack pairs with the ANN layer; the
+    fixed-point form makes it exactly DuckDB-oracle-checkable (the
+    repo's integer-exact style: every division is either an integer
+    DIV or the single terminal CAST-to-double by ``scale``).
+
+    Scale shape: tokens leave the scan as (doc_id, dl, term) rows; tf
+    carries dl through its own aggregate so document length never
+    needs a separate join; df is a hash aggregate on the term; N and
+    total token count ride one broadcast 1-row frame (the
+    zero-build-job pattern); the query side is an equi-JOIN on the
+    term key — never a broadcast of anything corpus-sized — and the
+    only remaining exchanges are the (query, doc) score aggregate and
+    the per-query top-k window. Docs sharing no term with a query are
+    never scored (the join is the inverted index).
+
+    BIGINT headroom: contrib's numerator is scale*44*avgdl*tf*(2N+1)
+    ~ 1.3e15 at sf0.1 — five orders under the 9.2e18 BIGINT ceiling.
+    At a 1e11-doc corpus the same expression needs scale dropped to
+    1e3 or DECIMAL(38,0) accumulation; the quantization grain is the
+    ``scale`` parameter for exactly that reason.
+
+    Returns (query_id, doc_id, score_scaled, score, rank), rank <= k,
+    deterministic (score_scaled desc, doc_id) tiebreak on the EXACT
+    integer score, never the double.
+    """
+    from pyspark.sql.window import Window
+
+    g = df.selectExpr(
+        id_col, f"{x.tokens(text_col, x.SPARK)} AS _t"
+    ).selectExpr(id_col, f"CAST({x.xsize('_t', x.SPARK)} AS BIGINT) AS dl", "_t")
+    ex = pin(
+        g.select(id_col, "dl", F.explode("_t").alias("term"))
+    )
+    tf = ex.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfq = ex.groupBy("term").agg(
+        F.countDistinct(id_col).cast("long").alias("df")
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    qt = (
+        ex.filter(F.col(id_col) % seed_mod == 0)
+        .select(F.col(id_col).alias("query_id"), "term")
+        .distinct()
+    )
+    avgdl = "(total_tokens DIV n_docs)"
+    num = f"(CAST({scale} AS BIGINT) * 44 * {avgdl} * tf * (2*n_docs - 2*df + 1))"
+    den = f"((2*df + 1) * (20*{avgdl}*tf + 6*{avgdl} + 18*dl))"
+    scored = (
+        tf.join(dfq, on="term")
+        .join(qt, on="term")
+        .filter(F.col("query_id") != F.col(id_col))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("query_id", id_col, f"{num} DIV {den} AS contrib")
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.sum("contrib").cast("long").alias("score_scaled")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_scaled").desc(), F.col(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .selectExpr(
+            "query_id",
+            id_col,
+            "score_scaled",
+            f"CAST(score_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS score",
+            "rank",
+        )
+    )
+
+
+def bm25_topk_docs_oracle_sql(
+    table: str = "documents",
+    k: int = 10,
+    seed_mod: int = 97,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = BM25_SCALE,
+) -> str:
+    """DuckDB mirror of :func:`bm25_topk_docs` — same floored avgdl,
+    same fixed-point contribs (DuckDB ``//`` = Spark ``DIV`` on
+    non-negative BIGINTs), same exact-integer tiebreak."""
+    d = x.DUCK
+    avgdl = "(tot.total_tokens // tot.n_docs)"
+    num = f"(CAST({scale} AS BIGINT) * 44 * {avgdl} * tf.tf * (2*tot.n_docs - 2*dfq.df + 1))"
+    den = f"((2*dfq.df + 1) * (20*{avgdl}*tf.tf + 6*{avgdl} + 18*tf.dl))"
+    return f"""
+WITH g AS (
+  SELECT {id_col}, {x.tokens(text_col, d)} AS _t FROM {table}
+), gg AS (
+  SELECT {id_col}, CAST({x.xsize('_t', d)} AS BIGINT) AS dl, _t FROM g
+), ex AS (
+  SELECT {id_col}, dl, UNNEST(_t) AS term FROM gg
+), tf AS (
+  SELECT {id_col}, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS df
+  FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens
+  FROM gg
+), qt AS (
+  SELECT DISTINCT {id_col} AS query_id, term FROM ex
+  WHERE {id_col} % {seed_mod} = 0
+), scored AS (
+  SELECT qt.query_id, tf.{id_col},
+         {num} // {den} AS contrib
+  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN tot
+  WHERE qt.query_id <> tf.{id_col}
+), agg AS (
+  SELECT query_id, {id_col},
+         CAST(SUM(contrib) AS BIGINT) AS score_scaled
+  FROM scored GROUP BY 1, 2
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score_scaled DESC, {id_col}) AS INT) AS rank
+  FROM agg
+)
+SELECT query_id, {id_col}, score_scaled,
+       CAST(score_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS score,
+       rank
+FROM ranked WHERE rank <= {k}
+"""

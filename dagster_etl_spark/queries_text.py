@@ -1370,3 +1370,51 @@ def q_self_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat(text, '\\n', split(text, '\\n')[0]) AS text",
     )
     return dedup_self_repeats(with_rep)
+
+
+def _bm25_oracle() -> str:
+    from dagster_etl_spark.operators.text import bm25_topk_docs_oracle_sql
+
+    return bm25_topk_docs_oracle_sql()
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=_bm25_oracle(),
+    tags=("llm", "text", "retrieval"),
+    doc="BM25 more-like-this retrieval (k1=1.2, b=0.75): every 97th "
+    "doc's token set queries the corpus; scores are BIGINT fixed-point "
+    "(idf and saturation as exact integer rationals, one terminal "
+    "double division) so the cross-term sum is order-independent and "
+    "the DuckDB oracle is bit-exact. The term equi-join IS the "
+    "inverted index -- unmatched docs are never scored.",
+)
+def q_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import bm25_topk_docs
+
+    return bm25_topk_docs(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_substrings_oracle() -> str:
+    from dagster_etl_spark.operators.dedup import dedup_substrings_oracle_sql
+
+    return dedup_substrings_oracle_sql(k=8, min_count=2)
+
+
+@register(
+    "dedup_substrings",
+    oracle=_dedup_substrings_oracle(),
+    tags=("llm", "dedup", "text"),
+    doc="ExactSubstr removal (Lee et al. ACL 2022 sec. 4.2): maximal "
+    "duplicate token spans >= 8 tokens (exact at the k-gram grain: "
+    "covered-position union of duplicated positional shingles) are "
+    "deleted and the surviving tokens reassembled. Islands coalesce "
+    "when gaps <= k; removal is a scan-local array lambda after one "
+    "equi-join of the dimension-sized island set back to the token "
+    "arrays — text never crosses an exchange.",
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import dedup_substrings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_substrings(docs, k=8, min_count=2)

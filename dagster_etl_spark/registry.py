@@ -191,6 +191,9 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "approx_distinct_gate",
     "approx_quantile_gate",
     "url_dedup",
+    # mid-r14 registrations (ALLCHECK_r14-swept; no driver row yet)
+    "bm25_topk_docs",
+    "dedup_substrings",
 )
 
 

@@ -1047,3 +1047,98 @@ def test_cm_heavy_hitters_properties(spark):
     assert all(r.overcount_ok for r in out)
     ranks = [r.token for r in sorted(out, key=lambda r: r.rank)]
     assert ranks[0] == "alpha" and ranks[1] == "beta"
+
+
+def test_bm25_idf_ordering_and_saturation(spark):
+    """BM25 invariants on a hand-built corpus with doc 0 as the query
+    (seed_mod leaves only doc_id 0): (1) matching a RARE query term
+    outranks matching only the ubiquitous one (idf ordering); (2) term
+    frequency saturates — 6x the tf must score strictly less than 6x
+    the single-occurrence score (k1 cap) while still scoring higher;
+    (3) the query never ranks itself and non-overlapping docs are
+    never scored; (4) the double score is exactly the fixed-point
+    integer over the scale."""
+    from dagster_etl_spark.operators.text import BM25_SCALE, bm25_topk_docs
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta common common"),
+            Row(doc_id=1, text="alpha common"),
+            Row(doc_id=2, text="common common common"),
+            Row(doc_id=3, text="beta beta beta beta beta beta"),
+            Row(doc_id=4, text="zzz yyy"),
+            Row(doc_id=5, text="beta"),
+        ]
+    )
+    out = bm25_topk_docs(docs, k=10, seed_mod=97).collect()
+    assert {r.query_id for r in out} == {0}
+    scores = {r.doc_id: r.score_scaled for r in out}
+    assert 0 not in scores, "query ranked itself"
+    assert 4 not in scores, "doc sharing no term was scored"
+    # idf: doc 1 matches rare 'alpha' (+ 'common'); doc 2 only the
+    # term every scored doc has
+    assert scores[1] > scores[2]
+    # saturation: doc 3 = 6x 'beta' vs doc 5 = 1x 'beta'
+    assert scores[5] < scores[3] < 6 * scores[5]
+    for r in out:
+        assert r.score == r.score_scaled / BM25_SCALE
+    ranks = [r.rank for r in sorted(out, key=lambda r: (-r.score_scaled, r.doc_id))]
+    assert ranks == list(range(1, len(out) + 1))
+
+
+def test_dedup_substrings_removes_shared_span_exactly(spark):
+    """ExactSubstr removal invariants on a hand-built corpus: docs 1
+    and 2 share a 10-token run (>= k=8) embedded in distinct prefixes/
+    suffixes; doc 3 shares nothing. The shared maximal span must be
+    removed from BOTH carriers at exact boundaries (prefix/suffix
+    tokens survive), the clean doc passes through normalized, and the
+    span/token counters agree with the removal."""
+    from dagster_etl_spark.operators.dedup import dedup_substrings
+
+    shared = " ".join(f"dup{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"aaa bbb {shared} ccc"),
+            Row(doc_id=2, text=f"xxx {shared} yyy zzz"),
+            Row(doc_id=3, text="unique words only here"),
+        ]
+    )
+    out = {r.doc_id: r for r in dedup_substrings(docs, k=8, min_count=2).collect()}
+    assert out[1].text == "aaa bbb ccc"
+    assert out[2].text == "xxx yyy zzz"
+    assert out[3].text == "unique words only here"
+    for i in (1, 2):
+        assert out[i].n_removed_tokens == 10
+        assert out[i].n_spans_removed == 1
+    assert out[3].n_removed_tokens == 0 and out[3].n_spans_removed == 0
+    assert out[1].n_tokens == 13 and out[3].n_tokens == 4
+
+
+def test_dedup_substrings_merges_touching_islands(spark):
+    """Two duplicated 8-gram runs separated by a gap <= k must coalesce
+    into ONE maximal span (the paper's span merging); a gap > k stays
+    two spans and the between-gap tokens survive."""
+    from dagster_etl_spark.operators.dedup import dedup_substrings
+
+    run_a = " ".join(f"aa{i}" for i in range(8))
+    run_b = " ".join(f"bb{i}" for i in range(8))
+    gap_big = " ".join(f"h{i}" for i in range(12))        # gap > k survives
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{run_a} {run_b}"),
+            Row(doc_id=2, text=f"{run_a} {gap_big} {run_b}"),
+            Row(doc_id=3, text=f"p0 {run_a} p1"),
+            Row(doc_id=4, text=f"q0 {run_b} q1"),
+        ]
+    )
+    out = {r.doc_id: r for r in dedup_substrings(docs, k=8, min_count=2).collect()}
+    # doc 1: duplicated shingles at positions 0 and 8 — the [0,8) and
+    # [8,16) intervals TOUCH (gap == k), so they coalesce into one
+    # maximal span covering the whole doc
+    assert out[1].n_spans_removed == 1
+    assert out[1].text == ""
+    # doc 2: duplicated at 0 and 20 — distinct islands, the 12-token
+    # gap survives
+    assert out[2].n_spans_removed == 2
+    assert out[2].text == gap_big
+    assert out[3].text == "p0 p1" and out[4].text == "q0 q1"

@@ -119,6 +119,9 @@ AUDITED = [
     "filtered_ivf_ann_topk",
     "minhash_estimate_gate",
     "cm_heavy_hitters",
+    # r14 registrations (pure expression trees)
+    "bm25_topk_docs",
+    "dedup_substrings",
 ]
 
 
@@ -190,6 +193,8 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     # CartesianProduct sibling would be
     "embedding_neardup": (
         1, "bounded exact-cosine verify over banded candidates"),
+    "bm25_topk_docs": (
+        1, "broadcast 1-row (n_docs, total_tokens) frame for idf/avgdl"),
 }
 
 
@@ -370,6 +375,14 @@ EXCHANGE_BUDGET = {
     # exchange for the per-bucket local pre-trim that caps the
     # single-partition top-k window at width*k rows (r13 ADVICE)
     "cm_heavy_hitters": 8,
+    # r14: pinned explode feeds tf/df/query branches; tf aggregate,
+    # df aggregate + term join re-shuffle, (query, doc) score
+    # aggregate, per-query top-k window, one-row totals Single
+    "bm25_topk_docs": 7,
+    # r14: shingle-frequency aggregate + semi-join on h, per-doc
+    # island window + island aggregate + spans-array aggregate (the
+    # pinned explode prints once per consumer but executes once)
+    "dedup_substrings": 5,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -101,6 +101,11 @@ QUERIES: dict[str, str] = {
     # freezing the sf0.01 nlist=16 and measuring a quadratic nobody
     # would deploy.
     "contamination_score": "cipher",
+    # r14: BM25 rides the cipher axis — disjoint vocab per copy means
+    # each seed query (1-in-97 of every copy) only matches its own
+    # copy, so scored pairs grow LINEARLY with the corpus (the
+    # realistic retrieval growth law), not quadratically
+    "bm25_topk_docs": "cipher",
     "decontaminate_bloom_gate": "cipher",
     "semantic_dedup": "cipher",
     # PQ rides the rotated embeddings; codebooks/encode are plan
