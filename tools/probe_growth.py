@@ -1,22 +1,29 @@
-"""probe_external growth curve: the eval-sweep cost as the standing
-index grows (the feature's 100 TB claim — a benchmark sweep should be
-O(eval x density), not O(corpus)).
+"""Standing-index soak: probe cost as the index grows under the real
+maintenance cadence (the feature's 100 TB claim — a benchmark sweep or
+ANN query burst should cost O(probe x density), not O(corpus)).
 
-Protocol: 10 daily ingests of 5k cipher-translated docs each (the
-scale_trend_llm axis — per-copy translations are textually disjoint,
-so the corpus genuinely grows), compact every 3rd day (the cadence
-soak's maintenance rhythm). The probe set is FIXED: 100 docs from
-each of the 10 copies' translations (ids shifted out of the corpus id
-space), so every indexed slice contributes exact dups for the probe to
-find — expected hits grow linearly with days ingested while the probe
-side stays 1,000 docs. After each ingest, run probe_external twice
-(warm pair, keep the better) and record wall time + pairs found.
+Two incremental surfaces, both fed a genuinely-growing corpus:
 
-PASS shape: probe time flat-ish (slow growth from the co-located index
-scan) while corpus grows 10x and hits grow ~linearly.
+* ``IncrementalNearDupIndex`` — one cipher-translated documents copy
+  per day (textually disjoint per day, the scale_trend_llm axis); a
+  FIXED 1,000-doc external probe set (100 per copy, ids shifted out of
+  the corpus id space) sweeps the standing band index read-only after
+  every ingest, so expected hits grow linearly while the probe side
+  stays constant.
+* ``IncrementalIVFPQIndex`` (r14, verdict task 6) — one rotated
+  embeddings copy per day appended against quantizers FROZEN on day 1;
+  a FIXED 100-vector query set runs ``topk`` after every append. The
+  codes table is the 8-byte-per-vector hot state; the probe reads
+  nprobe/nlist of it.
 
-Usage: python tools/probe_growth.py [sf_dir] [days]
-Prints one JSON line.
+Cadence: ``days`` daily ingests with ``compact_every`` compaction (r14
+protocol: 30 days, compact every 10 — the r13 run was 10 days / every
+3). Each probe is measured as a warm pair (first run warms, second is
+recorded). PASS shape: probe_sec flat-ish under compaction while the
+corpus grows ``days``x and hits grow ~linearly.
+
+Usage: python tools/probe_growth.py [sf_dir] [days] [compact_every]
+Prints one JSON line (redirect to PROBEGROWTH_r{N}.json).
 """
 
 from __future__ import annotations
@@ -31,23 +38,30 @@ sys.path.insert(0, str(REPO))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DAYS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+COMPACT_EVERY = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 PROBE_PER_DAY = 100
 THRESH = 0.2
 
 
-def main() -> None:
+def _summary(days: list[dict], probe_key: str = "probe_sec") -> dict:
+    first, last = days[0], days[-1]
+    return {
+        "corpus_growth": round(last["corpus_docs"] / first["corpus_docs"], 1),
+        "probe_time_growth": round(last[probe_key] / first[probe_key], 2),
+        "probe_first_day_sec": first[probe_key],
+        "probe_last_day_sec": last[probe_key],
+        "hits_first_day": first["probe_hits"],
+        "hits_last_day": last["probe_hits"],
+    }
+
+
+def _neardup_series(spark, docs, n: int) -> tuple[list[dict], int]:
     from pyspark.sql import functions as F
 
     from dagster_etl_spark.operators.dedup import IncrementalNearDupIndex
-    from dagster_etl_spark.session import get_spark
-    from dagster_etl_spark.sources.fixtures import load_table
     from tools.scale_trend_llm import _cipher_docs
 
-    spark = get_spark("probe-growth")
-    docs = load_table(spark, SF_DIR, "documents")
-    n = docs.count()
     all_copies = _cipher_docs(docs, DAYS, n)
-
     # fixed external probe set: PROBE_PER_DAY docs per copy, ids
     # shifted far above the corpus id space so no accidental id
     # collisions muddy the pair sets
@@ -60,7 +74,7 @@ def main() -> None:
 
     idx = IncrementalNearDupIndex(spark, "probe_growth_idx")
     idx.drop()
-    days = []
+    days: list[dict] = []
     for d in range(DAYS):
         day_slice = all_copies.filter(
             (F.col("doc_id") >= d * n) & (F.col("doc_id") < (d + 1) * n)
@@ -69,7 +83,7 @@ def main() -> None:
         idx.ingest(day_slice, threshold=THRESH)
         ingest_s = time.perf_counter() - t0
         compacted = None
-        if (d + 1) % 3 == 0:
+        if (d + 1) % COMPACT_EVERY == 0:
             compacted = idx.compact()
         idx.probe_external(probe_set, threshold=THRESH).count()  # warm
         t0 = time.perf_counter()
@@ -87,25 +101,93 @@ def main() -> None:
                 else None,
             }
         )
-        print(f"# {days[-1]}", file=sys.stderr)
+        print(f"# neardup {days[-1]}", file=sys.stderr)
     idx.drop()
-    first, last = days[0], days[-1]
+    return days, n_probe
+
+
+def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tools.scale_trend_llm import _rot_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ne = emb.count()
+    all_rot = _rot_embeddings(emb, DAYS, ne)
+    # fixed query set: the first 100 original vectors, ids shifted out
+    # of the corpus id space (same freeze rationale as the doc probe)
+    queries = (
+        emb.filter(F.col("vec_id") < 100)
+        .select((F.col("vec_id") + DAYS * ne * 10).alias("vec_id"), "embedding")
+        .localCheckpoint()
+    )
+    nq = queries.count()
+
+    idx = IncrementalIVFPQIndex(spark, "probe_growth_ivfpq")
+    idx.drop()
+    days: list[dict] = []
+    for d in range(DAYS):
+        day_slice = all_rot.filter(
+            (F.col("vec_id") >= d * ne) & (F.col("vec_id") < (d + 1) * ne)
+        )
+        t0 = time.perf_counter()
+        if d == 0:
+            idx.init(day_slice)  # freezes both quantizers on day 1
+        else:
+            idx.append(day_slice)
+        append_s = time.perf_counter() - t0
+        compacted = None
+        if (d + 1) % COMPACT_EVERY == 0:
+            compacted = idx.compact()
+        idx.topk(queries, k=10, nprobe=8).count()  # warm
+        t0 = time.perf_counter()
+        hits = idx.topk(queries, k=10, nprobe=8).count()
+        probe_s = time.perf_counter() - t0
+        days.append(
+            {
+                "day": d + 1,
+                "corpus_docs": (d + 1) * ne,
+                "ingest_sec": round(append_s, 3),
+                "probe_sec": round(probe_s, 3),
+                "probe_hits": hits,
+                "compacted": {k: list(v) for k, v in compacted.items()}
+                if compacted
+                else None,
+            }
+        )
+        print(f"# ivfpq {days[-1]}", file=sys.stderr)
+    idx.drop()
+    return days, nq
+
+
+def main() -> None:
+    from dagster_etl_spark.session import get_spark
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    spark = get_spark("probe-growth")
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+
+    nd_days, n_probe = _neardup_series(spark, docs, n)
+    pq_days, n_queries = _ivfpq_series(spark, SF_DIR)
+
     print(
         json.dumps(
             {
                 "sf_dir": SF_DIR,
                 "days": DAYS,
-                "probe_docs": n_probe,
-                "series": days,
-                "summary": {
-                    "corpus_growth": round(
-                        last["corpus_docs"] / first["corpus_docs"], 1
-                    ),
-                    "probe_time_growth": round(
-                        last["probe_sec"] / first["probe_sec"], 2
-                    ),
-                    "hits_first_day": first["probe_hits"],
-                    "hits_last_day": last["probe_hits"],
+                "compact_every": COMPACT_EVERY,
+                "neardup": {
+                    "probe_docs": n_probe,
+                    "series": nd_days,
+                    "summary": _summary(nd_days),
+                },
+                "ivfpq": {
+                    "query_vectors": n_queries,
+                    "series": pq_days,
+                    "summary": _summary(pq_days),
                 },
             }
         )

@@ -106,6 +106,9 @@ QUERIES: dict[str, str] = {
     # copy, so scored pairs grow LINEARLY with the corpus (the
     # realistic retrieval growth law), not quadratically
     "bm25_topk_docs": "cipher",
+    # dedup_substrings also rides cipher: per-copy disjoint vocab means
+    # spans duplicate only within a copy — per-doc output, linear work
+    "dedup_substrings": "cipher",
     "decontaminate_bloom_gate": "cipher",
     "semantic_dedup": "cipher",
     # PQ rides the rotated embeddings; codebooks/encode are plan
