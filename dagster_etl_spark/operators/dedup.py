@@ -526,6 +526,121 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT join (Broder 1997's second
+    resemblance measure): ``C(A,B) = |S(A) n S(B)| / |S(A)|`` — the
+    doc-in-doc detector that symmetric Jaccard structurally misses (a
+    50-token license block fully embedded in a 5,000-token page has
+    Jaccard ~0.01 but containment 1.0; quote-heavy and
+    boilerplate-wrapped training documents are exactly this shape).
+    Reports each unordered candidate pair once with BOTH directions
+    (containment_a = inter/|S(A)|, containment_b = inter/|S(B)|),
+    kept when either direction clears ``threshold``.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — the
+    equi-join on the 60-bit shingle hash IS the candidate generator
+    (only pairs sharing at least one shingle are ever grouped; never
+    all-pairs), the exploded scalar rows are pinned once for both
+    self-join sides, and the divisions are two exact int-over-int
+    doubles at the very end.
+    """
+    tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
+    sh = shingled(
+        spread(df).filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k
+    )
+    hashed = sh.selectExpr(
+        id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
+    )
+    sized = hashed.selectExpr(id_col, "hs", "size(hs) AS n_sh")
+    ex = pin(sized.select(id_col, "n_sh", F.explode("hs").alias("s")))
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "s"
+    )
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.selectExpr(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "CAST(n_inter AS DOUBLE) / na AS containment_a",
+            "CAST(n_inter AS DOUBLE) / nb AS containment_b",
+        )
+        .filter(
+            F.expr(
+                f"GREATEST(CAST(n_inter AS DOUBLE) / na, "
+                f"CAST(n_inter AS DOUBLE) / nb) >= {threshold!r}"
+            )
+        )
+    )
+
+
+def containment_probe(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-sided containment — the PRODUCTION shape of
+    :func:`containment_pairs`: how much of each (small) ``probe``
+    document is contained in each corpus document. This is the
+    license-block / benchmark-prompt / boilerplate-template scrub: the
+    probe side is a bounded reference set, the corpus side is the
+    100 TB crawl, and the only rows ever grouped are (probe, corpus)
+    pairs sharing at least one shingle. The corpus is tokenized ONCE
+    and never self-joined — cost is O(corpus + matches), not
+    O(pairs-sharing-a-shingle^2); the exhaustive self-join form stays
+    the audit tool (SCALETREND_LLM_r14 measures it at 2.5x
+    single-process — verification-grade, not the deployment path).
+
+    Returns (probe_id, doc_id, n_inter, containment) where containment
+    = |S(probe) n S(doc)| / |S(probe)| >= threshold.
+    """
+    tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
+
+    def _ex(df: DataFrame, out_id: str, out_n: str):
+        sh = shingled(
+            spread(df).filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k
+        )
+        hashed = sh.selectExpr(
+            id_col,
+            f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs",
+        )
+        return hashed.selectExpr(
+            f"{id_col} AS {out_id}", f"size(hs) AS {out_n}", "hs"
+        ).select(out_id, out_n, F.explode("hs").alias("s"))
+
+    p = _ex(probe, "probe_id", "np")
+    c = _ex(corpus, "corpus_doc_id", "nc").drop("nc")
+    inter = (
+        c.join(p, on="s")
+        .filter(F.col("probe_id") != F.col("corpus_doc_id"))
+        .groupBy("probe_id", "corpus_doc_id", "np")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return inter.selectExpr(
+        "probe_id",
+        f"corpus_doc_id AS {id_col}",
+        "n_inter",
+        "CAST(n_inter AS DOUBLE) / np AS containment",
+    ).filter(F.col("containment") >= threshold)
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -761,3 +761,180 @@ SELECT query_id, {id_col}, score_scaled,
        rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+class IncrementalBM25Index:
+    """Daily-cadence BM25 — the retrieval analog of
+    IncrementalNearDupIndex and the fifth incremental surface (next to
+    BucketedPipeline, near-dup, ANN, IVF-PQ): a production search
+    corpus grows by a slice per day, and the inverted index must
+    absorb a slice in O(slice) — never re-tokenize the corpus.
+
+    State = three catalog tables:
+
+    * ``{name}_bm25_postings`` (term, doc_id, dl, tf) — the inverted
+      index, BUCKETED BY term: the query-time probe join's equi-key
+      equals the bucket column, so only the (tiny) query term set ever
+      shuffles and the posting lists read co-located;
+    * ``{name}_bm25_df`` (term, df) bucketed by term — per-slice
+      partial document frequencies. Additive across slices because
+      daily doc ids are disjoint; query time sums the partials with a
+      co-located aggregate (no exchange on the corpus side);
+    * ``{name}_bm25_totals`` (n_docs, total_tokens) — one row appended
+      per slice; query time sums them into the global (N, avgdl).
+
+    Exactness invariant (property-tested): because tf, df, and the
+    totals are all ADDITIVE over disjoint slices and the fixed-point
+    quantization happens at query time from the summed state,
+    ``topk`` after ingesting B1..Bn equals :func:`bm25_topk_docs`
+    over B1 ∪ .. ∪ Bn EXACTLY — integer-for-integer, not
+    approximately. The registered query's oracle is therefore the
+    one-shot oracle, unchanged.
+    """
+
+    def __init__(
+        self,
+        spark,
+        name: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_buckets: int = 8,
+        scale: int = BM25_SCALE,
+    ) -> None:
+        self.spark = spark
+        self.postings_table = f"{name}_bm25_postings"
+        self.df_table = f"{name}_bm25_df"
+        self.totals_table = f"{name}_bm25_totals"
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_buckets = num_buckets
+        self.scale = scale
+
+    def _encode(self, docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(postings, partial_df, totals) for one slice — one tokenize
+        pass, same expressions as the one-shot operator."""
+        g = docs.selectExpr(
+            self.id_col, f"{x.tokens(self.text_col, x.SPARK)} AS _t"
+        ).selectExpr(
+            self.id_col, f"CAST({x.xsize('_t', x.SPARK)} AS BIGINT) AS dl", "_t"
+        )
+        g = pin(g)
+        ex = g.select(self.id_col, "dl", F.explode("_t").alias("term"))
+        postings = ex.groupBy("term", self.id_col, "dl").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        partial_df = ex.groupBy("term").agg(
+            F.countDistinct(self.id_col).cast("long").alias("df")
+        )
+        totals = g.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+        return postings, partial_df, totals
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Absorb one day's slice: append its postings, partial dfs,
+        and totals row. O(slice) — the corpus tables are append-only
+        and never rewritten (compact() collapses small files)."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        postings, partial_df, totals = self._encode(docs)
+        first = not self.spark.catalog.tableExists(self.postings_table)
+        if first:
+            from dagster_etl_spark.sources.lake import delete_path
+
+            self.drop()
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(
+                self.spark, f"{warehouse}/{self.totals_table.lower()}"
+            )
+            write_bucketed(
+                postings, self.postings_table, ["term"],
+                num_buckets=self.num_buckets,
+            )
+            write_bucketed(
+                partial_df, self.df_table, ["term"],
+                num_buckets=self.num_buckets,
+            )
+        else:
+            append_bucketed(postings, self.postings_table)
+            append_bucketed(partial_df, self.df_table)
+        totals.write.mode("overwrite" if first else "append").saveAsTable(
+            self.totals_table
+        )
+
+    def topk(self, queries: DataFrame, k: int = 10) -> DataFrame:
+        """Fixed-point BM25 top-k against the standing index.
+        ``queries`` = (id_col, text_col); each query's distinct token
+        set scores the accumulated corpus — identical arithmetic to
+        :func:`bm25_topk_docs` with (N, total_tokens, df) read from
+        the summed standing state. The probe join shuffles only the
+        query term set; postings and partial dfs read co-located on
+        their term bucketing."""
+        from pyspark.sql.window import Window
+
+        spark = queries.sparkSession
+        for t in (self.postings_table, self.df_table, self.totals_table):
+            spark.catalog.refreshTable(t)
+        postings = spark.table(self.postings_table)
+        dfq = spark.table(self.df_table).groupBy("term").agg(
+            F.sum("df").cast("long").alias("df")
+        )
+        tot = spark.table(self.totals_table).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+        )
+        qt = (
+            queries.selectExpr(
+                f"{self.id_col} AS query_id",
+                f"explode({x.tokens(self.text_col, x.SPARK)}) AS term",
+            )
+            .distinct()
+        )
+        avgdl = "(total_tokens DIV n_docs)"
+        num = (
+            f"(CAST({self.scale} AS BIGINT) * 44 * {avgdl} * tf * "
+            f"(2*n_docs - 2*df + 1))"
+        )
+        den = f"((2*df + 1) * (20*{avgdl}*tf + 6*{avgdl} + 18*dl))"
+        scored = (
+            postings.join(dfq, on="term")
+            .join(qt, on="term")
+            .filter(F.col("query_id") != F.col(self.id_col))
+            .crossJoin(F.broadcast(tot))
+            .selectExpr("query_id", self.id_col, f"{num} DIV {den} AS contrib")
+        )
+        agg = scored.groupBy("query_id", self.id_col).agg(
+            F.sum("contrib").cast("long").alias("score_scaled")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score_scaled").desc(), F.col(self.id_col)
+        )
+        return (
+            agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .selectExpr(
+                "query_id",
+                self.id_col,
+                "score_scaled",
+                f"CAST(score_scaled AS DOUBLE) / CAST({self.scale} AS DOUBLE)"
+                " AS score",
+                "rank",
+            )
+        )
+
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Collapse accumulated per-append files; bucket specs survive."""
+        from dagster_etl_spark.sources.bucketed import compact_bucketed
+
+        return {
+            t: compact_bucketed(self.spark, t)
+            for t in (self.postings_table, self.df_table)
+        }
+
+    def drop(self) -> None:
+        for t in (self.postings_table, self.df_table, self.totals_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")

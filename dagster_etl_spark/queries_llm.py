@@ -1083,3 +1083,49 @@ def q_quantized_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantized_cosine_topk(emb.filter("vec_id < 5"), emb, dim=EMB_DIM, k=10)
+
+
+CONTAIN_T = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT * FROM {_duck_shingle_rel()}
+), hashed AS (
+  SELECT doc_id, {shingle_hashes_expr('shingles', x.DUCK)} AS hs
+  FROM sh WHERE len(shingles) > 0
+), sized AS (
+  SELECT doc_id, len(hs) AS n_sh, hs FROM hashed
+), ex AS (
+  SELECT doc_id, n_sh, unnest(hs) AS s FROM sized
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, n_inter,
+       CAST(n_inter AS DOUBLE) / na AS containment_a,
+       CAST(n_inter AS DOUBLE) / nb AS containment_b
+FROM inter
+WHERE GREATEST(CAST(n_inter AS DOUBLE) / na,
+               CAST(n_inter AS DOUBLE) / nb) >= {CONTAIN_T}
+"""
+
+
+@register(
+    "containment_neardup",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("llm", "dedup"),
+    doc="Asymmetric shingle containment join (Broder 1997): "
+    "|S(A) n S(B)| / |S(A)| in both directions — the doc-in-doc "
+    "detector symmetric Jaccard misses (a short block embedded in a "
+    "long page). Same candidate machinery as the Jaccard join: the "
+    "equi-join on the 60-bit shingle hash generates candidates, never "
+    "all-pairs.",
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=CONTAIN_T
+    )

@@ -194,6 +194,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     # mid-r14 registrations (ALLCHECK_r14-swept; no driver row yet)
     "bm25_topk_docs",
     "dedup_substrings",
+    "containment_neardup",
 )
 
 

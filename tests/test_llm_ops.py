@@ -1142,3 +1142,64 @@ def test_dedup_substrings_merges_touching_islands(spark):
     assert out[2].n_spans_removed == 2
     assert out[2].text == gap_big
     assert out[3].text == "p0 p1" and out[4].text == "q0 q1"
+
+
+def test_containment_catches_doc_in_doc_that_jaccard_misses(spark):
+    """The blind-spot claim, tested directly: a short doc embedded
+    verbatim inside a much longer one has containment 1.0 in the short
+    direction but Jaccard far below the 0.2 near-dup threshold — the
+    Jaccard join must NOT pair them while the containment join must."""
+    from dagster_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(20))
+    long = short + " " + " ".join(f"z{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=short),
+            Row(doc_id=2, text=long),
+            Row(doc_id=3, text=" ".join(f"q{i}" for i in range(30))),
+        ]
+    )
+    cont = {(r.id_a, r.id_b): r for r in containment_pairs(docs, k=3, threshold=0.5).collect()}
+    assert (1, 2) in cont
+    r = cont[(1, 2)]
+    # every 3-gram of the short doc appears in the long doc
+    assert r.containment_a == 1.0
+    assert r.containment_b < 0.2
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()}
+    assert (1, 2) not in jac, "if Jaccard caught it the blind-spot claim is stale"
+
+
+def test_containment_probe_matches_pairwise_direction(spark):
+    """The one-sided production probe must agree with the exhaustive
+    pairwise form on the probe-direction containments: for every
+    (probe, corpus) pair the probe reports, containment equals the
+    matching direction of containment_pairs on the union."""
+    from dagster_etl_spark.operators.dedup import (
+        containment_pairs,
+        containment_probe,
+    )
+
+    short = " ".join(f"w{i}" for i in range(20))
+    long = short + " " + " ".join(f"z{i}" for i in range(200))
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=2, text=long),
+            Row(doc_id=3, text=" ".join(f"q{i}" for i in range(30))),
+        ]
+    )
+    probe = spark.createDataFrame([Row(doc_id=1, text=short)])
+    got = {
+        (r.probe_id, r.doc_id): r.containment
+        for r in containment_probe(probe, corpus, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    both = containment_pairs(
+        probe.unionByName(corpus), threshold=0.5
+    ).collect()
+    ref = {(r.id_a, r.id_b): r.containment_a for r in both}
+    assert ref[(1, 2)] == got[(1, 2)]

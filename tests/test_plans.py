@@ -122,6 +122,7 @@ AUDITED = [
     # r14 registrations (pure expression trees)
     "bm25_topk_docs",
     "dedup_substrings",
+    "containment_neardup",
 ]
 
 
@@ -383,6 +384,9 @@ EXCHANGE_BUDGET = {
     # island window + island aggregate + spans-array aggregate (the
     # pinned explode prints once per consumer but executes once)
     "dedup_substrings": 5,
+    # r14: same shape as ngram_jaccard_pairs — pinned shingle explode
+    # feeds both self-join sides, one pair aggregate
+    "containment_neardup": 3,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

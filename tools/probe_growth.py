@@ -39,6 +39,10 @@ sys.path.insert(0, str(REPO))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DAYS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 COMPACT_EVERY = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+# PROBE_SURFACES=neardup|ivfpq|both — lets a long soak run per-surface
+# (the 30-day dual soak exceeds a 10-minute batch window; each day's
+# dict also streams to stderr so a truncated run loses nothing)
+SURFACES = __import__("os").environ.get("PROBE_SURFACES", "both")
 PROBE_PER_DAY = 100
 THRESH = 0.2
 
@@ -170,28 +174,26 @@ def main() -> None:
     docs = load_table(spark, SF_DIR, "documents")
     n = docs.count()
 
-    nd_days, n_probe = _neardup_series(spark, docs, n)
-    pq_days, n_queries = _ivfpq_series(spark, SF_DIR)
-
-    print(
-        json.dumps(
-            {
-                "sf_dir": SF_DIR,
-                "days": DAYS,
-                "compact_every": COMPACT_EVERY,
-                "neardup": {
-                    "probe_docs": n_probe,
-                    "series": nd_days,
-                    "summary": _summary(nd_days),
-                },
-                "ivfpq": {
-                    "query_vectors": n_queries,
-                    "series": pq_days,
-                    "summary": _summary(pq_days),
-                },
-            }
-        )
-    )
+    out: dict = {
+        "sf_dir": SF_DIR,
+        "days": DAYS,
+        "compact_every": COMPACT_EVERY,
+    }
+    if SURFACES in ("neardup", "both"):
+        nd_days, n_probe = _neardup_series(spark, docs, n)
+        out["neardup"] = {
+            "probe_docs": n_probe,
+            "series": nd_days,
+            "summary": _summary(nd_days),
+        }
+    if SURFACES in ("ivfpq", "both"):
+        pq_days, n_queries = _ivfpq_series(spark, SF_DIR)
+        out["ivfpq"] = {
+            "query_vectors": n_queries,
+            "series": pq_days,
+            "summary": _summary(pq_days),
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -109,6 +109,8 @@ QUERIES: dict[str, str] = {
     # dedup_substrings also rides cipher: per-copy disjoint vocab means
     # spans duplicate only within a copy — per-doc output, linear work
     "dedup_substrings": "cipher",
+    # containment: same linear-pair law as minhash/jaccard on cipher
+    "containment_neardup": "cipher",
     "decontaminate_bloom_gate": "cipher",
     "semantic_dedup": "cipher",
     # PQ rides the rotated embeddings; codebooks/encode are plan
