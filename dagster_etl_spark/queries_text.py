@@ -1418,3 +1418,35 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_substrings(docs, k=8, min_count=2)
+
+
+@register(
+    "bm25_incremental",
+    oracle=_bm25_oracle(),
+    tags=("llm", "text", "retrieval", "layout", "incremental"),
+    doc="Daily-cadence BM25 (operators/text.py IncrementalBM25Index, "
+    "the fifth incremental surface): three id-sliced ingests append "
+    "postings/partial-df/totals to term-bucketed standing tables; "
+    "query-time scoring sums the additive state, so the result equals "
+    "the one-shot bm25_topk_docs integer-for-integer (same oracle). "
+    "The probe join shuffles only the query term set; posting lists "
+    "read co-located on their term bucketing.",
+)
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuilt from scratch each call (correctness surface; same
+    discipline as minhash_neardup_incremental); table names are
+    sf-scoped so concurrent SFs don't collide."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalBM25Index
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    idx = IncrementalBM25Index(spark, f"bm25_inc_{sfx}")
+    idx.drop()
+    for day in range(3):
+        idx.ingest(docs.filter(F.col("doc_id") % 3 == day))
+    seeds = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    return idx.topk(seeds, k=10)

@@ -195,6 +195,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "bm25_topk_docs",
     "dedup_substrings",
     "containment_neardup",
+    "bm25_incremental",
 )
 
 

@@ -1203,3 +1203,78 @@ def test_containment_probe_matches_pairwise_direction(spark):
     ).collect()
     ref = {(r.id_a, r.id_b): r.containment_a for r in both}
     assert ref[(1, 2)] == got[(1, 2)]
+
+
+def test_incremental_bm25_equals_one_shot(spark):
+    """The fifth incremental surface's exactness invariant: tf, df and
+    the totals are additive over disjoint slices and quantization
+    happens at query time from the summed state, so topk() after three
+    id-sliced ingests must equal bm25_topk_docs over the full corpus
+    INTEGER-for-integer (not approximately)."""
+    from dagster_etl_spark.operators.text import (
+        IncrementalBM25Index,
+        bm25_topk_docs,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    idx = IncrementalBM25Index(spark, "t_bm25_inc")
+    idx.drop()
+    for day in range(3):
+        idx.ingest(docs.filter(f"doc_id % 3 = {day}"))
+    seeds = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    inc = sorted(
+        (r.query_id, r.doc_id, r.score_scaled, r.rank)
+        for r in idx.topk(seeds, k=10).collect()
+    )
+    ref = sorted(
+        (r.query_id, r.doc_id, r.score_scaled, r.rank)
+        for r in bm25_topk_docs(docs, k=10, seed_mod=97).collect()
+    )
+    idx.drop()
+    assert inc == ref and len(inc) > 0
+
+
+def test_incremental_bm25_probe_plan_and_compact(spark):
+    """100 TB posture of the standing BM25 index: (1) the topk probe
+    plans NO shuffle on the postings side — the term-bucketed scan's
+    HashPartitioning satisfies the join, only the query term set and
+    the post-join aggregates exchange; (2) compact() collapses
+    append fragmentation on both term-bucketed tables while the next
+    query's results stay identical."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalBM25Index
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    idx = IncrementalBM25Index(spark, "t_bm25_plan")
+    idx.drop()
+    for day in range(3):
+        idx.ingest(docs.filter(F.col("doc_id") % 3 == day))
+    seeds = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    out = idx.topk(seeds, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the postings/df scans must come through bucketed relations with
+    # no Exchange between scan and join: every shuffle in the plan is
+    # either the query-side term set or a post-join aggregate/window.
+    # Empirical budget: qt distinct (1) + score agg (1) + window (1)
+    # + AQE reads; the corpus tables contribute ZERO (their bucketing
+    # is the join distribution).
+    n_shuffles = len(re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", plan))
+    assert n_shuffles <= 4, f"probe plans {n_shuffles} shuffles:\n{plan[:2000]}"
+    assert "t_bm25_plan_bm25_postings" in plan
+    before = sorted(
+        (r.query_id, r.doc_id, r.score_scaled) for r in out.collect()
+    )
+    report = idx.compact()
+    for t, (b, a) in report.items():
+        assert a <= b, (t, b, a)
+    after = sorted(
+        (r.query_id, r.doc_id, r.score_scaled)
+        for r in idx.topk(seeds, k=10).collect()
+    )
+    assert before == after
+    idx.drop()

@@ -166,6 +166,58 @@ def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
     return days, nq
 
 
+def _bm25_series(spark, docs, n: int) -> tuple[list[dict], int]:
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalBM25Index
+    from tools.scale_trend_llm import _cipher_docs
+
+    all_copies = _cipher_docs(docs, DAYS, n)
+    # fixed query set: PROBE_PER_DAY docs per copy (same scheme as the
+    # near-dup probe) — each query only matches docs of its own cipher
+    # copy (disjoint vocab), so hits grow as copies arrive while the
+    # query side stays constant
+    queries = (
+        all_copies.filter(F.col("doc_id") % (n // PROBE_PER_DAY) == 0)
+        .select((F.col("doc_id") + DAYS * n * 10).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    nq = queries.count()
+
+    idx = IncrementalBM25Index(spark, "probe_growth_bm25")
+    idx.drop()
+    days: list[dict] = []
+    for d in range(DAYS):
+        day_slice = all_copies.filter(
+            (F.col("doc_id") >= d * n) & (F.col("doc_id") < (d + 1) * n)
+        )
+        t0 = time.perf_counter()
+        idx.ingest(day_slice)
+        ingest_s = time.perf_counter() - t0
+        compacted = None
+        if (d + 1) % COMPACT_EVERY == 0:
+            compacted = idx.compact()
+        idx.topk(queries, k=10).count()  # warm
+        t0 = time.perf_counter()
+        hits = idx.topk(queries, k=10).count()
+        probe_s = time.perf_counter() - t0
+        days.append(
+            {
+                "day": d + 1,
+                "corpus_docs": (d + 1) * n,
+                "ingest_sec": round(ingest_s, 3),
+                "probe_sec": round(probe_s, 3),
+                "probe_hits": hits,
+                "compacted": {k: list(v) for k, v in compacted.items()}
+                if compacted
+                else None,
+            }
+        )
+        print(f"# bm25 {days[-1]}", file=sys.stderr)
+    idx.drop()
+    return days, nq
+
+
 def main() -> None:
     from dagster_etl_spark.session import get_spark
     from dagster_etl_spark.sources.fixtures import load_table
@@ -192,6 +244,13 @@ def main() -> None:
             "query_vectors": n_queries,
             "series": pq_days,
             "summary": _summary(pq_days),
+        }
+    if SURFACES == "bm25":
+        bm_days, n_q = _bm25_series(spark, docs, n)
+        out["bm25"] = {
+            "query_docs": n_q,
+            "series": bm_days,
+            "summary": _summary(bm_days),
         }
     print(json.dumps(out))
     spark.stop()
