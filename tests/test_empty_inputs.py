@@ -105,3 +105,54 @@ def test_validation_and_upsert_on_empty(spark, tmp_path):
     stats = upsert_parquet(spark, empty, path, keys=["o_orderkey"])
     assert stats == {"deleted": 0, "inserted": 0}
     assert spark.read.parquet(path).count() == 10
+
+
+def test_r14_operators_on_empty_and_degenerate(spark):
+    """The four r14 operators on the no-rows day and the degenerate
+    shapes a crawl really produces: empty corpus, all-empty texts, a
+    corpus with no seed queries at all."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.dedup import (
+        containment_pairs,
+        containment_probe,
+        dedup_substrings,
+    )
+    from dagster_etl_spark.operators.text import bm25_topk_docs
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    empty = _empty_like(docs)
+
+    out = dedup_substrings(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "text", "n_tokens", "n_removed_tokens", "n_spans_removed"
+    }
+    assert containment_pairs(empty).count() == 0
+    assert containment_probe(empty, docs).count() == 0
+    assert containment_probe(docs, empty).count() == 0
+    out = bm25_topk_docs(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "query_id", "doc_id", "score_scaled", "score", "rank"
+    }
+
+    # whitespace-only / empty texts: tokenizer yields [], every
+    # operator passes through without a row exploding or a div-by-zero
+    blank = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="   ")]
+    )
+    rows = {r.doc_id: r for r in dedup_substrings(blank).collect()}
+    assert rows[1].text == "" and rows[1].n_tokens == 0
+    assert rows[1].n_removed_tokens == 0 and rows[2].n_spans_removed == 0
+    assert containment_pairs(blank).count() == 0
+    # avgdl division guard: an all-blank corpus has total_tokens 0 and
+    # a seed doc (doc_id 0 % 97 == 0 is absent here), so zero rows out
+    assert bm25_topk_docs(blank).count() == 0
+
+    # corpus with no seed queries (no doc_id % 97 == 0): empty result,
+    # not an error
+    no_seeds = docs.filter("doc_id % 97 <> 0")
+    assert bm25_topk_docs(no_seeds).count() == 0
