@@ -501,3 +501,169 @@ def test_bloom_gate_never_under_removes(spark, corpus, bench):
     r = rows[0]
     assert r.superset_ok
     assert r.n_bloom_removed >= r.n_exact_removed >= 0
+
+
+# small vocab forces collisions/duplications; words are whole tokens so
+# the Python references below can tokenize with .split()
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_texts = st.lists(
+    st.lists(_words, min_size=0, max_size=14).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_dup_spans(texts: list[str], k: int, min_count: int):
+    """Naive single-process ExactSubstr reference: count every k-gram
+    across the corpus, union the [pos, pos+k) intervals of duplicated
+    ones per doc, remove covered tokens."""
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    grams = Counter()
+    for tk in toks:
+        for i in range(len(tk) - k + 1):
+            grams[tuple(tk[i : i + k])] += 1
+    out = []
+    for tk in toks:
+        covered = set()
+        spans = 0
+        prev_end = -2  # last covered index; a span is MAXIMAL, so two
+        # covered intervals that touch (i == prev_end + 1) are ONE span
+        for i in range(len(tk) - k + 1):
+            if grams[tuple(tk[i : i + k])] >= min_count:
+                if i > prev_end + 1:
+                    spans += 1
+                covered.update(range(i, i + k))
+                prev_end = max(prev_end, i + k - 1)
+        kept = [t for j, t in enumerate(tk) if j not in covered]
+        out.append((" ".join(kept), len(tk), len(covered), spans))
+    return out
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_dedup_substrings_matches_python_reference(spark, texts):
+    """The twin oracle runs the SAME algorithm in DuckDB, so a shared
+    algorithmic bug passes both engines; this pins the semantics
+    against an independent naive Python implementation instead —
+    removal set, span count, and reassembled text, for arbitrary tiny
+    corpora over a 5-word vocabulary (maximal duplication pressure,
+    including intra-doc repeats and overlapping islands)."""
+    from dagster_etl_spark.operators.dedup import dedup_substrings
+
+    k = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed_tokens, r.n_spans_removed)
+        for r in dedup_substrings(df, k=k, min_count=2).collect()
+    }
+    ref = _py_dup_spans(texts, k=k, min_count=2)
+    for i, expect in enumerate(ref):
+        assert got[i] == expect, (i, texts[i], got[i], expect)
+
+
+def _py_containment(texts: list[str], k: int, threshold: float):
+    def sh(t):
+        tk = t.split()
+        return {tuple(tk[i : i + k]) for i in range(len(tk) - k + 1)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts) if len(sh(t)) > 0}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            ca, cb = inter / len(sets[a]), inter / len(sets[b])
+            if max(ca, cb) >= threshold:
+                out[(a, b)] = (inter, ca, cb)
+    return out
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_containment_matches_python_reference(spark, texts):
+    """containment_pairs vs an independent set-arithmetic reference:
+    same pair set, same intersection counts, same both-direction
+    ratios. The 60-bit shingle hash stands in for shingle identity —
+    the property also re-verifies no collision distorts results on
+    these inputs."""
+    from dagster_etl_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.containment_a, r.containment_b)
+        for r in containment_pairs(df, k=2, threshold=0.5).collect()
+    }
+    assert got == _py_containment(texts, k=2, threshold=0.5)
+
+
+def _py_bm25(texts: list[str], k: int, seed_mod: int, scale: int):
+    from collections import Counter
+
+    toks = [t.split() for t in texts]
+    n_docs = len(toks)
+    total = sum(len(t) for t in toks)
+    if n_docs == 0 or total == 0:
+        return {}
+    avgdl = total // n_docs
+    df = Counter()
+    for tk in toks:
+        for term in set(tk):
+            df[term] += 1
+    scores = {}
+    for q in range(0, n_docs, seed_mod):
+        qterms = set(toks[q])
+        for d, tk in enumerate(toks):
+            if d == q:
+                continue
+            tf = Counter(tk)
+            s = 0
+            for term in qterms:
+                if tf[term] == 0:
+                    continue
+                num = scale * 44 * avgdl * tf[term] * (2 * n_docs - 2 * df[term] + 1)
+                den = (2 * df[term] + 1) * (
+                    20 * avgdl * tf[term] + 6 * avgdl + 18 * len(tk)
+                )
+                s += num // den
+            if s or qterms & set(tk):
+                scores[(q, d)] = s
+    # rank per query
+    out = {}
+    byq: dict = {}
+    for (q, d), s in scores.items():
+        byq.setdefault(q, []).append((-s, d))
+    for q, lst in byq.items():
+        for rank, (neg, d) in enumerate(sorted(lst), start=1):
+            if rank <= k:
+                out[(q, d)] = (-neg, rank)
+    return out
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_bm25_matches_python_reference(spark, texts):
+    """bm25_topk_docs vs an independent Python fixed-point BM25 (same
+    integer arithmetic, independently derived): identical (query, doc)
+    -> (score_scaled, rank) maps for arbitrary tiny corpora, doc 0
+    always the seed query (seed_mod=1 makes EVERY doc a query — the
+    densest case)."""
+    from dagster_etl_spark.operators.text import bm25_topk_docs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score_scaled, r.rank)
+        for r in bm25_topk_docs(df, k=10, seed_mod=1).collect()
+    }
+    ref = _py_bm25(texts, k=10, seed_mod=1, scale=1_000_000)
+    assert got == ref, (texts, got, ref)
