@@ -306,3 +306,26 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.decontaminate import streaming_decontaminate
 
     return streaming_decontaminate(spark, sf_dir)
+
+
+def _bm25_stream_oracle() -> str:
+    from dagster_etl_spark.operators.text import bm25_topk_docs_oracle_sql
+
+    return bm25_topk_docs_oracle_sql()
+
+
+@register(
+    "streaming_bm25_ingest",
+    oracle=_bm25_stream_oracle(),
+    tags=("streaming", "text", "retrieval", "incremental"),
+    doc="Streaming BM25 ingest: documents arrive as 4 micro-batches "
+    "(file stream, maxFilesPerTrigger=1), each absorbed into the "
+    "standing IncrementalBM25Index via foreachBatch. The index state "
+    "is additive with quantization deferred to query time, so the "
+    "post-stream topk equals the one-shot bm25_topk_docs "
+    "integer-for-integer — same oracle, hash-exact.",
+)
+def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.bm25_ingest import streaming_bm25_ingest
+
+    return streaming_bm25_ingest(spark, sf_dir)

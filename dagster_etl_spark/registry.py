@@ -196,6 +196,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "dedup_substrings",
     "containment_neardup",
     "bm25_incremental",
+    "streaming_bm25_ingest",
 )
 
 
