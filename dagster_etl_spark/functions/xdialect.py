@@ -266,3 +266,43 @@ def qcosine(a: str, b: str, d: str) -> str:
         f"(CAST({num} AS DOUBLE) / "
         f"nullif(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)), {zero}))"
     )
+
+
+def intdiv(num: str, den: str, d: str) -> str:
+    """Integer division of non-negative BIGINTs (Spark DIV == DuckDB //)."""
+    op = "DIV" if d == SPARK else "//"
+    return f"(({num}) {op} ({den}))"
+
+
+def blen(n: str, d: str) -> str:
+    """Exact bit length of a positive BIGINT expr. ``bin()`` renders
+    without leading zeros in BOTH engines (verified through BIGINT max),
+    so length(bin(n)) == floor(log2(n)) + 1 for n >= 1 — a pure
+    string/integer path with no floating point anywhere."""
+    return f"length(bin(CAST({n} AS BIGINT)))"
+
+
+def floor_log2_ratio(num: str, den: str, d: str) -> str:
+    """EXACT ``floor(log2(num/den))`` for positive integer exprs, in
+    pure integer arithmetic (engine-identical by construction, no
+    float log anywhere — java.lang.Math.log and libm differ by ulps,
+    which a floor() turns into off-by-one oracle mismatches).
+
+    * num >= den: floor(log2 r) == floor(log2 floor(r)) (both sides
+      sit in the same [2^k, 2^{k+1}) window because 2^k is an integer
+      lower bound), and floor(log2 m) == blen(m) - 1.
+    * num <  den: floor(log2 r) == -ceil(log2 (den/num)) (floor(-x)
+      == -ceil(x)), and for s > 1, ceil(log2 s) == ceil(log2 ceil(s))
+      (2^k is an integer upper bound), with ceil(log2 m) == blen(m-1)
+      for integer m >= 2.
+
+    This is the 1-bit-grain quantized log every log-scored operator
+    (unigram surprisal, DSIR importance ratios) uses to stay inside
+    the repo's integer-exact determinism contract.
+    """
+    m_ge = intdiv(num, den, d)
+    m_lt = intdiv(f"({den}) + ({num}) - 1", num, d)
+    return (
+        f"(CASE WHEN ({num}) >= ({den}) THEN {blen(m_ge, d)} - 1 "
+        f"ELSE -CAST({blen(f'{m_lt} - 1', d)} AS INT) END)"
+    )

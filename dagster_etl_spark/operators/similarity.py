@@ -1095,3 +1095,142 @@ class IncrementalIVFPQIndex:
     def drop(self) -> None:
         for t in (self.centroids_table, self.codebooks_table, self.codes_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# -- Hybrid retrieval: BM25 (x) cosine via Reciprocal Rank Fusion --------------
+
+RRF_K = 60
+RRF_SCALE = 1_000_000
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    k_lex: int = 20,
+    k_sem: int = 20,
+    seed_mod: int = 97,
+    dim: int = 64,
+    rrf_k: int = RRF_K,
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused with Reciprocal Rank
+    Fusion (Cormack, Clarke & Buettcher 2009): the production pattern
+    every retrieval stack converges on — BM25 ranks from the inverted
+    index, cosine ranks from the vector index, fused as
+    ``Σ_systems 1/(rrf_k + rank)``.
+
+    Queries are the shared id slice ``id % seed_mod == 0`` on both
+    sides (the fixtures align documents.doc_id with embeddings.vec_id
+    1:1 — the usual "one embedding row per document" layout). The
+    fusion is integer-exact: with integer ranks, each contribution is
+    the fixed-point ``scale DIV (rrf_k + rank)`` and the fused score
+    is their BIGINT sum — no float until the terminal display column,
+    so the oracle matches bit-for-bit and the (rrf_scaled DESC,
+    doc_id) tiebreak never sits on a float boundary.
+
+    Scale shape: both legs keep their own audited plans (BM25's
+    inverted-index equi-join, cosine's broadcast-query scan); the
+    fusion itself touches only ≤ (k_lex + k_sem) rows per query — a
+    full-outer equi-join on (query_id, doc_id) between two tiny ranked
+    sets, then a per-query top-k window over ≤ 40 rows. The fuse cost
+    is independent of corpus size by construction.
+
+    Returns (query_id, doc_id, lex_rank, sem_rank, rrf_scaled, rrf,
+    rank), rank <= k; lex_rank/sem_rank NULL where the doc appears in
+    only one system's list.
+    """
+    from dagster_etl_spark.operators.text import bm25_topk_docs
+
+    lex = bm25_topk_docs(docs, k=k_lex, seed_mod=seed_mod).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = cosine_topk(
+        emb.filter(F.col("vec_id") % seed_mod == 0), emb, dim=dim, k=k_sem
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, on=["query_id", "doc_id"], how="full_outer").selectExpr(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        f"COALESCE(CAST({scale} AS BIGINT) DIV ({rrf_k} + lex_rank), CAST(0 AS BIGINT))"
+        f" + COALESCE(CAST({scale} AS BIGINT) DIV ({rrf_k} + sem_rank), CAST(0 AS BIGINT))"
+        " AS rrf_scaled",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf_scaled",
+            f"CAST(rrf_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS rrf",
+            "rank",
+        )
+    )
+
+
+def hybrid_rrf_topk_oracle_sql(
+    k: int = 10,
+    k_lex: int = 20,
+    k_sem: int = 20,
+    seed_mod: int = 97,
+    dim: int = 64,
+    rrf_k: int = RRF_K,
+    scale: int = RRF_SCALE,
+) -> str:
+    """DuckDB mirror of :func:`hybrid_rrf_topk`: the BM25 leg embeds
+    :func:`~dagster_etl_spark.operators.text.bm25_topk_docs_oracle_sql`
+    as a CTE, the cosine leg mirrors the ann_cosine_topk oracle with
+    the mod-``seed_mod`` query slice, and the fusion is the same
+    integer fixed-point sum."""
+    from dagster_etl_spark.operators.text import bm25_topk_docs_oracle_sql
+
+    bm25_sql = bm25_topk_docs_oracle_sql(k=k_lex, seed_mod=seed_mod)
+    cos = x.cosine("q.qv", "c.embedding", dim, x.DUCK)
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS lex_rank FROM ({bm25_sql})
+), semq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id % {seed_mod} = 0
+), sem_scored AS (
+  SELECT q.query_id, c.vec_id AS doc_id,
+         {cos} AS cosine
+  FROM semq q, embeddings c
+  WHERE q.query_id <> c.vec_id
+), sem_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS INT) AS sem_rank
+  FROM sem_scored
+), sem AS (
+  SELECT query_id, doc_id, sem_rank FROM sem_ranked WHERE sem_rank <= {k_sem}
+), fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(CAST({scale} AS BIGINT) // ({rrf_k} + l.lex_rank), CAST(0 AS BIGINT))
+           + COALESCE(CAST({scale} AS BIGINT) // ({rrf_k} + s.sem_rank), CAST(0 AS BIGINT))
+           AS rrf_scaled
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_scaled,
+       CAST(rrf_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS rrf,
+       rank
+FROM ranked WHERE rank <= {k}
+"""

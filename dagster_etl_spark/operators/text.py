@@ -938,3 +938,449 @@ class IncrementalBM25Index:
     def drop(self) -> None:
         for t in (self.postings_table, self.df_table, self.totals_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# -- CCNet-style unigram-LM perplexity buckets --------------------------------
+
+SURPRISAL_SCALE = 1_000_000
+
+
+def ccnet_surprisal_buckets(
+    df: DataFrame,
+    scale: int = SURPRISAL_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-shape perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359): score every document by its mean per-token
+    surprisal under the corpus's own unigram LM, then split the corpus
+    into head / middle / tail quality buckets at the tercile
+    thresholds — the standard first quality gate in a crawl-curation
+    stack (head = fluent/common, tail = rare/gibberish).
+
+    Integer-exact twist (the repo's determinism contract): token
+    surprisal is the EXACT ``floor(log2(N / count(t)))`` via
+    :func:`xdialect.floor_log2_ratio` — no float ``ln`` whose last-ulp
+    engine differences a floor would amplify. Per-doc score is the
+    fixed-point mean ``(scale * Σ_occurrences qsurp) DIV dl``. A real
+    deployment would use a double log2 (the quantization grain is one
+    bit); the quantized form is the oracle-checkable twin, same
+    precedent as the BM25 fixed-point scorer above.
+
+    Bucketing is THRESHOLD semantics, not NTILE: tercile cutpoints are
+    computed from a cumulative histogram of the integer scores, so no
+    corpus-sized single-partition sort ever happens. The histogram's
+    group-by key is the quantized score (distinct values ≪ corpus in
+    practice; worst case one per distinct (Σqsurp, dl) pair, and the
+    grain is tunable via ``scale``), the cumulative window runs over
+    that aggregated frame only, and the two cutpoints ride a 1-row
+    broadcast back onto the corpus. Docs at a cutpoint share a bucket
+    (CCNet also thresholds on perplexity values, not rank).
+
+    Empty docs (0 tokens) have no surprisal and are excluded (both
+    engines).
+
+    Returns (doc_id, dl, surprisal_scaled, surprisal, bucket) with
+    bucket ∈ {'head','middle','tail'}.
+    """
+    from pyspark.sql.window import Window
+
+    s = x.SPARK
+    g = df.selectExpr(id_col, f"{x.tokens(text_col, s)} AS _t").selectExpr(
+        id_col, f"CAST({x.xsize('_t', s)} AS BIGINT) AS dl", "_t"
+    ).filter("dl > 0")
+    ex = pin(g.select(id_col, "dl", F.explode("_t").alias("term")))
+    tf = ex.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    ct = ex.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    tot = g.agg(
+        F.sum("dl").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    qsurp = x.floor_log2_ratio("n_total", "ct", s)
+    # pinned: BOTH the histogram (threshold) branch and the final
+    # bucket-assignment branch consume the per-doc scores — without the
+    # pin the whole tokenize+aggregate subtree executes twice
+    docsc = pin(
+        tf.join(ct, on="term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col, "dl", "n_docs")
+        .agg(F.sum(F.expr(f"tf * CAST({qsurp} AS BIGINT)")).alias("_sq"))
+        .selectExpr(
+            id_col,
+            "dl",
+            "n_docs",
+            f"(CAST({scale} AS BIGINT) * _sq) DIV dl AS surprisal_scaled",
+        )
+    )
+    hist = docsc.groupBy("surprisal_scaled", "n_docs").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cw = (
+        Window.orderBy("surprisal_scaled")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("cnt").over(cw))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n_docs"), F.col("surprisal_scaled"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") * 3 >= 2 * F.col("n_docs"), F.col("surprisal_scaled")
+                )
+            ).alias("t2"),
+        )
+    )
+    return (
+        docsc.crossJoin(F.broadcast(thr))
+        .selectExpr(
+            id_col,
+            "dl",
+            "surprisal_scaled",
+            f"CAST(surprisal_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS surprisal",
+            "CASE WHEN surprisal_scaled <= t1 THEN 'head' "
+            "WHEN surprisal_scaled <= t2 THEN 'middle' ELSE 'tail' END AS bucket",
+        )
+    )
+
+
+def ccnet_surprisal_buckets_oracle_sql(
+    table: str = "documents",
+    scale: int = SURPRISAL_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`ccnet_surprisal_buckets` — same exact
+    integer surprisal, same cumulative-histogram tercile cutpoints."""
+    d = x.DUCK
+    qsurp = x.floor_log2_ratio("tot.n_total", "ct.ct", d)
+    return f"""
+WITH g AS (
+  SELECT {id_col}, {x.tokens(text_col, d)} AS _t FROM {table}
+), gg AS (
+  SELECT {id_col}, CAST({x.xsize('_t', d)} AS BIGINT) AS dl, _t FROM g
+  WHERE {x.xsize('_t', d)} > 0
+), ex AS (
+  SELECT {id_col}, dl, UNNEST(_t) AS term FROM gg
+), tf AS (
+  SELECT {id_col}, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2, 3
+), ct AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS ct FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM gg
+), docsc AS (
+  SELECT tf.{id_col}, tf.dl, tot.n_docs,
+         CAST((CAST({scale} AS BIGINT)
+               * CAST(SUM(tf.tf * CAST({qsurp} AS BIGINT)) AS BIGINT))
+           // tf.dl AS BIGINT) AS surprisal_scaled
+  FROM tf JOIN ct USING (term) CROSS JOIN tot
+  GROUP BY 1, 2, 3
+), hist AS (
+  SELECT surprisal_scaled, n_docs, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM docsc GROUP BY 1, 2
+), cum AS (
+  SELECT surprisal_scaled, n_docs,
+         SUM(cnt) OVER (ORDER BY surprisal_scaled
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), thr AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n_docs THEN surprisal_scaled END) AS t1,
+         MIN(CASE WHEN cum * 3 >= 2 * n_docs THEN surprisal_scaled END) AS t2
+  FROM cum
+)
+SELECT d.{id_col}, d.dl, d.surprisal_scaled,
+       CAST(d.surprisal_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS surprisal,
+       CASE WHEN d.surprisal_scaled <= thr.t1 THEN 'head'
+            WHEN d.surprisal_scaled <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM docsc d CROSS JOIN thr
+"""
+
+
+# -- DSIR: data selection via importance resampling ---------------------------
+
+DSIR_BUCKETS = 4096
+
+
+def dsir_select(
+    df: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = 25,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every candidate document by its hashed-n-gram importance weight
+    ``Σ_features log(p_target(f) / p_raw(f))`` against a target
+    distribution, then keep the top-k — the standard
+    pretraining-data-selection recipe when you have a small quality
+    corpus (here: the ``target_lang`` slice) and a large raw pool
+    (here: every other document).
+
+    Features are word bigrams hashed into ``n_buckets`` buckets
+    (md5-based :func:`xdialect.h60` mod B — engine-identical), with
+    add-one smoothing on both distributions exactly as in the paper's
+    bag-of-hashed-ngrams generative model. The log-ratio is the EXACT
+    integer ``floor(log2)`` of the cross-multiplied rational
+    ``(ct_f+1)(R+B) / (cr_f+1)(T+B)`` (:func:`xdialect.
+    floor_log2_ratio`), occurrence-weighted per doc — 1-bit grain, no
+    float log (same determinism contract as the surprisal buckets).
+
+    Selection is THRESHOLD semantics via the same cumulative-histogram
+    trick as :func:`ccnet_surprisal_buckets` — no corpus-wide
+    single-partition top-k window: t_k = the k-th largest weight
+    (counting multiplicity), and every doc with weight ≥ t_k is kept
+    (ties at the cut all survive, so ≥ k rows can return — documented,
+    deterministic).
+
+    BIGINT headroom: the cross-multiplied numerator is bounded by
+    (T+1)(R+B) ≈ 6.6e11 at sf0.1 — room up to ~3e9 feature
+    occurrences per side before DECIMAL(38,0) is needed.
+
+    Returns the selected candidates (doc_id, lang, n_features,
+    weight_q) — weight_q is the integer importance weight.
+    """
+    from pyspark.sql.window import Window
+
+    s = x.SPARK
+    tok = x.tokens(text_col, s)
+    # let-bind the token array: the bigram expr references it 2+2n
+    # times and CollapseProject would re-tokenize per reference
+    bg = x.let(tok, "_t", _bigram_list_expr("_t", s), s)
+    g = df.selectExpr(id_col, lang_col, f"{bg} AS _bg")
+    ex = pin(
+        g.select(
+            id_col,
+            lang_col,
+            F.explode("_bg").alias("_f"),
+        ).selectExpr(
+            id_col,
+            lang_col,
+            f"pmod({x.h60('_f', s)}, {n_buckets}) AS fb",
+        )
+    )
+    is_target = F.col(lang_col) == target_lang
+    ct = ex.filter(is_target).groupBy("fb").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    cr = ex.filter(~is_target).groupBy("fb").agg(
+        F.count(F.lit(1)).cast("long").alias("cr")
+    )
+    tot = (
+        ex.agg(
+            F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("t_tot"),
+            F.sum(F.when(is_target, 0).otherwise(1)).cast("long").alias("r_tot"),
+        )
+    )
+    qlog = x.floor_log2_ratio(
+        f"(COALESCE(ct, 0) + 1) * (r_tot + {n_buckets})",
+        f"(cr + 1) * (t_tot + {n_buckets})",
+        s,
+    )
+    # pinned: the threshold histogram and the final selection filter
+    # both consume the per-candidate weights (same contract as docsc in
+    # ccnet_surprisal_buckets)
+    cand = pin(
+        ex.filter(~is_target)
+        .groupBy(id_col, lang_col, "fb")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .join(cr, on="fb")
+        .join(ct, on="fb", how="left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.sum("tf").alias("n_features"),
+            F.sum(F.expr(f"tf * CAST({qlog} AS BIGINT)")).alias("weight_q"),
+        )
+    )
+    hist = cand.groupBy("weight_q").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cw = (
+        Window.orderBy(F.col("weight_q").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("cnt").over(cw))
+        .agg(F.max(F.when(F.col("cum") >= k, F.col("weight_q"))).alias("t_k"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(thr))
+        .filter(F.col("weight_q") >= F.coalesce(F.col("t_k"), F.lit(-(1 << 62))))
+        .select(id_col, lang_col, "n_features", "weight_q")
+    )
+
+
+def dsir_select_oracle_sql(
+    table: str = "documents",
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = 25,
+    target_lang: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB mirror of :func:`dsir_select` — same hashed buckets, same
+    exact floor-log2 importance ratios, same k-th-largest threshold."""
+    d = x.DUCK
+    tok = x.tokens(text_col, d)
+    bg = x.let(tok, "_t", _bigram_list_expr("_t", d), d)
+    qlog = x.floor_log2_ratio(
+        f"(COALESCE(ct.ct, 0) + 1) * (tot.r_tot + {n_buckets})",
+        f"(cr.cr + 1) * (tot.t_tot + {n_buckets})",
+        d,
+    )
+    return f"""
+WITH g AS (
+  SELECT {id_col}, {lang_col}, {bg} AS _bg FROM {table}
+), ex AS (
+  SELECT {id_col}, {lang_col},
+         (({x.h60('f', d)}) % {n_buckets}) AS fb
+  FROM (SELECT {id_col}, {lang_col}, UNNEST(_bg) AS f FROM g)
+), ct AS (
+  SELECT fb, CAST(COUNT(*) AS BIGINT) AS ct FROM ex
+  WHERE {lang_col} = '{target_lang}' GROUP BY 1
+), cr AS (
+  SELECT fb, CAST(COUNT(*) AS BIGINT) AS cr FROM ex
+  WHERE {lang_col} <> '{target_lang}' GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(CASE WHEN {lang_col} = '{target_lang}' THEN 1 ELSE 0 END) AS BIGINT) AS t_tot,
+         CAST(SUM(CASE WHEN {lang_col} <> '{target_lang}' THEN 1 ELSE 0 END) AS BIGINT) AS r_tot
+  FROM ex
+), tfq AS (
+  SELECT {id_col}, {lang_col}, fb, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex WHERE {lang_col} <> '{target_lang}' GROUP BY 1, 2, 3
+), cand AS (
+  SELECT tfq.{id_col}, tfq.{lang_col},
+         CAST(SUM(tfq.tf) AS BIGINT) AS n_features,
+         CAST(SUM(tfq.tf * CAST({qlog} AS BIGINT)) AS BIGINT) AS weight_q
+  FROM tfq JOIN cr USING (fb) LEFT JOIN ct USING (fb) CROSS JOIN tot
+  GROUP BY 1, 2
+), hist AS (
+  SELECT weight_q, CAST(COUNT(*) AS BIGINT) AS cnt FROM cand GROUP BY 1
+), cum AS (
+  SELECT weight_q,
+         SUM(cnt) OVER (ORDER BY weight_q DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), thr AS (
+  SELECT MAX(CASE WHEN cum >= {k} THEN weight_q END) AS t_k FROM cum
+)
+SELECT c.{id_col}, c.{lang_col}, c.n_features, c.weight_q
+FROM cand c CROSS JOIN thr
+WHERE c.weight_q >= COALESCE(thr.t_k, -4611686018427387904)
+"""
+
+
+# -- Corpus drift: per-slice total-variation distance --------------------------
+
+TV_SCALE = 100_000
+
+
+def corpus_drift_tv(
+    df: DataFrame,
+    scale: int = TV_SCALE,
+    text_col: str = "text",
+    slice_col: str = "lang",
+) -> DataFrame:
+    """Distribution-shift telemetry: the total-variation distance
+    between each slice's unigram token distribution and the whole
+    corpus's — ``TV(p_l, p) = ½ Σ_t |p_l(t) - p(t)|`` in [0, 1].
+    This is the drift monitor a recurring-crawl pipeline runs per
+    snapshot/source/language to catch a feed going off-distribution
+    before it poisons the training mix (TV rather than KL/chi² because
+    it is LINEAR in the counts — exact in BIGINT fixed-point, no log,
+    no square that would overflow at corpus scale).
+
+    Exactness: per present (slice, term) pair the signed integer
+    ``d = cl_t·N − c_t·N_l`` is formed from exact counts; terms ABSENT
+    from the slice contribute ``Σ_absent c_t·N_l = N_l·(N − S_l)``
+    where ``S_l = Σ_{{t present in l}} c_t`` — computed algebraically,
+    so the absent (slice × vocab) cross product is never materialized.
+    One terminal fixed-point division: ``(scale·Σ) DIV (2·N·N_l)``.
+
+    BIGINT headroom: Σ|d| ≤ 2·N·N_l ≈ 1.8e12 at sf0.1; with
+    scale=1e5 the numerator is ≈ 1.8e17 — an order under the ceiling.
+    At N ≈ 1e9 tokens drop ``scale`` to 1e2 or move the final
+    multiply-divide to DECIMAL(38,0).
+
+    Scale shape: one (slice, term) hash aggregate; the per-term corpus
+    totals derive from ITS output (a second, smaller aggregate — the
+    corpus is shuffled once); slice totals are a tiny broadcast; the
+    final per-slice reduce is one row per slice.
+
+    Returns (slice, n_tokens, tv_scaled, tv).
+    """
+    s = x.SPARK
+    ex = df.selectExpr(
+        f"{slice_col} AS slice", f"explode({x.tokens(text_col, s)}) AS term"
+    )
+    clt = pin(
+        ex.groupBy("slice", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("cl")
+        )
+    )
+    ct = clt.groupBy("term").agg(F.sum("cl").cast("long").alias("ct"))
+    nl = clt.groupBy("slice").agg(F.sum("cl").cast("long").alias("n_l"))
+    n = clt.agg(F.sum("cl").cast("long").alias("n_total"))
+    per_slice = (
+        clt.join(ct, on="term")
+        .join(F.broadcast(nl), on="slice")
+        .crossJoin(F.broadcast(n))
+        .groupBy("slice", "n_l", "n_total")
+        .agg(
+            F.sum(F.expr("abs(cl * n_total - ct * n_l)")).cast("long").alias("present"),
+            F.sum("ct").cast("long").alias("s_l"),
+        )
+    )
+    return per_slice.selectExpr(
+        "slice",
+        "n_l AS n_tokens",
+        f"(CAST({scale} AS BIGINT) * (present + n_l * (n_total - s_l)))"
+        " DIV (2 * n_total * n_l) AS tv_scaled",
+        f"CAST((CAST({scale} AS BIGINT) * (present + n_l * (n_total - s_l)))"
+        f" DIV (2 * n_total * n_l) AS DOUBLE) / CAST({scale} AS DOUBLE) AS tv",
+    )
+
+
+def corpus_drift_tv_oracle_sql(
+    table: str = "documents",
+    scale: int = TV_SCALE,
+    text_col: str = "text",
+    slice_col: str = "lang",
+) -> str:
+    """DuckDB mirror of :func:`corpus_drift_tv` — same algebraic
+    absent-mass term, same single terminal fixed-point division."""
+    d = x.DUCK
+    return f"""
+WITH ex AS (
+  SELECT {slice_col} AS slice, UNNEST({x.tokens(text_col, d)}) AS term
+  FROM {table}
+), clt AS (
+  SELECT slice, term, CAST(COUNT(*) AS BIGINT) AS cl FROM ex GROUP BY 1, 2
+), ct AS (
+  SELECT term, CAST(SUM(cl) AS BIGINT) AS ct FROM clt GROUP BY 1
+), nl AS (
+  SELECT slice, CAST(SUM(cl) AS BIGINT) AS n_l FROM clt GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(cl) AS BIGINT) AS n_total FROM clt
+), per_slice AS (
+  SELECT clt.slice, nl.n_l, n.n_total,
+         CAST(SUM(ABS(clt.cl * n.n_total - ct.ct * nl.n_l)) AS BIGINT) AS present,
+         CAST(SUM(ct.ct) AS BIGINT) AS s_l
+  FROM clt JOIN ct USING (term) JOIN nl USING (slice) CROSS JOIN n
+  GROUP BY 1, 2, 3
+)
+SELECT slice, n_l AS n_tokens,
+       CAST((CAST({scale} AS BIGINT) * (present + n_l * (n_total - s_l)))
+         // (2 * n_total * n_l) AS BIGINT) AS tv_scaled,
+       CAST(CAST((CAST({scale} AS BIGINT) * (present + n_l * (n_total - s_l)))
+         // (2 * n_total * n_l) AS BIGINT) AS DOUBLE) / CAST({scale} AS DOUBLE) AS tv
+FROM per_slice
+"""

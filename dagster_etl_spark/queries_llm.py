@@ -1129,3 +1129,31 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         load_table(spark, sf_dir, "documents"), threshold=CONTAIN_T
     )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from dagster_etl_spark.operators.similarity import hybrid_rrf_topk_oracle_sql
+
+    return hybrid_rrf_topk_oracle_sql(dim=EMB_DIM)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("llm", "similarity", "retrieval", "text"),
+    doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
+    "2009): BM25 top-20 over documents fused with cosine top-20 over "
+    "the aligned embeddings (shared doc_id/vec_id domain, queries = "
+    "ids % 97 == 0) as sum of fixed-point scale DIV (60 + rank) -- "
+    "integer-exact, so the fused tiebreak never sits on a float "
+    "boundary. Fusion cost is <= 40 rows/query regardless of corpus "
+    "size; each leg keeps its own audited plan.",
+)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+    )

@@ -1450,3 +1450,70 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.ingest(docs.filter(F.col("doc_id") % 3 == day))
     seeds = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
     return idx.topk(seeds, k=10)
+
+
+def _surprisal_oracle() -> str:
+    from dagster_etl_spark.operators.text import ccnet_surprisal_buckets_oracle_sql
+
+    return ccnet_surprisal_buckets_oracle_sql()
+
+
+@register(
+    "ccnet_surprisal_buckets",
+    oracle=_surprisal_oracle(),
+    tags=("llm", "text", "quality"),
+    doc="CCNet-shape perplexity bucketing (arXiv:1911.00359): per-doc "
+    "mean token surprisal under the corpus unigram LM, split at "
+    "tercile cutpoints into head/middle/tail. Surprisal is the EXACT "
+    "integer floor(log2 N/c_t) (xdialect.floor_log2_ratio, no float "
+    "log); cutpoints come from a cumulative histogram of the quantized "
+    "integer scores, so no corpus-sized single-partition sort.",
+)
+def q_ccnet_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import ccnet_surprisal_buckets
+
+    return ccnet_surprisal_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def _dsir_oracle() -> str:
+    from dagster_etl_spark.operators.text import dsir_select_oracle_sql
+
+    return dsir_select_oracle_sql()
+
+
+@register(
+    "dsir_select",
+    oracle=_dsir_oracle(),
+    tags=("llm", "text", "sampling"),
+    doc="DSIR data selection (arXiv:2302.03169): hashed-bigram "
+    "importance weights log p_target/p_raw (target = the 'en' slice, "
+    "raw = the rest), add-one smoothing, EXACT integer floor-log2 "
+    "ratios, k-th-largest threshold selection via the cumulative "
+    "histogram (no global top-k sort; threshold ties all survive).",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import dsir_select
+
+    return dsir_select(load_table(spark, sf_dir, "documents"))
+
+
+def _drift_oracle() -> str:
+    from dagster_etl_spark.operators.text import corpus_drift_tv_oracle_sql
+
+    return corpus_drift_tv_oracle_sql()
+
+
+@register(
+    "corpus_drift_tv",
+    oracle=_drift_oracle(),
+    tags=("llm", "text", "quality"),
+    doc="Distribution-shift telemetry: exact total-variation distance "
+    "between each language slice's unigram distribution and the whole "
+    "corpus (linear in counts -> BIGINT fixed-point, no log/square; "
+    "absent-vocabulary mass computed algebraically as N_l*(N - S_l), "
+    "never materialized).",
+)
+def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import corpus_drift_tv
+
+    return corpus_drift_tv(load_table(spark, sf_dir, "documents"))

@@ -197,6 +197,11 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "containment_neardup",
     "bm25_incremental",
     "streaming_bm25_ingest",
+    # late-r14 registrations (ALLCHECK_r14-merged; no driver row yet)
+    "ccnet_surprisal_buckets",
+    "dsir_select",
+    "corpus_drift_tv",
+    "hybrid_rrf_retrieval",
 )
 
 

@@ -1278,3 +1278,202 @@ def test_incremental_bm25_probe_plan_and_compact(spark):
     )
     assert before == after
     idx.drop()
+
+
+# -- late-r14 operators: surprisal buckets, DSIR, drift TV, hybrid RRF --------
+
+
+def _py_floor_log2_ratio(num: int, den: int) -> int:
+    """Independent reference for xdialect.floor_log2_ratio."""
+    if num >= den:
+        return (num // den).bit_length() - 1
+    m = (den + num - 1) // num  # ceil(den/num)
+    return -((m - 1).bit_length())
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.strip().lower().split() if t]
+
+
+def test_floor_log2_ratio_matches_python_reference(spark):
+    import fractions
+
+    import dagster_etl_spark.functions.xdialect as x
+
+    cases = [(n, d) for n in (1, 2, 3, 7, 8, 9, 97, 10**12) for d in (1, 2, 5, 8, 96, 97, 10**6)]
+    rows = (
+        spark.createDataFrame(cases, "n long, d long")
+        .selectExpr("n", "d", f"{x.floor_log2_ratio('n', 'd', x.SPARK)} AS q")
+        .collect()
+    )
+    for r in rows:
+        want = _py_floor_log2_ratio(r.n, r.d)
+        # and the reference itself is the true floor(log2(n/d))
+        f, k = fractions.Fraction(r.n, r.d), 0
+        if f >= 1:
+            while f >= 2:
+                f, k = f / 2, k + 1
+        else:
+            while f < 1:
+                f, k = f * 2, k - 1
+        assert want == k and r.q == k, (r.n, r.d, r.q, want, k)
+
+
+def test_ccnet_surprisal_buckets_reference(spark):
+    from dagster_etl_spark.operators.text import (
+        SURPRISAL_SCALE,
+        ccnet_surprisal_buckets,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the the the the"),          # all-common -> head
+        Row(doc_id=2, text="the the rare1"),
+        Row(doc_id=3, text="the rare2 rare3"),
+        Row(doc_id=4, text="rare4 rare5 rare6 rare7"),  # all-singleton -> tail
+        Row(doc_id=5, text="the the the rare8"),
+        Row(doc_id=6, text="   "),                      # empty after trim: excluded
+    ]
+    out = {r.doc_id: r for r in ccnet_surprisal_buckets(spark.createDataFrame(rows)).collect()}
+    assert 6 not in out and len(out) == 5
+
+    toks = {r.doc_id: _py_tokens(r.text) for r in rows if _py_tokens(r.text)}
+    ct: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            ct[t] = ct.get(t, 0) + 1
+    n_total = sum(ct.values())
+    score = {
+        i: SURPRISAL_SCALE * sum(_py_floor_log2_ratio(n_total, ct[t]) for t in ts) // len(ts)
+        for i, ts in toks.items()
+    }
+    for i, r in out.items():
+        assert r.surprisal_scaled == score[i], (i, r.surprisal_scaled, score[i])
+    # threshold-semantics terciles: cutpoints from the cumulative histogram
+    n = len(score)
+    ordered = sorted(score.values())
+    hist: list[tuple[int, int]] = []
+    for v in ordered:
+        if hist and hist[-1][0] == v:
+            hist[-1] = (v, hist[-1][1] + 1)
+        else:
+            hist.append((v, 1))
+    cum, t1, t2 = 0, None, None
+    for v, c in hist:
+        cum += c
+        if t1 is None and cum * 3 >= n:
+            t1 = v
+        if t2 is None and cum * 3 >= 2 * n:
+            t2 = v
+    for i, r in out.items():
+        want = "head" if score[i] <= t1 else ("middle" if score[i] <= t2 else "tail")
+        assert r.bucket == want, (i, r.bucket, want)
+    assert out[1].bucket == "head" and out[4].bucket == "tail"
+
+
+def test_dsir_select_reference(spark):
+    import hashlib
+
+    from dagster_etl_spark.operators.text import DSIR_BUCKETS, dsir_select
+
+    rows = [
+        # target slice (en): a distinctive bigram signature
+        Row(doc_id=1, lang="en", text="alpha beta alpha beta gamma"),
+        Row(doc_id=2, lang="en", text="alpha beta delta alpha beta"),
+        # candidates: 10 looks like the target, 11 does not, 12 mixed
+        Row(doc_id=10, lang="de", text="alpha beta alpha beta"),
+        Row(doc_id=11, lang="fr", text="omega psi omega psi omega"),
+        Row(doc_id=12, lang="es", text="alpha beta omega psi"),
+    ]
+    out = {r.doc_id: r for r in dsir_select(spark.createDataFrame(rows), k=2).collect()}
+
+    def fb(bigram: str) -> int:
+        return int(hashlib.md5(bigram.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    cand_feats: dict[int, list[int]] = {}
+    for r in rows:
+        ts = _py_tokens(r.text)
+        feats = [fb(f"{a} {b}") for a, b in zip(ts, ts[1:])]
+        if r.lang == "en":
+            for f in feats:
+                ct[f] = ct.get(f, 0) + 1
+        else:
+            for f in feats:
+                cr[f] = cr.get(f, 0) + 1
+            cand_feats[r.doc_id] = feats
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    weight = {
+        i: sum(
+            _py_floor_log2_ratio(
+                (ct.get(f, 0) + 1) * (r_tot + DSIR_BUCKETS),
+                (cr[f] + 1) * (t_tot + DSIR_BUCKETS),
+            )
+            for f in feats
+        )
+        for i, feats in cand_feats.items()
+    }
+    # threshold selection: 2nd-largest weight, ties survive
+    t_k = sorted(weight.values(), reverse=True)[1]
+    want = {i for i, w in weight.items() if w >= t_k}
+    assert set(out) == want
+    for i in out:
+        assert out[i].weight_q == weight[i], (i, out[i].weight_q, weight[i])
+    # the target-like candidate must outrank the off-distribution one
+    assert weight[10] > weight[11] and 10 in out and 11 not in out
+
+
+def test_corpus_drift_tv_reference(spark):
+    from fractions import Fraction
+
+    from dagster_etl_spark.operators.text import TV_SCALE, corpus_drift_tv
+
+    rows = [
+        Row(doc_id=1, lang="en", text="a b c d"),
+        Row(doc_id=2, lang="en", text="a a b e"),
+        Row(doc_id=3, lang="de", text="a b c d"),
+        Row(doc_id=4, lang="de", text="x y z w"),
+    ]
+    out = {r.slice: r for r in corpus_drift_tv(spark.createDataFrame(rows)).collect()}
+
+    cl: dict[str, dict[str, int]] = {}
+    for r in rows:
+        d = cl.setdefault(r.lang, {})
+        for t in _py_tokens(r.text):
+            d[t] = d.get(t, 0) + 1
+    vocab = {t for d in cl.values() for t in d}
+    ct = {t: sum(d.get(t, 0) for d in cl.values()) for t in vocab}
+    n = sum(ct.values())
+    for lang, d in cl.items():
+        n_l = sum(d.values())
+        tv = sum(abs(Fraction(d.get(t, 0), n_l) - Fraction(ct[t], n)) for t in vocab) / 2
+        want_scaled = (TV_SCALE * (sum(abs(d.get(t, 0) * n - ct[t] * n_l) for t in vocab))) // (2 * n * n_l)
+        got = out[lang]
+        assert got.tv_scaled == want_scaled
+        # fixed-point floor sits within one grain of the exact rational
+        assert abs(Fraction(got.tv_scaled, TV_SCALE) - tv) < Fraction(1, TV_SCALE)
+        assert 0 <= got.tv <= 1
+        assert got.n_tokens == n_l
+
+
+def test_hybrid_rrf_fusion_math(spark):
+    from dagster_etl_spark.operators.similarity import RRF_K, RRF_SCALE, hybrid_rrf_topk
+
+    docs = load_table(spark, SF, "documents")
+    emb = load_table(spark, SF, "embeddings")
+    out = hybrid_rrf_topk(docs, emb).toPandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        want = 0
+        if r.lex_rank == r.lex_rank and r.lex_rank is not None:  # non-NaN
+            want += RRF_SCALE // (RRF_K + int(r.lex_rank))
+        if r.sem_rank == r.sem_rank and r.sem_rank is not None:
+            want += RRF_SCALE // (RRF_K + int(r.sem_rank))
+        assert int(r.rrf_scaled) == want
+    for qid, grp in out.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        # rank order == (rrf_scaled desc, doc_id asc)
+        key = list(zip(-g["rrf_scaled"], g["doc_id"]))
+        assert key == sorted(key)
+        assert len(g) <= 10

@@ -123,6 +123,13 @@ AUDITED = [
     "bm25_topk_docs",
     "dedup_substrings",
     "containment_neardup",
+    # late-r14 registrations (pure expression trees; the two
+    # histogram-threshold operators pin their per-doc score frame so
+    # the threshold branch and the final filter share one compute)
+    "ccnet_surprisal_buckets",
+    "dsir_select",
+    "corpus_drift_tv",
+    "hybrid_rrf_retrieval",
 ]
 
 
@@ -196,6 +203,20 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
         1, "bounded exact-cosine verify over banded candidates"),
     "bm25_topk_docs": (
         1, "broadcast 1-row (n_docs, total_tokens) frame for idf/avgdl"),
+    # histogram-threshold operators: a 1-row totals frame under the
+    # pinned score subtree (prints once per consumer branch, executes
+    # once) + the 1-row threshold frame itself
+    "ccnet_surprisal_buckets": (
+        3, "1-row (N, n_docs) frame x2 pinned prints + 1-row tercile-"
+           "cutpoint frame"),
+    "dsir_select": (
+        3, "1-row (T, R) totals frame x2 pinned prints + 1-row "
+           "k-th-weight threshold frame"),
+    "corpus_drift_tv": (
+        1, "broadcast 1-row corpus-total frame"),
+    "hybrid_rrf_retrieval": (
+        2, "inherits bm25's 1-row totals frame + cosine's broadcast "
+           "bounded query batch"),
 }
 
 
@@ -387,6 +408,22 @@ EXCHANGE_BUDGET = {
     # r14: same shape as ngram_jaccard_pairs — pinned shingle explode
     # feeds both self-join sides, one pair aggregate
     "containment_neardup": 3,
+    # late r14 (printed counts; pinned score frames reprint their
+    # upstream exchanges once per consumer branch but execute once):
+    # tf agg + term-count agg + doc agg + totals Single (x2 prints) +
+    # score-histogram agg + cutpoint Single
+    "ccnet_surprisal_buckets": 10,
+    # candidate tf agg + target/raw bucket-count aggs + doc agg +
+    # totals Single (x2 prints) + weight-histogram agg + threshold
+    # Single
+    "dsir_select": 12,
+    # (slice, term) agg feeds three derived aggregates (term totals,
+    # slice totals, corpus total — pinned, prints per consumer) + the
+    # per-slice reduce
+    "corpus_drift_tv": 8,
+    # bm25 leg (7) + cosine leg's top-k window + the fused per-query
+    # top-k window (the fuse join itself is broadcast, no exchange)
+    "hybrid_rrf_retrieval": 12,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the
