@@ -1384,3 +1384,228 @@ SELECT slice, n_l AS n_tokens,
          // (2 * n_total * n_l) AS BIGINT) AS DOUBLE) / CAST({scale} AS DOUBLE) AS tv
 FROM per_slice
 """
+
+
+class IncrementalUnigramLM:
+    """Daily-cadence unigram LM — the sixth incremental surface (next
+    to BucketedPipeline, near-dup, ANN, IVF-PQ, BM25): the corpus
+    language model behind perplexity bucketing and drift telemetry
+    must absorb a crawl slice in O(slice), never re-tokenize the
+    accumulated corpus.
+
+    State = two catalog tables:
+
+    * ``{name}_lm_counts`` (term, ct) — per-slice partial occurrence
+      counts, BUCKETED BY term: scoring and drift probes join on the
+      term key, so probe frames shuffle only their own tokens and the
+      standing counts read co-located;
+    * ``{name}_lm_totals`` (n_total, n_docs) — one row appended per
+      slice.
+
+    Exactness invariant (property-tested): counts and totals are
+    ADDITIVE over slices and the fixed-point quantization happens at
+    probe time from the summed state, so after ingesting B1..Bn:
+
+    * ``score(B1 ∪ .. ∪ Bn)`` == :func:`ccnet_surprisal_buckets`
+      (B1 ∪ .. ∪ Bn) EXACTLY — same integer surprisal, same tercile
+      cutpoints (the registered incremental query reuses the one-shot
+      oracle, the bm25_incremental pattern);
+    * ``drift(B1 ∪ .. ∪ Bn, slice_col)`` == :func:`corpus_drift_tv`
+      over the union, exactly.
+
+    ``drift`` also takes frames the LM has NEVER seen (the production
+    use: yesterday's model, today's feed): probe terms unknown to the
+    LM carry ct=0 through a left join — their |cl·N − 0| mass lands in
+    the present sum and the algebraic absent-mass term N_l·(N − S_l)
+    only ever counts standing terms (S_l sums coalesced cts), so the
+    distance stays exact and in [0, 1].
+    """
+
+    def __init__(
+        self,
+        spark,
+        name: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_buckets: int = 8,
+        scale: int = SURPRISAL_SCALE,
+    ) -> None:
+        self.spark = spark
+        self.counts_table = f"{name}_lm_counts"
+        self.totals_table = f"{name}_lm_totals"
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_buckets = num_buckets
+        self.scale = scale
+
+    def _tokenized(self, docs: DataFrame) -> DataFrame:
+        return docs.selectExpr(
+            self.id_col, f"{x.tokens(self.text_col, x.SPARK)} AS _t"
+        ).selectExpr(
+            self.id_col, f"CAST({x.xsize('_t', x.SPARK)} AS BIGINT) AS dl", "_t"
+        )
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Absorb one slice: append its term counts and a totals row.
+        O(slice); standing tables are append-only (compact() collapses
+        the per-append files)."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        g = pin(self._tokenized(docs).filter("dl > 0"))
+        counts = g.select(F.explode("_t").alias("term")).groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        totals = g.agg(
+            F.sum("dl").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        first = not self.spark.catalog.tableExists(self.counts_table)
+        if first:
+            from dagster_etl_spark.sources.lake import delete_path
+
+            self.drop()
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(self.spark, f"{warehouse}/{self.totals_table.lower()}")
+            write_bucketed(
+                counts, self.counts_table, ["term"], num_buckets=self.num_buckets
+            )
+        else:
+            append_bucketed(counts, self.counts_table)
+        totals.write.mode("overwrite" if first else "append").saveAsTable(
+            self.totals_table
+        )
+
+    def _standing(self) -> tuple[DataFrame, DataFrame]:
+        for t in (self.counts_table, self.totals_table):
+            self.spark.catalog.refreshTable(t)
+        ct = self.spark.table(self.counts_table).groupBy("term").agg(
+            F.sum("ct").cast("long").alias("ct")
+        )
+        tot = self.spark.table(self.totals_table).agg(
+            F.sum("n_total").cast("long").alias("n_total"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        return ct, tot
+
+    def score(self, docs: DataFrame) -> DataFrame:
+        """Surprisal-bucket ``docs`` against the standing LM — same
+        arithmetic and output schema as :func:`ccnet_surprisal_buckets`
+        with (ct, N) read from the summed state. Probe-only terms
+        (never seen by the LM) would make the log ratio infinite; they
+        carry ct=0 through the left join and score at the maximum
+        observable surprisal floor(log2 N) + 1 — one grain above any
+        seen singleton, the standard out-of-vocabulary clamp."""
+        from pyspark.sql.window import Window
+
+        ctd, tot = self._standing()
+        g = self._tokenized(docs).filter("dl > 0")
+        ex = g.select(self.id_col, "dl", F.explode("_t").alias("term"))
+        tf = ex.groupBy(self.id_col, "dl", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
+        qsurp = (
+            f"CASE WHEN ct IS NULL THEN {x.blen('n_total', x.SPARK)} "
+            f"ELSE {x.floor_log2_ratio('n_total', 'ct', x.SPARK)} END"
+        )
+        docsc = pin(
+            tf.join(ctd, on="term", how="left")
+            .crossJoin(F.broadcast(tot))
+            .groupBy(self.id_col, "dl", "n_docs")
+            .agg(F.sum(F.expr(f"tf * CAST({qsurp} AS BIGINT)")).alias("_sq"))
+            .selectExpr(
+                self.id_col,
+                "dl",
+                "n_docs",
+                f"(CAST({self.scale} AS BIGINT) * _sq) DIV dl AS surprisal_scaled",
+            )
+        )
+        # tercile cutpoints over the PROBE frame's scores (n_docs of
+        # the probe, not the corpus): mirror of the one-shot operator
+        n_probe = docsc.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe")
+        )
+        hist = docsc.groupBy("surprisal_scaled").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cw = Window.orderBy("surprisal_scaled").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        thr = (
+            hist.withColumn("cum", F.sum("cnt").over(cw))
+            .crossJoin(F.broadcast(n_probe))
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") * 3 >= F.col("n_probe"),
+                        F.col("surprisal_scaled"),
+                    )
+                ).alias("t1"),
+                F.min(
+                    F.when(
+                        F.col("cum") * 3 >= 2 * F.col("n_probe"),
+                        F.col("surprisal_scaled"),
+                    )
+                ).alias("t2"),
+            )
+        )
+        return docsc.crossJoin(F.broadcast(thr)).selectExpr(
+            self.id_col,
+            "dl",
+            "surprisal_scaled",
+            f"CAST(surprisal_scaled AS DOUBLE) / CAST({self.scale} AS DOUBLE)"
+            " AS surprisal",
+            "CASE WHEN surprisal_scaled <= t1 THEN 'head' "
+            "WHEN surprisal_scaled <= t2 THEN 'middle' ELSE 'tail' END AS bucket",
+        )
+
+    def drift(
+        self, docs: DataFrame, slice_col: str = "lang", tv_scale: int = TV_SCALE
+    ) -> DataFrame:
+        """Per-slice total-variation distance of ``docs``'s unigram
+        distributions vs the standing LM — same output schema as
+        :func:`corpus_drift_tv` with (ct, N) read from the summed
+        state. Works for both ingested frames (drift of each slice vs
+        the corpus it is part of) and unseen feeds (ct=0 terms stay in
+        the present sum)."""
+        ctd, tot = self._standing()
+        ex = docs.selectExpr(
+            f"{slice_col} AS slice",
+            f"explode({x.tokens(self.text_col, x.SPARK)}) AS term",
+        )
+        clt = ex.groupBy("slice", "term").agg(
+            F.count(F.lit(1)).cast("long").alias("cl")
+        )
+        nl = clt.groupBy("slice").agg(F.sum("cl").cast("long").alias("n_l"))
+        per_slice = (
+            clt.join(ctd, on="term", how="left")
+            .join(F.broadcast(nl), on="slice")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("slice", "n_l", "n_total")
+            .agg(
+                F.sum(
+                    F.expr("abs(cl * n_total - COALESCE(ct, 0) * n_l)")
+                ).cast("long").alias("present"),
+                F.sum(F.expr("COALESCE(ct, 0)")).cast("long").alias("s_l"),
+            )
+        )
+        return per_slice.selectExpr(
+            "slice",
+            "n_l AS n_tokens",
+            f"(CAST({tv_scale} AS BIGINT) * (present + n_l * (n_total - s_l)))"
+            " DIV (2 * n_total * n_l) AS tv_scaled",
+            f"CAST((CAST({tv_scale} AS BIGINT) * (present + n_l * (n_total - s_l)))"
+            f" DIV (2 * n_total * n_l) AS DOUBLE) / CAST({tv_scale} AS DOUBLE) AS tv",
+        )
+
+    def compact(self) -> dict[str, tuple[int, int]]:
+        """Collapse accumulated per-append files; bucket spec survives."""
+        from dagster_etl_spark.sources.bucketed import compact_bucketed
+
+        return {self.counts_table: compact_bucketed(self.spark, self.counts_table)}
+
+    def drop(self) -> None:
+        for t in (self.counts_table, self.totals_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1517,3 +1517,61 @@ def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import corpus_drift_tv
 
     return corpus_drift_tv(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "surprisal_incremental",
+    oracle=_surprisal_oracle(),
+    tags=("llm", "text", "quality", "incremental"),
+    doc="Daily-cadence perplexity bucketing (operators/text.py "
+    "IncrementalUnigramLM, the sixth incremental surface): three "
+    "id-sliced ingests append term counts/totals to a term-bucketed "
+    "standing LM; probe-time scoring quantizes from the summed state, "
+    "so the result equals the one-shot ccnet_surprisal_buckets "
+    "integer-for-integer (same oracle). Probe joins read the counts "
+    "co-located on their term bucketing.",
+)
+def q_surprisal_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuilt from scratch each call (correctness surface; same
+    discipline as bm25_incremental); table names are sf-scoped so
+    concurrent SFs don't collide."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalUnigramLM
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    lm = IncrementalUnigramLM(spark, f"ulm_inc_{sfx}")
+    lm.drop()
+    for day in range(3):
+        lm.ingest(docs.filter(F.col("doc_id") % 3 == day))
+    return lm.score(docs)
+
+
+@register(
+    "corpus_drift_incremental",
+    oracle=_drift_oracle(),
+    tags=("llm", "text", "quality", "incremental"),
+    doc="Drift telemetry against the standing LM: after the same "
+    "three-slice ingest, per-language TV of the full corpus vs the "
+    "summed state equals the one-shot corpus_drift_tv exactly (counts "
+    "are additive; quantization at probe time). The production probe "
+    "form also takes frames the LM has never seen — unseen terms "
+    "carry ct=0 through the left join (property-tested).",
+)
+def q_corpus_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalUnigramLM
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    lm = IncrementalUnigramLM(spark, f"ulm_drift_{sfx}")
+    lm.drop()
+    for day in range(3):
+        lm.ingest(docs.filter(F.col("doc_id") % 3 == day))
+    return lm.drift(docs, slice_col="lang")

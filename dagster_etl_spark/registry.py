@@ -202,6 +202,8 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "dsir_select",
     "corpus_drift_tv",
     "hybrid_rrf_retrieval",
+    "surprisal_incremental",
+    "corpus_drift_incremental",
 )
 
 

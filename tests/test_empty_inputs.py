@@ -156,3 +156,72 @@ def test_r14_operators_on_empty_and_degenerate(spark):
     # not an error
     no_seeds = docs.filter("doc_id % 97 <> 0")
     assert bm25_topk_docs(no_seeds).count() == 0
+
+
+def test_late_r14_operators_on_empty_and_degenerate(spark):
+    """The late-r14 operators on the no-rows day and crawl-degenerate
+    shapes: empty corpus, all-blank texts, single-language corpora,
+    and a corpus with no selection candidates."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.similarity import hybrid_rrf_topk
+    from dagster_etl_spark.operators.text import (
+        ccnet_surprisal_buckets,
+        corpus_drift_tv,
+        dsir_select,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    empty = _empty_like(docs)
+
+    out = ccnet_surprisal_buckets(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "dl", "surprisal_scaled", "surprisal", "bucket"
+    }
+    out = dsir_select(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "lang", "n_features", "weight_q"}
+    assert corpus_drift_tv(empty).count() == 0
+    out = hybrid_rrf_topk(empty, _empty_like(emb))
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "query_id", "doc_id", "lex_rank", "sem_rank", "rrf_scaled", "rrf", "rank"
+    }
+
+    # blank texts: dl=0 docs are excluded from surprisal (no 0-div);
+    # no bigrams -> no dsir candidates; no tokens -> no drift slices
+    blank = spark.createDataFrame(
+        [Row(doc_id=1, lang="de", text=""), Row(doc_id=2, lang="en", text="   ")]
+    )
+    assert ccnet_surprisal_buckets(blank).count() == 0
+    assert dsir_select(blank).count() == 0
+    assert corpus_drift_tv(blank).count() == 0
+
+    # single-language corpus: drift of the only slice vs itself is 0
+    mono = spark.createDataFrame(
+        [Row(doc_id=1, lang="en", text="a b c"), Row(doc_id=2, lang="en", text="a d")]
+    )
+    rows = corpus_drift_tv(mono).collect()
+    assert len(rows) == 1 and rows[0].tv_scaled == 0
+
+    # no raw candidates (everything is the target slice): empty, not
+    # an error; and no target docs at all: weights still defined
+    # (ct empty -> smoothing-only numerators), nothing throws
+    all_target = spark.createDataFrame(
+        [Row(doc_id=1, lang="en", text="a b"), Row(doc_id=2, lang="en", text="c d")]
+    )
+    assert dsir_select(all_target).count() == 0
+    no_target = spark.createDataFrame(
+        [Row(doc_id=1, lang="de", text="a b"), Row(doc_id=2, lang="fr", text="c d")]
+    )
+    got = dsir_select(no_target, k=5)
+    assert got.count() == 2  # k >= candidates: all kept
+
+    # hybrid with one empty leg still fuses the other (full outer)
+    lexonly = hybrid_rrf_topk(docs, _empty_like(emb))
+    assert lexonly.count() > 0
+    assert lexonly.filter("sem_rank IS NOT NULL").count() == 0

@@ -1477,3 +1477,137 @@ def test_hybrid_rrf_fusion_math(spark):
         key = list(zip(-g["rrf_scaled"], g["doc_id"]))
         assert key == sorted(key)
         assert len(g) <= 10
+
+
+# -- IncrementalUnigramLM: the sixth incremental surface ----------------------
+
+
+def test_incremental_lm_equals_one_shot(spark):
+    """Exactness invariant: term counts and totals are additive over
+    slices and quantization happens at probe time, so after three
+    id-sliced ingests score(full corpus) == ccnet_surprisal_buckets
+    and drift(full corpus) == corpus_drift_tv, integer-for-integer."""
+    from dagster_etl_spark.operators.text import (
+        IncrementalUnigramLM,
+        ccnet_surprisal_buckets,
+        corpus_drift_tv,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lm = IncrementalUnigramLM(spark, "t_ulm_inc")
+    lm.drop()
+    for day in range(3):
+        lm.ingest(docs.filter(f"doc_id % 3 = {day}"))
+    inc = sorted(
+        (r.doc_id, r.surprisal_scaled, r.bucket) for r in lm.score(docs).collect()
+    )
+    ref = sorted(
+        (r.doc_id, r.surprisal_scaled, r.bucket)
+        for r in ccnet_surprisal_buckets(docs).collect()
+    )
+    assert inc == ref and len(inc) > 0
+    dinc = sorted(
+        (r.slice, r.n_tokens, r.tv_scaled) for r in lm.drift(docs).collect()
+    )
+    dref = sorted(
+        (r.slice, r.n_tokens, r.tv_scaled) for r in corpus_drift_tv(docs).collect()
+    )
+    lm.drop()
+    assert dinc == dref and len(dinc) > 0
+
+
+def test_incremental_lm_unseen_probe_and_oov_clamp(spark):
+    """Production probe semantics on frames the LM has never seen:
+    (1) drift of an unseen feed is exact vs a Python rational model
+    (unseen terms carry ct=0); (2) scoring a doc made of only unseen
+    tokens hits the OOV clamp blen(N) — strictly above any seen
+    singleton's floor(log2 N)."""
+    from fractions import Fraction
+
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import TV_SCALE, IncrementalUnigramLM
+
+    lm = IncrementalUnigramLM(spark, "t_ulm_probe")
+    lm.drop()
+    lm.ingest(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="a a a b"), Row(doc_id=2, text="a b c d")]
+        )
+    )
+    # unseen feed: half known tokens, half novel
+    feed = spark.createDataFrame(
+        [Row(doc_id=10, lang="xx", text="a zz zz yy")]
+    )
+    got = {r.slice: r for r in lm.drift(feed, slice_col="lang").collect()}
+    # python model: corpus = {a:4, b:2, c:1, d:1} N=8; slice {a:1,zz:2,yy:1} N_l=4
+    n, n_l = 8, 4
+    present = abs(1 * n - 4 * n_l) + abs(2 * n - 0) + abs(1 * n - 0)
+    s_l = 4  # only 'a' is a standing term among slice terms
+    want = (TV_SCALE * (present + n_l * (n - s_l))) // (2 * n * n_l)
+    assert got["xx"].tv_scaled == want
+    assert 0 <= Fraction(got["xx"].tv_scaled, TV_SCALE) <= 1
+
+    oov_doc = spark.createDataFrame([Row(doc_id=20, text="qq rr ss")])
+    seen_singleton = spark.createDataFrame([Row(doc_id=21, text="c")])
+    oov = lm.score(oov_doc).collect()[0]
+    single = lm.score(seen_singleton).collect()[0]
+    # blen(8) = 4 > floor(log2 8/1) = 3
+    assert oov.surprisal_scaled == 4 * 1_000_000
+    assert single.surprisal_scaled == 3 * 1_000_000
+    lm.drop()
+
+
+def test_incremental_lm_probe_plan_and_compact(spark):
+    """100 TB posture of the standing LM: the score probe reads the
+    counts co-located on their term bucketing (no corpus-side shuffle
+    between scan and join), and compact() collapses append
+    fragmentation with identical results after."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalUnigramLM
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lm = IncrementalUnigramLM(spark, "t_ulm_plan")
+    lm.drop()
+    for day in range(3):
+        lm.ingest(docs.filter(F.col("doc_id") % 3 == day))
+    probe = docs.filter("doc_id % 7 = 0")
+    out = lm.score(probe)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # empirical PRINTED budget 12: the pinned per-doc score frame
+    # reprints its 3-exchange build (probe tf + totals Single + doc
+    # agg) once per consumer branch (main/histogram/n_probe) but
+    # executes once; + histogram hash + cutpoint Single + n_probe
+    # Single. The counts scan contributes no pre-join exchange.
+    n_shuffles = len(re.findall(r"\bExchange (?:hash|range|Single|RoundRobin)", plan))
+    assert n_shuffles <= 12, f"probe plans {n_shuffles} shuffles:\n{plan[:2000]}"
+    assert "t_ulm_plan_lm_counts" in plan
+    # the standing-counts aggregate must be BUCKET-LOCAL: between the
+    # first term-keyed HashAggregate and its _lm_counts FileScan there
+    # is no Exchange (the bucketed scan satisfies the distribution)
+    lines = plan.splitlines()
+    start = next(i for i, l in enumerate(lines) if "HashAggregate(keys=[term" in l)
+    end = next(
+        i for i, l in enumerate(lines[start:], start) if "_lm_counts" in l and "FileScan" in l
+    )
+    assert not any("Exchange" in l for l in lines[start:end]), (
+        "standing-counts aggregate shuffles despite term bucketing:\n"
+        + "\n".join(lines[start:end])
+    )
+    before = sorted(
+        (r.doc_id, r.surprisal_scaled, r.bucket) for r in out.collect()
+    )
+    report = lm.compact()
+    for t, (b, a) in report.items():
+        assert a <= b, (t, b, a)
+    after = sorted(
+        (r.doc_id, r.surprisal_scaled, r.bucket)
+        for r in lm.score(probe).collect()
+    )
+    assert before == after
+    lm.drop()

@@ -667,3 +667,220 @@ def test_bm25_matches_python_reference(spark, texts):
     }
     ref = _py_bm25(texts, k=10, seed_mod=1, scale=1_000_000)
     assert got == ref, (texts, got, ref)
+
+
+# -- late-r14 operators: exact floor-log2, surprisal, DSIR, drift TV ----------
+
+_ratio_pairs = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**15),
+        st.integers(min_value=1, max_value=10**15),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pairs=_ratio_pairs)
+@settings(**SETTINGS)
+def test_floor_log2_ratio_property(spark, pairs):
+    """xdialect.floor_log2_ratio == exact floor(log2(num/den)) for
+    arbitrary positive BIGINT pairs, in BOTH engines (one batched
+    action per engine per example)."""
+    from fractions import Fraction
+
+    import duckdb
+
+    import dagster_etl_spark.functions.xdialect as x
+    from tests.test_llm_ops import _py_floor_log2_ratio
+
+    def true_floor_log2(n: int, d: int) -> int:
+        f, k = Fraction(n, d), 0
+        if f >= 1:
+            while f >= 2:
+                f, k = f / 2, k + 1
+        else:
+            while f < 1:
+                f, k = f * 2, k - 1
+        return k
+
+    want = [true_floor_log2(n, d) for n, d in pairs]
+    assert [_py_floor_log2_ratio(n, d) for n, d in pairs] == want
+
+    got_s = (
+        spark.createDataFrame(pairs, "n long, d long")
+        .selectExpr(f"{x.floor_log2_ratio('n', 'd', x.SPARK)} AS q")
+        .collect()
+    )
+    # createDataFrame preserves order within a local list
+    assert [r.q for r in got_s] == want
+
+    con = duckdb.connect()
+    got_d = con.execute(
+        f"SELECT {x.floor_log2_ratio('n', 'd', x.DUCK)} FROM "
+        "(SELECT UNNEST($1) AS n, UNNEST($2) AS d)",
+        [[p[0] for p in pairs], [p[1] for p in pairs]],
+    ).fetchall()
+    assert [r[0] for r in got_d] == want
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_surprisal_scores_match_python_reference(spark, texts):
+    """ccnet_surprisal_buckets vs an independent Python unigram-LM
+    model for arbitrary tiny corpora: identical fixed-point scores,
+    identical histogram-threshold buckets."""
+    from dagster_etl_spark.operators.text import (
+        SURPRISAL_SCALE,
+        ccnet_surprisal_buckets,
+    )
+    from tests.test_llm_ops import _py_floor_log2_ratio, _py_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {r.doc_id: (r.surprisal_scaled, r.bucket)
+           for r in ccnet_surprisal_buckets(df).collect()}
+
+    toks = {i: _py_tokens(t) for i, t in enumerate(texts) if _py_tokens(t)}
+    ct: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            ct[t] = ct.get(t, 0) + 1
+    n_total = sum(ct.values())
+    score = {
+        i: SURPRISAL_SCALE
+        * sum(_py_floor_log2_ratio(n_total, ct[t]) for t in ts)
+        // len(ts)
+        for i, ts in toks.items()
+    }
+    n = len(score)
+    cum, t1, t2 = 0, None, None
+    prev = None
+    for v in sorted(score.values()):
+        if v == prev:
+            continue
+        cum = sum(1 for w in score.values() if w <= v)
+        if t1 is None and cum * 3 >= n:
+            t1 = v
+        if t2 is None and cum * 3 >= 2 * n:
+            t2 = v
+        prev = v
+    want = {
+        i: (s, "head" if s <= t1 else ("middle" if s <= t2 else "tail"))
+        for i, s in score.items()
+    }
+    assert got == want, (texts, got, want)
+
+
+_lang_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr"]),
+        st.lists(_words, min_size=0, max_size=10).map(" ".join),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(rows=_lang_rows)
+@settings(**SETTINGS)
+def test_corpus_drift_tv_property(spark, rows):
+    """corpus_drift_tv vs exact rational TV for arbitrary slices:
+    fixed-point floor of the true value, within one grain, 0 for a
+    slice whose distribution equals the corpus (single-slice corpora),
+    and always in [0, 1]."""
+    from fractions import Fraction
+
+    from dagster_etl_spark.operators.text import TV_SCALE, corpus_drift_tv
+    from tests.test_llm_ops import _py_tokens
+
+    df = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in enumerate(rows)],
+        schema="doc_id long, lang string, text string",
+    )
+    got = {r.slice: r for r in corpus_drift_tv(df).collect()}
+
+    cl: dict[str, dict[str, int]] = {}
+    for lang, t in rows:
+        d = cl.setdefault(lang, {})
+        for tok in _py_tokens(t):
+            d[tok] = d.get(tok, 0) + 1
+    cl = {l: d for l, d in cl.items() if d}  # empty slices carry no tokens
+    vocab = {t for d in cl.values() for t in d}
+    ct = {t: sum(d.get(t, 0) for d in cl.values()) for t in vocab}
+    n = sum(ct.values())
+    assert set(got) == set(cl)
+    for lang, d in cl.items():
+        n_l = sum(d.values())
+        num = sum(abs(d.get(t, 0) * n - ct[t] * n_l) for t in vocab)
+        assert got[lang].tv_scaled == (TV_SCALE * num) // (2 * n * n_l)
+        exact = Fraction(num, 2 * n * n_l)
+        assert 0 <= exact <= 1
+        assert abs(Fraction(got[lang].tv_scaled, TV_SCALE) - exact) < Fraction(1, TV_SCALE)
+        if len(cl) == 1:
+            assert got[lang].tv_scaled == 0
+
+
+_dsir_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr"]),
+        st.lists(_words, min_size=0, max_size=10).map(" ".join),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(rows=_dsir_rows, k=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_dsir_select_property(spark, rows, k):
+    """dsir_select vs an independent Python DSIR model for arbitrary
+    tiny corpora: identical candidate weights, threshold selection
+    keeps exactly {weight >= k-th largest} (ties survive)."""
+    import hashlib
+
+    from dagster_etl_spark.operators.text import DSIR_BUCKETS, dsir_select
+    from tests.test_llm_ops import _py_floor_log2_ratio, _py_tokens
+
+    df = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in enumerate(rows)],
+        schema="doc_id long, lang string, text string",
+    )
+    got = {r.doc_id: r.weight_q for r in dsir_select(df, k=k).collect()}
+
+    def fb(bigram: str) -> int:
+        return int(hashlib.md5(bigram.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    feats: dict[int, list[int]] = {}
+    for i, (lang, t) in enumerate(rows):
+        ts = _py_tokens(t)
+        fs = [fb(f"{a} {b}") for a, b in zip(ts, ts[1:])]
+        if lang == "en":
+            for f in fs:
+                ct[f] = ct.get(f, 0) + 1
+        else:
+            for f in fs:
+                cr[f] = cr.get(f, 0) + 1
+            if fs:
+                feats[i] = fs
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    weight = {
+        i: sum(
+            _py_floor_log2_ratio(
+                (ct.get(f, 0) + 1) * (r_tot + DSIR_BUCKETS),
+                (cr[f] + 1) * (t_tot + DSIR_BUCKETS),
+            )
+            for f in fs
+        )
+        for i, fs in feats.items()
+    }
+    if not weight:
+        assert got == {}
+        return
+    ordered = sorted(weight.values(), reverse=True)
+    t_k = ordered[min(k, len(ordered)) - 1] if len(ordered) >= k else None
+    want = {i: w for i, w in weight.items() if t_k is None or w >= t_k}
+    assert got == want, (rows, k, got, want)

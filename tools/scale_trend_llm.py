@@ -140,6 +140,23 @@ QUERIES: dict[str, str] = {
     # vocabulary linearly (each copy's tokens are distinct), which is
     # exactly the regime the sketch exists for
     "cm_heavy_hitters": "cipher",
+    # late r14: the surprisal scorer and the drift monitor are
+    # one-pass token aggregates over the documents axis (per-copy
+    # disjoint vocab keeps every token's corpus count equal to its
+    # copy count — per-doc scores are copy-invariant, work linear);
+    # DSIR's hashed buckets are FIXED at 4096, so bucket counts grow
+    # linearly and the candidate scoring join stays bucket-keyed
+    "ccnet_surprisal_buckets": "cipher",
+    "dsir_select": "cipher",
+    "corpus_drift_tv": "cipher",
+    # hybrid RRF: the BM25 leg is linear on cipher (per-copy vocab),
+    # but the SEMANTIC leg is brute-force cosine with queries = ids %
+    # 97 growing WITH the corpus -> quadratic scored pairs by
+    # construction. Trend-rowed at x10 only; the production
+    # composition swaps that leg for ivf/pq (their own trend rows
+    # carry the scale story) while the fusion itself stays
+    # <= 40 rows/query at any corpus size
+    "hybrid_rrf_retrieval": "cipher",
 }
 
 
