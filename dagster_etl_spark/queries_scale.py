@@ -1459,3 +1459,114 @@ def q_lineitem_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("x * y")).alias("sxy"),
     )
     return m.selectExpr("l_returnflag", *_MOMENT_DERIVE.strip().split(",\n"))
+
+
+_TOP_REVENUE_SUPPLIERS_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000)
+                       AS BIGINT)) AS BIGINT) AS rev_scaled
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+), mx AS (
+  SELECT MAX(rev_scaled) AS max_rev FROM rev
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.rev_scaled AS DOUBLE) / 1000000.0 AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey CROSS JOIN mx
+WHERE r.rev_scaled = mx.max_rev
+"""
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle=_TOP_REVENUE_SUPPLIERS_ORACLE,
+    tags=("scale", "agg", "subquery"),
+    doc="TPC-H Q15 shape (top supplier by windowed revenue): the "
+    "correlated `revenue = (SELECT MAX ...)` predicate decorrelated "
+    "into a 1-row broadcast max over the revenue aggregate — ties "
+    "kept, as in the spec. Revenue compared on the exact BIGINT "
+    "fixed-point sum, so the max-equality never sits on a float "
+    "boundary; the supplier dim is broadcast.",
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+        ).alias("rev_scaled")
+    )
+    mx = rev.agg(F.max("rev_scaled").alias("max_rev"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_scaled") == F.col("max_rev"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .selectExpr(
+            "s_suppkey",
+            "s_name",
+            "CAST(rev_scaled AS DOUBLE) / 1000000.0 AS total_revenue",
+        )
+    )
+
+
+_SOLE_FAILED_SUPPLIER_ORACLE = """
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE l_returnflag = 'R') r1
+  ON r1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = r1.l_orderkey
+      AND l2.l_suppkey <> r1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = r1.l_orderkey
+      AND l3.l_suppkey <> r1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_suppkey, s.s_name
+"""
+
+
+@register(
+    "sole_failed_supplier",
+    oracle=_SOLE_FAILED_SUPPLIER_ORACLE,
+    tags=("scale", "join", "subquery"),
+    doc="TPC-H Q21 shape (suppliers who ALONE failed multi-supplier "
+    "orders; returnflag 'R' stands in for the fixture's missing "
+    "commit/receipt dates): the EXISTS / NOT-EXISTS pair decorrelated "
+    "into ONE aggregation over distinct (order, supplier, failed) "
+    "tuples — per order, a failing supplier counts iff the order has "
+    "other suppliers (n_supp >= 2) and no other failer (n_failed == "
+    "1). The oracle keeps the textbook correlated form, proving the "
+    "single-pass rewrite equivalent.",
+)
+def q_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("failed")
+    )
+    stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("failed").alias("n_failed"),
+    )
+    sole = (
+        per.filter(F.col("failed") == 1)
+        .join(stats, on="l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_failed") == 1))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )

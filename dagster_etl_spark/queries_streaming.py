@@ -329,3 +329,28 @@ def q_streaming_bm25_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.bm25_ingest import streaming_bm25_ingest
 
     return streaming_bm25_ingest(spark, sf_dir)
+
+
+def _drift_stream_oracle() -> str:
+    from dagster_etl_spark.operators.text import corpus_drift_tv_oracle_sql
+
+    return corpus_drift_tv_oracle_sql()
+
+
+@register(
+    "streaming_drift_monitor",
+    oracle=_drift_stream_oracle(),
+    tags=("streaming", "text", "quality", "incremental"),
+    doc="Streaming drift telemetry: documents arrive as 4 micro-batches "
+    "(file stream, maxFilesPerTrigger=1), each absorbed into the "
+    "standing IncrementalUnigramLM via foreachBatch. State is additive "
+    "with quantization deferred to probe time, so the post-stream "
+    "per-language drift equals the one-shot corpus_drift_tv exactly — "
+    "same oracle, hash-exact. The per-batch probe form "
+    "(batch_drift_log: each batch vs the LM as of the previous batch) "
+    "is the alerting signal and is unit-tested for its invariants.",
+)
+def q_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.drift_monitor import streaming_drift_ingest
+
+    return streaming_drift_ingest(spark, sf_dir)

@@ -204,6 +204,9 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "hybrid_rrf_retrieval",
     "surprisal_incremental",
     "corpus_drift_incremental",
+    "streaming_drift_monitor",
+    "top_revenue_suppliers",
+    "sole_failed_supplier",
 )
 
 

@@ -1,0 +1,105 @@
+"""Streaming drift monitor: the IncrementalUnigramLM fed by a
+Structured Streaming source, one ingest per micro-batch via
+``foreachBatch``, with a per-batch drift probe — the production
+telemetry loop that catches a crawl feed going off-distribution the
+micro-batch it happens, not at the end of the day.
+
+Two guarantees, split by surface:
+
+* The STANDING STATE is additive (term counts, totals) with
+  quantization deferred to probe time, so the post-stream
+  ``drift(full corpus)`` equals the one-shot
+  :func:`~dagster_etl_spark.operators.text.corpus_drift_tv` over the
+  union exactly, however the stream chops it — the registered query
+  reuses the one-shot oracle unchanged (the streaming_bm25_ingest
+  pattern).
+* The PER-BATCH probes (each batch's slices vs the LM as of the
+  PREVIOUS batch) are the monitoring signal: ``batch_drift_log``
+  returns them as (batch_id, slice, n_tokens, tv_scaled, tv) rows.
+  They are inherently order-dependent (that is the point — drift of
+  today's feed against yesterday's model), so they are unit-tested
+  for their invariants (exactness vs a replayed incremental model,
+  [0,1] bounds) rather than oracle-hashed.
+
+foreachBatch is the boundary for the same reason as the BM25 ingest:
+an ingest is a multi-table append step; a replayed batch would
+re-append (at-least-once), gated at scale by the checkpointed batch id
+exactly as in streaming/sinks.py.
+
+Reference parity note: the reference is batch-only (SURVEY §2.7); this
+generalizes its daily-reprocessing contract to a continuously fed
+quality monitor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def streaming_drift_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    slice_col: str = "lang",
+) -> DataFrame:
+    """Stream the documents fixture through the incremental LM in
+    ``n_files`` micro-batches, then return the standing-state drift of
+    the full corpus per slice — exactly corpus_drift_tv's output."""
+    from dagster_etl_spark.operators.text import IncrementalUnigramLM
+    from dagster_etl_spark.scratch import scratch_dir
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    work = scratch_dir(f"stream_drift_{sfx}")
+    in_dir = f"{work}/docs"
+    docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    lm = IncrementalUnigramLM(spark, f"sdrift_{sfx}")
+    lm.drop()  # fresh rebuild each call (correctness surface)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lm.ingest(batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return lm.drift(docs, slice_col=slice_col)
+
+
+def batch_drift_log(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    name: str,
+    slice_col: str = "lang",
+) -> list[tuple[int, list]]:
+    """The monitoring form: ingest ``batches`` in order and, BEFORE
+    each ingest (except the first — an empty LM has no distribution),
+    record the incoming batch's per-slice drift against the standing
+    state. Returns [(batch_index, drift rows)] — the alert stream a
+    deployment would threshold on."""
+    from dagster_etl_spark.operators.text import IncrementalUnigramLM
+
+    lm = IncrementalUnigramLM(spark, name)
+    lm.drop()
+    log: list[tuple[int, list]] = []
+    for i, b in enumerate(batches):
+        if i > 0:
+            log.append((i, lm.drift(b, slice_col=slice_col).collect()))
+        lm.ingest(b)
+    return log

@@ -130,6 +130,8 @@ AUDITED = [
     "dsir_select",
     "corpus_drift_tv",
     "hybrid_rrf_retrieval",
+    "top_revenue_suppliers",
+    "sole_failed_supplier",
 ]
 
 
@@ -424,6 +426,12 @@ EXCHANGE_BUDGET = {
     # bm25 leg (7) + cosine leg's top-k window + the fused per-query
     # top-k window (the fuse join itself is broadcast, no exchange)
     "hybrid_rrf_retrieval": 12,
+    # late r14 analytics (Q15/Q21 shapes): revenue agg + 1-row max
+    # Single + AQE read; both dim joins broadcast
+    "top_revenue_suppliers": 3,
+    # (order, supplier) dedup agg + per-order stats agg + the stats
+    # join re-shuffle + supplier rollup; supplier dim broadcast
+    "sole_failed_supplier": 4,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -647,3 +647,46 @@ def test_streaming_decontaminate_watermark_variant(spark, tmp_path):
     }
     want = {r.doc_id for r in contaminated_ids(docs, bench).collect()}
     assert got == want
+
+
+def test_batch_drift_log_matches_replayed_model(spark):
+    """The per-batch monitoring probes: each batch's drift against the
+    LM as of the PREVIOUS batch must equal a replayed incremental
+    drift computed by a second, independently-driven LM; values stay
+    in [0, 1]; an off-distribution batch alerts high while an
+    in-distribution one stays low."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import IncrementalUnigramLM
+    from dagster_etl_spark.streaming.drift_monitor import batch_drift_log
+
+    base = [Row(doc_id=i, lang="en", text="a b c d") for i in range(4)]
+    same = [Row(doc_id=10 + i, lang="en", text="a b c d") for i in range(4)]
+    shifted = [Row(doc_id=20 + i, lang="en", text="zz yy xx ww") for i in range(4)]
+    batches = [
+        spark.createDataFrame(base),
+        spark.createDataFrame(same),
+        spark.createDataFrame(shifted),
+    ]
+    log = batch_drift_log(spark, batches, "t_driftlog")
+    assert [i for i, _ in log] == [1, 2]
+    d1 = {r.slice: r for r in log[0][1]}
+    d2 = {r.slice: r for r in log[1][1]}
+    # batch 1 is distribution-identical to batch 0 -> drift 0
+    assert d1["en"].tv_scaled == 0
+    # batch 2 shares no vocabulary -> full mass moves: TV == 1
+    assert d2["en"].tv == 1.0
+    for d in (d1, d2):
+        for r in d.values():
+            assert 0 <= r.tv <= 1
+
+    # independent replay with a second LM gives identical probes
+    lm = IncrementalUnigramLM(spark, "t_driftlog_replay")
+    lm.drop()
+    lm.ingest(batches[0])
+    r1 = {r.slice: r.tv_scaled for r in lm.drift(batches[1]).collect()}
+    lm.ingest(batches[1])
+    r2 = {r.slice: r.tv_scaled for r in lm.drift(batches[2]).collect()}
+    lm.drop()
+    assert r1 == {s: r.tv_scaled for s, r in d1.items()}
+    assert r2 == {s: r.tv_scaled for s, r in d2.items()}

@@ -218,6 +218,70 @@ def _bm25_series(spark, docs, n: int) -> tuple[list[dict], int]:
     return days, nq
 
 
+def _ulm_series(spark, docs, n: int) -> tuple[list[dict], int]:
+    """The unigram-LM surface (late r14, sixth incremental surface):
+    one cipher copy ingested per day; a FIXED external probe set (ids
+    shifted out of the corpus space, PROBE_PER_DAY docs per copy) is
+    scored read-only after every ingest — the production shape where
+    yesterday's LM scores today's candidate feed. probe_hits counts
+    the probe docs the growing LM puts in the 'tail' bucket (the
+    statistic a quality gate thresholds on); drift_sec times the
+    per-slice TV probe of the same frame."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalUnigramLM
+    from tools.scale_trend_llm import _cipher_docs
+
+    all_copies = _cipher_docs(docs, DAYS, n)
+    queries = (
+        all_copies.filter(F.col("doc_id") % (n // PROBE_PER_DAY) == 0)
+        .select(
+            (F.col("doc_id") + DAYS * n * 10).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        .localCheckpoint()
+    )
+    nq = queries.count()
+
+    lm = IncrementalUnigramLM(spark, "probe_growth_ulm")
+    lm.drop()
+    days: list[dict] = []
+    for d in range(DAYS):
+        day_slice = all_copies.filter(
+            (F.col("doc_id") >= d * n) & (F.col("doc_id") < (d + 1) * n)
+        )
+        t0 = time.perf_counter()
+        lm.ingest(day_slice)
+        ingest_s = time.perf_counter() - t0
+        compacted = None
+        if (d + 1) % COMPACT_EVERY == 0:
+            compacted = lm.compact()
+        lm.score(queries).count()  # warm
+        t0 = time.perf_counter()
+        hits = lm.score(queries).filter("bucket = 'tail'").count()
+        probe_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lm.drift(queries, slice_col="lang").count()
+        drift_s = time.perf_counter() - t0
+        days.append(
+            {
+                "day": d + 1,
+                "corpus_docs": (d + 1) * n,
+                "ingest_sec": round(ingest_s, 3),
+                "probe_sec": round(probe_s, 3),
+                "drift_sec": round(drift_s, 3),
+                "probe_hits": hits,
+                "compacted": {k: list(v) for k, v in compacted.items()}
+                if compacted
+                else None,
+            }
+        )
+        print(f"# ulm {days[-1]}", file=sys.stderr)
+    lm.drop()
+    return days, nq
+
+
 def main() -> None:
     from dagster_etl_spark.session import get_spark
     from dagster_etl_spark.sources.fixtures import load_table
@@ -251,6 +315,13 @@ def main() -> None:
             "query_docs": n_q,
             "series": bm_days,
             "summary": _summary(bm_days),
+        }
+    if SURFACES == "ulm":
+        lm_days, n_q = _ulm_series(spark, docs, n)
+        out["ulm"] = {
+            "probe_docs": n_q,
+            "series": lm_days,
+            "summary": _summary(lm_days),
         }
     print(json.dumps(out))
     spark.stop()
