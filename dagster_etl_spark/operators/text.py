@@ -1609,3 +1609,161 @@ class IncrementalUnigramLM:
     def drop(self) -> None:
         for t in (self.counts_table, self.totals_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def bigram_surprisal_buckets(
+    df: DataFrame,
+    scale: int = SURPRISAL_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The n-gram generalization of :func:`ccnet_surprisal_buckets`
+    (CCNet proper scores with a 5-gram KenLM; this is the n=2 member
+    of the same family, showing the integer-exact LM machinery is not
+    unigram-specific): per-doc mean CONDITIONAL surprisal
+    ``-log2 P(w2|w1)`` under the corpus bigram LM with add-one
+    smoothing, ``P(w2|w1) = (c(w1w2)+1) / (c1(w1)+V)`` — c1 counts
+    w1's occurrences as a bigram prefix, V is the corpus unigram
+    vocabulary. The log is the EXACT integer
+    ``floor(log2 (c1+V)/(c12+1))`` (non-negative since c12 <= c1),
+    occurrence-weighted and fixed-point-averaged over the doc's
+    bigram positions; head/middle/tail at cumulative-histogram
+    tercile cutpoints exactly as in the unigram form. Docs with < 2
+    tokens have no bigram positions and are excluded.
+
+    Scale shape: one positional-bigram explode feeds the bigram
+    count, the prefix count, and the per-doc tf — three aggregates
+    off one pinned frame; V and n_docs ride a 1-row broadcast; the
+    probe joins are term-keyed equi-joins; the histogram trick keeps
+    the cutpoints off any corpus-sized sort.
+
+    Returns (doc_id, n_bigrams, surprisal_scaled, surprisal, bucket).
+    """
+    from pyspark.sql.window import Window
+
+    s = x.SPARK
+    tok = x.tokens(text_col, s)
+    bg = x.let(tok, "_t", _bigram_list_expr("_t", s), s)
+    g = df.selectExpr(
+        id_col, f"{bg} AS _bg"
+    ).selectExpr(
+        id_col, f"CAST({x.xsize('_bg', s)} AS BIGINT) AS nb", "_bg"
+    ).filter("nb > 0")
+    ex = pin(
+        g.select(id_col, "nb", F.explode("_bg").alias("bg"))
+        .selectExpr(id_col, "nb", "bg", "split(bg, ' ')[0] AS w1")
+    )
+    tf = ex.groupBy(id_col, "nb", "bg", "w1").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    c12 = ex.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    c1 = ex.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # one combined 1-row constants frame (V, n_docs) — a single
+    # broadcast nested-loop instead of two
+    consts = df.selectExpr(
+        f"explode({x.tokens(text_col, s)}) AS term"
+    ).agg(F.countDistinct("term").cast("long").alias("v")).crossJoin(
+        g.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    qsurp = x.floor_log2_ratio("c1 + v", "c12 + 1", s)
+    docsc = pin(
+        tf.join(c12, on="bg")
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col, "nb", "n_docs")
+        .agg(F.sum(F.expr(f"tf * CAST({qsurp} AS BIGINT)")).alias("_sq"))
+        .selectExpr(
+            id_col,
+            "nb AS n_bigrams",
+            "n_docs",
+            f"(CAST({scale} AS BIGINT) * _sq) DIV nb AS surprisal_scaled",
+        )
+    )
+    hist = docsc.groupBy("surprisal_scaled", "n_docs").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cw = Window.orderBy("surprisal_scaled").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("cnt").over(cw))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n_docs"), F.col("surprisal_scaled"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") * 3 >= 2 * F.col("n_docs"), F.col("surprisal_scaled")
+                )
+            ).alias("t2"),
+        )
+    )
+    return docsc.crossJoin(F.broadcast(thr)).selectExpr(
+        id_col,
+        "n_bigrams",
+        "surprisal_scaled",
+        f"CAST(surprisal_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS surprisal",
+        "CASE WHEN surprisal_scaled <= t1 THEN 'head' "
+        "WHEN surprisal_scaled <= t2 THEN 'middle' ELSE 'tail' END AS bucket",
+    )
+
+
+def bigram_surprisal_buckets_oracle_sql(
+    table: str = "documents",
+    scale: int = SURPRISAL_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`bigram_surprisal_buckets`."""
+    d = x.DUCK
+    tok = x.tokens(text_col, d)
+    bg = x.let(tok, "_t", _bigram_list_expr("_t", d), d)
+    qsurp = x.floor_log2_ratio("c1.c1 + tot.v", "c12.c12 + 1", d)
+    return f"""
+WITH g0 AS (
+  SELECT {id_col}, {bg} AS _bg FROM {table}
+), g AS (
+  SELECT {id_col}, CAST({x.xsize('_bg', d)} AS BIGINT) AS nb, _bg FROM g0
+  WHERE {x.xsize('_bg', d)} > 0
+), ex AS (
+  SELECT {id_col}, nb, bg, string_split(bg, ' ')[1] AS w1
+  FROM (SELECT {id_col}, nb, UNNEST(_bg) AS bg FROM g)
+), tf AS (
+  SELECT {id_col}, nb, bg, w1, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2, 3, 4
+), c12 AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM ex GROUP BY 1
+), c1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+  FROM (SELECT UNNEST({tok}) AS term FROM {table})
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM g
+), docsc AS (
+  SELECT tf.{id_col}, tf.nb AS n_bigrams, nd.n_docs,
+         CAST((CAST({scale} AS BIGINT)
+               * CAST(SUM(tf.tf * CAST({qsurp} AS BIGINT)) AS BIGINT))
+           // tf.nb AS BIGINT) AS surprisal_scaled
+  FROM tf JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN tot CROSS JOIN nd
+  GROUP BY 1, 2, 3
+), hist AS (
+  SELECT surprisal_scaled, n_docs, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM docsc GROUP BY 1, 2
+), cum AS (
+  SELECT surprisal_scaled, n_docs,
+         SUM(cnt) OVER (ORDER BY surprisal_scaled
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), thr AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n_docs THEN surprisal_scaled END) AS t1,
+         MIN(CASE WHEN cum * 3 >= 2 * n_docs THEN surprisal_scaled END) AS t2
+  FROM cum
+)
+SELECT d.{id_col}, d.n_bigrams, d.surprisal_scaled,
+       CAST(d.surprisal_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS surprisal,
+       CASE WHEN d.surprisal_scaled <= thr.t1 THEN 'head'
+            WHEN d.surprisal_scaled <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM docsc d CROSS JOIN thr
+"""

@@ -1575,3 +1575,26 @@ def q_corpus_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for day in range(3):
         lm.ingest(docs.filter(F.col("doc_id") % 3 == day))
     return lm.drift(docs, slice_col="lang")
+
+
+def _bigram_surprisal_oracle() -> str:
+    from dagster_etl_spark.operators.text import bigram_surprisal_buckets_oracle_sql
+
+    return bigram_surprisal_buckets_oracle_sql()
+
+
+@register(
+    "bigram_surprisal_buckets",
+    oracle=_bigram_surprisal_oracle(),
+    tags=("llm", "text", "quality"),
+    doc="n-gram generalization of the CCNet bucketing (n=2): per-doc "
+    "mean conditional surprisal -log2 P(w2|w1) under the corpus "
+    "bigram LM with add-one smoothing, exact integer floor-log2 of "
+    "(c1+V)/(c12+1), head/middle/tail at cumulative-histogram "
+    "tercile cutpoints — proves the integer-exact LM machinery is "
+    "not unigram-specific.",
+)
+def q_bigram_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import bigram_surprisal_buckets
+
+    return bigram_surprisal_buckets(load_table(spark, sf_dir, "documents"))

@@ -207,6 +207,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "streaming_drift_monitor",
     "top_revenue_suppliers",
     "sole_failed_supplier",
+    "bigram_surprisal_buckets",
 )
 
 

@@ -1611,3 +1611,58 @@ def test_incremental_lm_probe_plan_and_compact(spark):
     )
     assert before == after
     lm.drop()
+
+
+def test_bigram_surprisal_buckets_reference(spark):
+    from dagster_etl_spark.operators.text import (
+        SURPRISAL_SCALE,
+        bigram_surprisal_buckets,
+    )
+
+    rows = [
+        Row(doc_id=1, text="a b a b a b"),   # all common transitions -> head
+        Row(doc_id=2, text="a b c"),
+        Row(doc_id=3, text="c a b"),
+        Row(doc_id=4, text="x y z w"),       # all-novel transitions -> tail
+        Row(doc_id=5, text="solo"),          # < 2 tokens: excluded
+        Row(doc_id=6, text=""),              # empty: excluded
+    ]
+    out = {r.doc_id: r for r in bigram_surprisal_buckets(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+
+    toks = {r.doc_id: _py_tokens(r.text) for r in rows}
+    bgs = {i: [f"{a} {b}" for a, b in zip(t, t[1:])] for i, t in toks.items() if len(t) >= 2}
+    c12: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for bs in bgs.values():
+        for b in bs:
+            c12[b] = c12.get(b, 0) + 1
+            w1 = b.split(" ")[0]
+            c1[w1] = c1.get(w1, 0) + 1
+    vocab = {t for ts in toks.values() for t in ts}
+    v = len(vocab)
+    score = {
+        i: SURPRISAL_SCALE
+        * sum(_py_floor_log2_ratio(c1[b.split(" ")[0]] + v, c12[b] + 1) for b in bs)
+        // len(bs)
+        for i, bs in bgs.items()
+    }
+    for i, r in out.items():
+        assert r.surprisal_scaled == score[i], (i, r.surprisal_scaled, score[i])
+        assert r.n_bigrams == len(bgs[i])
+    # thresholds: same cumulative-histogram law as the unigram test
+    n = len(score)
+    cum, t1, t2, prev = 0, None, None, None
+    for val in sorted(score.values()):
+        if val == prev:
+            continue
+        cum = sum(1 for w in score.values() if w <= val)
+        if t1 is None and cum * 3 >= n:
+            t1 = val
+        if t2 is None and cum * 3 >= 2 * n:
+            t2 = val
+        prev = val
+    for i, r in out.items():
+        want = "head" if score[i] <= t1 else ("middle" if score[i] <= t2 else "tail")
+        assert r.bucket == want
+    assert out[1].bucket == "head" and out[4].bucket == "tail"

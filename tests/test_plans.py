@@ -132,6 +132,7 @@ AUDITED = [
     "hybrid_rrf_retrieval",
     "top_revenue_suppliers",
     "sole_failed_supplier",
+    "bigram_surprisal_buckets",
 ]
 
 
@@ -219,6 +220,10 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
     "hybrid_rrf_retrieval": (
         2, "inherits bm25's 1-row totals frame + cosine's broadcast "
            "bounded query batch"),
+    "bigram_surprisal_buckets": (
+        5, "one (V, n_docs) constants frame: its 1-row x 1-row build "
+           "join + its fan-in, x2 pinned prints, + the 1-row tercile-"
+           "cutpoint frame"),
 }
 
 
@@ -426,6 +431,10 @@ EXCHANGE_BUDGET = {
     # bm25 leg (7) + cosine leg's top-k window + the fused per-query
     # top-k window (the fuse join itself is broadcast, no exchange)
     "hybrid_rrf_retrieval": 12,
+    # bigram LM: tf/c12/c1 aggregates off the pinned explode + two
+    # Singles for the constants frame + doc agg (x2 pinned prints) +
+    # histogram agg + cutpoint Single
+    "bigram_surprisal_buckets": 16,
     # late r14 analytics (Q15/Q21 shapes): revenue agg + 1-row max
     # Single + AQE read; both dim joins broadcast
     "top_revenue_suppliers": 3,

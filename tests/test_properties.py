@@ -884,3 +884,44 @@ def test_dsir_select_property(spark, rows, k):
     t_k = ordered[min(k, len(ordered)) - 1] if len(ordered) >= k else None
     want = {i: w for i, w in weight.items() if t_k is None or w >= t_k}
     assert got == want, (rows, k, got, want)
+
+
+@given(texts=_texts)
+@settings(**SETTINGS)
+def test_bigram_surprisal_matches_python_reference(spark, texts):
+    """bigram_surprisal_buckets vs an independent Python bigram-LM
+    model for arbitrary tiny corpora: identical fixed-point scores and
+    bigram-position counts (buckets covered by the unigram twin's
+    threshold law, same code path)."""
+    from dagster_etl_spark.operators.text import (
+        SURPRISAL_SCALE,
+        bigram_surprisal_buckets,
+    )
+    from tests.test_llm_ops import _py_floor_log2_ratio, _py_tokens
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    got = {r.doc_id: (r.surprisal_scaled, r.n_bigrams)
+           for r in bigram_surprisal_buckets(df).collect()}
+
+    toks = {i: _py_tokens(t) for i, t in enumerate(texts)}
+    bgs = {i: [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+           for i, ts in toks.items() if len(ts) >= 2}
+    c12: dict[str, int] = {}
+    c1: dict[str, int] = {}
+    for bs in bgs.values():
+        for b in bs:
+            c12[b] = c12.get(b, 0) + 1
+            c1[b.split(" ")[0]] = c1.get(b.split(" ")[0], 0) + 1
+    v = len({t for ts in toks.values() for t in ts})
+    want = {
+        i: (
+            SURPRISAL_SCALE
+            * sum(_py_floor_log2_ratio(c1[b.split(" ")[0]] + v, c12[b] + 1) for b in bs)
+            // len(bs),
+            len(bs),
+        )
+        for i, bs in bgs.items()
+    }
+    assert got == want, (texts, got, want)

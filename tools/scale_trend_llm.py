@@ -157,6 +157,9 @@ QUERIES: dict[str, str] = {
     # carry the scale story) while the fusion itself stays
     # <= 40 rows/query at any corpus size
     "hybrid_rrf_retrieval": "cipher",
+    # the bigram LM rides the same axis as the unigram form: per-copy
+    # disjoint vocab keeps transition counts copy-invariant
+    "bigram_surprisal_buckets": "cipher",
 }
 
 
