@@ -1234,3 +1234,70 @@ SELECT query_id, doc_id, lex_rank, sem_rank, rrf_scaled,
        rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def hybrid_rrf_ivf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    k_lex: int = 20,
+    k_sem: int = 20,
+    seed_mod: int = 97,
+    dim: int = 64,
+    nlist: int = 16,
+    nprobe: int = 8,
+    rrf_k: int = RRF_K,
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """The SCALE PATH of :func:`hybrid_rrf_topk`: same Reciprocal Rank
+    Fusion, but the semantic leg is the IVF index
+    (:func:`ivf_cosine_topk`, deterministic hash quantizer) instead of
+    the brute-force scan — each query scores only nprobe/nlist of the
+    corpus, so the quadratic pair growth of the exact leg (queries
+    grow with the corpus under ``id % seed_mod``) drops to
+    ~queries x corpus/nlist x nprobe with the usual recall dial. The
+    fusion itself is unchanged and stays <= (k_lex + k_sem)
+    rows/query. Same output schema as :func:`hybrid_rrf_topk`."""
+    from dagster_etl_spark.operators.text import bm25_topk_docs
+
+    lex = bm25_topk_docs(docs, k=k_lex, seed_mod=seed_mod).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = ivf_cosine_topk(
+        emb.filter(F.col("vec_id") % seed_mod == 0),
+        emb,
+        dim=dim,
+        k=k_sem,
+        nlist=nlist,
+        nprobe=nprobe,
+        quantizer="hash",
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, on=["query_id", "doc_id"], how="full_outer").selectExpr(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        f"COALESCE(CAST({scale} AS BIGINT) DIV ({rrf_k} + lex_rank), CAST(0 AS BIGINT))"
+        f" + COALESCE(CAST({scale} AS BIGINT) DIV ({rrf_k} + sem_rank), CAST(0 AS BIGINT))"
+        " AS rrf_scaled",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_scaled").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            "rrf_scaled",
+            f"CAST(rrf_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS rrf",
+            "rank",
+        )
+    )

@@ -681,9 +681,16 @@ def bm25_topk_docs(
     avgdl = "(total_tokens DIV n_docs)"
     num = f"(CAST({scale} AS BIGINT) * 44 * {avgdl} * tf * (2*n_docs - 2*df + 1))"
     den = f"((2*df + 1) * (20*{avgdl}*tf + 6*{avgdl} + 18*dl))"
+    # SHUFFLE_HASH pins: dfq is vocabulary-sized — at fixture x10 it
+    # sits exactly at the AQE broadcast threshold and the plan
+    # flip-flopped run-to-run between broadcast (fast) and sort-merge
+    # (4-5x slower: measured 4.5-29 s bimodal at x10, 5.3-6.3 s stable
+    # hinted); at 100 TB it must never broadcast, and SHUFFLE_HASH
+    # also skips the SMJ's corpus-sized sort. Same reasoning for qt
+    # (the query term set grows with the corpus under id % seed_mod).
     scored = (
-        tf.join(dfq, on="term")
-        .join(qt, on="term")
+        tf.join(dfq.hint("shuffle_hash"), on="term")
+        .join(qt.hint("shuffle_hash"), on="term")
         .filter(F.col("query_id") != F.col(id_col))
         .crossJoin(F.broadcast(tot))
         .selectExpr("query_id", id_col, f"{num} DIV {den} AS contrib")
@@ -900,9 +907,12 @@ class IncrementalBM25Index:
             f"(2*n_docs - 2*df + 1))"
         )
         den = f"((2*df + 1) * (20*{avgdl}*tf + 6*{avgdl} + 18*dl))"
+        # same SHUFFLE_HASH pins as the one-shot operator: the summed
+        # dfq is vocabulary-sized (broadcast-threshold flip-flop at
+        # fixture scale, never broadcastable at 100 TB)
         scored = (
-            postings.join(dfq, on="term")
-            .join(qt, on="term")
+            postings.join(dfq.hint("shuffle_hash"), on="term")
+            .join(qt.hint("shuffle_hash"), on="term")
             .filter(F.col("query_id") != F.col(self.id_col))
             .crossJoin(F.broadcast(tot))
             .selectExpr("query_id", self.id_col, f"{num} DIV {den} AS contrib")

@@ -1157,3 +1157,72 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         dim=EMB_DIM,
     )
+
+
+def _hybrid_rrf_ivf_oracle(
+    k: int = 10,
+    k_lex: int = 20,
+    k_sem: int = 20,
+    seed_mod: int = 97,
+    rrf_k: int = 60,
+    scale: int = 1_000_000,
+    nlist: int = 16,
+    nprobe: int = 8,
+) -> str:
+    """The RRF fusion with the IVF leg: embeds the bm25 oracle and the
+    full _ivf_oracle recomputation (centroids, assignment, probing,
+    bucket-restricted top-k) as CTEs, then the same integer fixed-point
+    fuse as the exact-leg hybrid."""
+    from dagster_etl_spark.operators.text import bm25_topk_docs_oracle_sql
+
+    bm25_sql = bm25_topk_docs_oracle_sql(k=k_lex, seed_mod=seed_mod)
+    ivf_sql = _ivf_oracle(
+        nlist=nlist, nprobe=nprobe, k=k_sem, q_where=f"vec_id % {seed_mod} = 0"
+    )
+    return f"""
+WITH lex AS (
+  SELECT query_id, doc_id, rank AS lex_rank FROM ({bm25_sql})
+), sem AS (
+  SELECT query_id, neighbor_id AS doc_id, rank AS sem_rank FROM ({ivf_sql})
+), fused AS (
+  SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(CAST({scale} AS BIGINT) // ({rrf_k} + l.lex_rank), CAST(0 AS BIGINT))
+           + COALESCE(CAST({scale} AS BIGINT) // ({rrf_k} + s.sem_rank), CAST(0 AS BIGINT))
+           AS rrf_scaled
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS INT) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf_scaled,
+       CAST(rrf_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS rrf,
+       rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+@register(
+    "hybrid_rrf_ivf",
+    oracle=_hybrid_rrf_ivf_oracle(),
+    tags=("llm", "similarity", "retrieval", "text"),
+    doc="The scale path of hybrid_rrf_retrieval: same integer "
+    "fixed-point Reciprocal Rank Fusion, semantic leg swapped from "
+    "the brute-force cosine scan to the IVF index (hash quantizer, "
+    "nprobe=8/nlist=16) — each query scores ~nprobe/nlist of the "
+    "corpus, so the exact leg's quadratic pair growth (queries grow "
+    "with the corpus) drops to the IVF law. The oracle recomputes "
+    "BOTH legs end-to-end (bm25 CTEs + the full IVF recomputation) "
+    "and the fuse.",
+)
+def q_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.similarity import hybrid_rrf_ivf_topk
+
+    return hybrid_rrf_ivf_topk(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+    )

@@ -208,6 +208,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "top_revenue_suppliers",
     "sole_failed_supplier",
     "bigram_surprisal_buckets",
+    "hybrid_rrf_ivf",
 )
 
 

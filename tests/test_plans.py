@@ -133,6 +133,9 @@ AUDITED = [
     "top_revenue_suppliers",
     "sole_failed_supplier",
     "bigram_surprisal_buckets",
+    # the IVF-leg hybrid does the bounded nlist hash-centroid collect
+    # on build, like filtered_ivf_ann_topk
+    "hybrid_rrf_ivf",
 ]
 
 
@@ -224,6 +227,9 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
         5, "one (V, n_docs) constants frame: its 1-row x 1-row build "
            "join + its fan-in, x2 pinned prints, + the 1-row tercile-"
            "cutpoint frame"),
+    "hybrid_rrf_ivf": (
+        1, "inherits bm25's 1-row totals frame (the IVF leg's probe "
+           "join is an equi-join on the bucket key, no nested loop)"),
 }
 
 
@@ -406,8 +412,15 @@ EXCHANGE_BUDGET = {
     "cm_heavy_hitters": 8,
     # r14: pinned explode feeds tf/df/query branches; tf aggregate,
     # df aggregate + term join re-shuffle, (query, doc) score
-    # aggregate, per-query top-k window, one-row totals Single
-    "bm25_topk_docs": 7,
+    # aggregate, per-query top-k window, one-row totals Single.
+    # +2 (late r14): the df and query-term joins are SHUFFLE_HASH-
+    # pinned (each adds a term re-shuffle of its own small side) —
+    # the vocabulary-sized df frame sat exactly at the AQE broadcast
+    # threshold at fixture x10 and the plan flip-flopped run-to-run
+    # between broadcast (fast) and sort-merge (4-5x slower); at
+    # 100 TB neither side is broadcastable, so the pinned shuffle is
+    # the at-scale shape, not a concession
+    "bm25_topk_docs": 9,
     # r14: shingle-frequency aggregate + semi-join on h, per-doc
     # island window + island aggregate + spans-array aggregate (the
     # pinned explode prints once per consumer but executes once)
@@ -428,9 +441,13 @@ EXCHANGE_BUDGET = {
     # slice totals, corpus total — pinned, prints per consumer) + the
     # per-slice reduce
     "corpus_drift_tv": 8,
-    # bm25 leg (7) + cosine leg's top-k window + the fused per-query
-    # top-k window (the fuse join itself is broadcast, no exchange)
-    "hybrid_rrf_retrieval": 12,
+    # bm25 leg (9, incl. its SHUFFLE_HASH pins) + cosine leg's top-k
+    # window + the fused per-query top-k window (the fuse join itself
+    # is broadcast, no exchange)
+    "hybrid_rrf_retrieval": 14,
+    # bm25 leg (9, incl. its SHUFFLE_HASH pins) + IVF leg's
+    # probe/top-k windows + the fused per-query top-k window
+    "hybrid_rrf_ivf": 13,
     # bigram LM: tf/c12/c1 aggregates off the pinned explode + two
     # Singles for the constants frame + doc agg (x2 pinned prints) +
     # histogram agg + cutpoint Single
@@ -466,6 +483,7 @@ BUILD_JOB_BUDGET = {
     "ivf_pq_ann_topk": 6,
     # the bounded nlist hash-centroid collect
     "filtered_ivf_ann_topk": 1,
+    "hybrid_rrf_ivf": 1,
 }
 
 

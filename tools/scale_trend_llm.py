@@ -160,6 +160,14 @@ QUERIES: dict[str, str] = {
     # the bigram LM rides the same axis as the unigram form: per-copy
     # disjoint vocab keeps transition counts copy-invariant
     "bigram_surprisal_buckets": "cipher",
+    # the IVF-leg hybrid swaps the exact scan for the IVF index at the
+    # registered nlist=16; measured at x10 only, like its exact twin —
+    # the flat hash-quantizer inlines centroids as plan literals, so a
+    # sqrt(N)-sized nlist bloats task binaries (5 MiB at nlist=500)
+    # instead of helping; the AT-SCALE semantic leg is the bucketed
+    # IncrementalIVFPQIndex (its own trend rows), and the RRF fuse
+    # composes with any ranked leg unchanged
+    "hybrid_rrf_ivf": "cipher",
 }
 
 
