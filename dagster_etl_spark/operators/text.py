@@ -1777,3 +1777,160 @@ SELECT d.{id_col}, d.n_bigrams, d.surprisal_scaled,
             ELSE 'tail' END AS bucket
 FROM docsc d CROSS JOIN thr
 """
+
+
+class IncrementalDSIRModel:
+    """Daily-cadence DSIR — the seventh incremental surface: the
+    importance model behind :func:`dsir_select` (hashed-bigram target
+    and raw distributions) must absorb a crawl slice in O(slice), and
+    the production probe is "yesterday's model scores today's
+    candidates".
+
+    State = two catalog tables:
+
+    * ``{name}_dsir_counts`` (fb, ct, cr) — per-slice partial hashed-
+      bigram occurrence counts for the target (ct) and raw (cr)
+      distributions, BUCKETED BY fb so probes read co-located;
+    * ``{name}_dsir_totals`` (t_tot, r_tot) — one row per slice.
+
+    Exactness invariant (unit-tested): counts and totals are ADDITIVE
+    over slices and both the smoothing and the k-th-largest threshold
+    are applied at probe time from the summed state, so after
+    ingesting B1..Bn, ``select(B1 ∪ .. ∪ Bn)`` equals
+    :func:`dsir_select` over the union exactly — the registered query
+    reuses the one-shot oracle.
+
+    ``select`` also takes candidate frames the model has NEVER seen
+    (the production cadence): features unknown to the raw distribution
+    carry cr=0 through the left join, so the add-one smoothing alone
+    prices them — same for unknown-to-target features (ct=0).
+    """
+
+    def __init__(
+        self,
+        spark,
+        name: str,
+        n_buckets: int = DSIR_BUCKETS,
+        target_lang: str = "en",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        lang_col: str = "lang",
+        num_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.counts_table = f"{name}_dsir_counts"
+        self.totals_table = f"{name}_dsir_totals"
+        self.n_buckets = n_buckets
+        self.target_lang = target_lang
+        self.text_col = text_col
+        self.id_col = id_col
+        self.lang_col = lang_col
+        self.num_buckets = num_buckets
+
+    def _features(self, docs: DataFrame) -> DataFrame:
+        s = x.SPARK
+        tok = x.tokens(self.text_col, s)
+        bg = x.let(tok, "_t", _bigram_list_expr("_t", s), s)
+        return (
+            docs.selectExpr(self.id_col, self.lang_col, f"{bg} AS _bg")
+            .select(self.id_col, self.lang_col, F.explode("_bg").alias("_f"))
+            .selectExpr(
+                self.id_col,
+                self.lang_col,
+                f"pmod({x.h60('_f', s)}, {self.n_buckets}) AS fb",
+            )
+        )
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Absorb one slice: append its per-bucket target/raw counts
+        and a totals row. O(slice), append-only."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        is_t = F.col(self.lang_col) == self.target_lang
+        ex = pin(self._features(docs))
+        counts = ex.groupBy("fb").agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(is_t, 0).otherwise(1)).cast("long").alias("cr"),
+        )
+        totals = ex.agg(
+            F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("t_tot"),
+            F.sum(F.when(is_t, 0).otherwise(1)).cast("long").alias("r_tot"),
+        )
+        first = not self.spark.catalog.tableExists(self.counts_table)
+        if first:
+            from dagster_etl_spark.sources.lake import delete_path
+
+            self.drop()
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(self.spark, f"{warehouse}/{self.totals_table.lower()}")
+            write_bucketed(
+                counts, self.counts_table, ["fb"], num_buckets=self.num_buckets
+            )
+        else:
+            append_bucketed(counts, self.counts_table)
+        totals.write.mode("overwrite" if first else "append").saveAsTable(
+            self.totals_table
+        )
+
+    def select(self, docs: DataFrame, k: int = 25) -> DataFrame:
+        """Score ``docs``'s candidates (lang != target) against the
+        standing model and keep weight >= the k-th largest — identical
+        arithmetic and output schema to :func:`dsir_select` with
+        (ct, cr, totals) read from the summed state."""
+        from pyspark.sql.window import Window
+
+        for t in (self.counts_table, self.totals_table):
+            self.spark.catalog.refreshTable(t)
+        st = self.spark.table(self.counts_table).groupBy("fb").agg(
+            F.sum("ct").cast("long").alias("ct"),
+            F.sum("cr").cast("long").alias("cr"),
+        )
+        tot = self.spark.table(self.totals_table).agg(
+            F.sum("t_tot").cast("long").alias("t_tot"),
+            F.sum("r_tot").cast("long").alias("r_tot"),
+        )
+        qlog = x.floor_log2_ratio(
+            f"(COALESCE(ct, 0) + 1) * (r_tot + {self.n_buckets})",
+            f"(COALESCE(cr, 0) + 1) * (t_tot + {self.n_buckets})",
+            x.SPARK,
+        )
+        cand = pin(
+            self._features(docs)
+            .filter(F.col(self.lang_col) != self.target_lang)
+            .groupBy(self.id_col, self.lang_col, "fb")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .join(st.hint("shuffle_hash"), on="fb", how="left")
+            .crossJoin(F.broadcast(tot))
+            .groupBy(self.id_col, self.lang_col)
+            .agg(
+                F.sum("tf").alias("n_features"),
+                F.sum(F.expr(f"tf * CAST({qlog} AS BIGINT)")).alias("weight_q"),
+            )
+        )
+        hist = cand.groupBy("weight_q").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cw = Window.orderBy(F.col("weight_q").desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        thr = (
+            hist.withColumn("cum", F.sum("cnt").over(cw))
+            .agg(F.max(F.when(F.col("cum") >= k, F.col("weight_q"))).alias("t_k"))
+        )
+        return (
+            cand.crossJoin(F.broadcast(thr))
+            .filter(F.col("weight_q") >= F.coalesce(F.col("t_k"), F.lit(-(1 << 62))))
+            .select(self.id_col, self.lang_col, "n_features", "weight_q")
+        )
+
+    def compact(self) -> dict[str, tuple[int, int]]:
+        from dagster_etl_spark.sources.bucketed import compact_bucketed
+
+        return {self.counts_table: compact_bucketed(self.spark, self.counts_table)}
+
+    def drop(self) -> None:
+        for t in (self.counts_table, self.totals_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")

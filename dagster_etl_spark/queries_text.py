@@ -1598,3 +1598,32 @@ def q_bigram_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import bigram_surprisal_buckets
 
     return bigram_surprisal_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dsir_incremental",
+    oracle=_dsir_oracle(),
+    tags=("llm", "text", "sampling", "incremental"),
+    doc="Daily-cadence DSIR (operators/text.py IncrementalDSIRModel, "
+    "the seventh incremental surface): three id-sliced ingests append "
+    "per-bucket target/raw counts to a bucketed standing model; "
+    "smoothing and the k-th-largest threshold are applied at probe "
+    "time from the summed state, so the selection equals the one-shot "
+    "dsir_select integer-for-integer (same oracle). The production "
+    "probe scores never-ingested candidates against yesterday's model "
+    "(unit-tested).",
+)
+def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalDSIRModel
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    m = IncrementalDSIRModel(spark, f"dsir_inc_{sfx}")
+    m.drop()
+    for day in range(3):
+        m.ingest(docs.filter(F.col("doc_id") % 3 == day))
+    return m.select(docs)

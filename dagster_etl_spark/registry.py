@@ -209,6 +209,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "sole_failed_supplier",
     "bigram_surprisal_buckets",
     "hybrid_rrf_ivf",
+    "dsir_incremental",
 )
 
 

@@ -1728,3 +1728,79 @@ def test_hybrid_rrf_ivf_fusion_and_lex_leg(spark):
     if sem_exact:
         recall = len(sem_ivf & sem_exact) / len(sem_exact)
         assert recall >= 0.3, f"IVF-leg recall collapsed: {recall:.2f}"
+
+
+def test_incremental_dsir_equals_one_shot_and_scores_unseen(spark):
+    """Seventh incremental surface: (1) after three id-sliced ingests,
+    select(full corpus) == dsir_select integer-for-integer; (2) a
+    NEVER-ingested candidate frame scores against the standing model
+    with add-one smoothing pricing unknown features (target-like
+    candidate outranks the off-distribution one); (3) compact()
+    preserves results."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import IncrementalDSIRModel, dsir_select
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    m = IncrementalDSIRModel(spark, "t_dsir_inc")
+    m.drop()
+    for day in range(3):
+        m.ingest(docs.filter(f"doc_id % 3 = {day}"))
+    inc = sorted(
+        (r.doc_id, r.n_features, r.weight_q) for r in m.select(docs).collect()
+    )
+    ref = sorted(
+        (r.doc_id, r.n_features, r.weight_q) for r in dsir_select(docs).collect()
+    )
+    assert inc == ref and len(inc) > 0
+
+    # never-ingested candidates score EXACTLY per the standing counts
+    # + add-one smoothing (novel features carry ct=cr=0 through the
+    # left join and are priced at the (R+B)/(T+B) prior — DSIR's
+    # documented OOD behavior, not an error)
+    import hashlib
+
+    from dagster_etl_spark.operators.text import DSIR_BUCKETS
+
+    unseen_rows = [
+        Row(doc_id=900001, lang="de", text="key agg row scan slow fast"),
+        Row(doc_id=900002, lang="fr", text="zzq wwq vvq uuq ttq ssq"),
+    ]
+    got = {
+        r.doc_id: r.weight_q
+        for r in m.select(spark.createDataFrame(unseen_rows), k=2).collect()
+    }
+
+    def fb(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for row in docs.select("lang", "text").collect():
+        ts = [t for t in row.text.strip().lower().split() if t]
+        for a, b in zip(ts, ts[1:]):
+            d = ct if row.lang == "en" else cr
+            f = fb(f"{a} {b}")
+            d[f] = d.get(f, 0) + 1
+    t_tot, r_tot = sum(ct.values()), sum(cr.values())
+    for row in unseen_rows:
+        ts = [t for t in row.text.strip().lower().split() if t]
+        want = sum(
+            _py_floor_log2_ratio(
+                (ct.get(fb(f"{a} {b}"), 0) + 1) * (r_tot + DSIR_BUCKETS),
+                (cr.get(fb(f"{a} {b}"), 0) + 1) * (t_tot + DSIR_BUCKETS),
+            )
+            for a, b in zip(ts, ts[1:])
+        )
+        assert got[row.doc_id] == want, (row.doc_id, got[row.doc_id], want)
+
+    before = inc
+    report = m.compact()
+    for t, (b, a) in report.items():
+        assert a <= b
+    after = sorted(
+        (r.doc_id, r.n_features, r.weight_q) for r in m.select(docs).collect()
+    )
+    m.drop()
+    assert before == after
