@@ -282,6 +282,64 @@ def _ulm_series(spark, docs, n: int) -> tuple[list[dict], int]:
     return days, nq
 
 
+def _dsir_series(spark, docs, n: int) -> tuple[list[dict], int]:
+    """The DSIR surface (late r14, seventh incremental surface): one
+    cipher copy ingested per day; a FIXED external candidate set (ids
+    shifted out of the corpus space, PROBE_PER_DAY docs per copy)
+    probes the standing importance model read-only after every ingest
+    — yesterday's model scoring today's crawl. probe_hits counts the
+    candidates the model keeps at k=100 (ties survive, so >= 100)."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalDSIRModel
+    from tools.scale_trend_llm import _cipher_docs
+
+    all_copies = _cipher_docs(docs, DAYS, n)
+    probe = (
+        all_copies.filter(F.col("doc_id") % (n // PROBE_PER_DAY) == 0)
+        .select(
+            (F.col("doc_id") + DAYS * n * 10).alias("doc_id"),
+            "lang",
+            "text",
+        )
+        .localCheckpoint()
+    )
+    nq = probe.count()
+
+    m = IncrementalDSIRModel(spark, "probe_growth_dsir")
+    m.drop()
+    days: list[dict] = []
+    for d in range(DAYS):
+        day_slice = all_copies.filter(
+            (F.col("doc_id") >= d * n) & (F.col("doc_id") < (d + 1) * n)
+        )
+        t0 = time.perf_counter()
+        m.ingest(day_slice)
+        ingest_s = time.perf_counter() - t0
+        compacted = None
+        if (d + 1) % COMPACT_EVERY == 0:
+            compacted = m.compact()
+        m.select(probe, k=100).count()  # warm
+        t0 = time.perf_counter()
+        hits = m.select(probe, k=100).count()
+        probe_s = time.perf_counter() - t0
+        days.append(
+            {
+                "day": d + 1,
+                "corpus_docs": (d + 1) * n,
+                "ingest_sec": round(ingest_s, 3),
+                "probe_sec": round(probe_s, 3),
+                "probe_hits": hits,
+                "compacted": {k: list(v) for k, v in compacted.items()}
+                if compacted
+                else None,
+            }
+        )
+        print(f"# dsir {days[-1]}", file=sys.stderr)
+    m.drop()
+    return days, nq
+
+
 def main() -> None:
     from dagster_etl_spark.session import get_spark
     from dagster_etl_spark.sources.fixtures import load_table
@@ -322,6 +380,13 @@ def main() -> None:
             "probe_docs": n_q,
             "series": lm_days,
             "summary": _summary(lm_days),
+        }
+    if SURFACES == "dsir":
+        ds_days, n_q = _dsir_series(spark, docs, n)
+        out["dsir"] = {
+            "probe_docs": n_q,
+            "series": ds_days,
+            "summary": _summary(ds_days),
         }
     print(json.dumps(out))
     spark.stop()
