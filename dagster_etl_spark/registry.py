@@ -76,91 +76,21 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 14: generated FROM the artifacts, not memory. Fronts the 30
-    # pre-declared r14 heads from _NEXT_ROTATION_HEADS as checked at the
-    # r13 boundary (the 23 r11 names that aged out of the r13 window +
-    # the 7 mid-r13 registrations with ALLCHECK_r13-green rows at all 3
-    # SFs but no driver row), then the first 20 CORRECTNESS_r12.json
+    # round 15: generated FROM the artifacts, not memory. Fronts the 47
+    # pre-declared r15 heads from _NEXT_ROTATION_HEADS as checked at the
+    # r14 boundary (the 30 r12 names that aged out of the r14 window +
+    # the 17 mid/late-r14 registrations with ALLCHECK_r14-green rows at
+    # all 3 SFs but no driver row), then the first 3 CORRECTNESS_r13.json
     # names (in artifact order) not already covered -- the next-stalest
-    # driver rows in the fleet. The remaining 30 r12 names age to r15:
+    # driver rows in the fleet. The remaining 47 r13 names age to r16:
     # see _NEXT_ROTATION_HEADS below, which
     # tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
     # derives from the artifacts instead of trusting a comment.
-    # Disjointness vs CORRECTNESS_r13.json (the newest artifact) is
+    # Disjointness vs CORRECTNESS_r14.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the registry
     # grows: len(registry) - 50 >= 50 (pinned by
     # tests/test_plans.py::test_registry_keeps_rotation_headroom).
-    "user_event_type_map",
-    "fuzzy_part_pairs",
-    "major_suppliers",
-    "order_price_window_stats",
-    "lineitem_moment_stats",
-    "streaming_error_bursts",
-    "streaming_media_decode",
-    "value_band_range_join",
-    "event_rollup_multigrain",
-    "incremental_event_rollup",
-    "gap_filled_user_timeline",
-    "lang_id",
-    "doc_fingerprints",
-    "dedup_clusters",
-    "tfidf_top_terms",
-    "null_profile_orders",
-    "redact_pii",
-    "decontaminate_vs_benchmark",
-    "train_val_test_split",
-    "corpus_mixture",
-    "quality_deciles",
-    "corpus_bigram_counts",
-    "gopher_quality_flags",
-    "temperature_mixture",
-    "filtered_ann_topk",
-    "cross_corpus_neardup",
-    "filtered_ivf_ann_topk",
-    "minhash_estimate_gate",
-    "cross_corpus_neardup_incremental",
-    "cm_heavy_hitters",
-    "doc_chunks",
-    "stratified_event_sample",
-    "bigram_novelty",
-    "vocab_oov",
-    "winnow_fingerprints",
-    "cycle_time_stats_incremental",
-    "minhash_neardup_incremental",
-    "ivf_ann_incremental",
-    "streaming_neardup_ingest",
-    "audio_fingerprint_groups",
-    "weighted_corpus_sample",
-    "training_order_pipeline",
-    "token_budget_mixture",
-    "streaming_weighted_sample",
-    "self_repetition_removal",
-    "zorder_span_stats",
-    "wip_aggregate_approx",
-    "priority_wip_approx",
-    "dedup_lines",
-    "dedup_survivors",
-)
-
-# Pre-declared rotation heads for the NEXT round (r14), in
-# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
-# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
-# most recent driver row (r11) will be the oldest in the fleet. This
-# tuple is CHECKED, not advisory:
-# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
-# recomputes it as registry - (newest CORRECTNESS file UNION the
-# current 50-slot window) -- any query registered mid-round without
-# being appended here fails the suite, turning the manual
-# pre-declaration discipline into an invariant. Mid-round registrations
-# must be APPENDED here (and swept via ALLCHECK) so they front the next
-# rotation too.
-_NEXT_ROTATION_HEADS: tuple[str, ...] = (
-    # r15 heads, in CORRECTNESS_r12.json artifact order: the 30 r12
-    # names that did not fit the 50-slot r14 window above, so once
-    # CORRECTNESS_r14 lands their most recent driver row (r12) will be
-    # the oldest in the fleet. Mid-r14 registrations must be APPENDED
-    # here (and swept via ALLCHECK) so they front the next rotation too.
     "lsh_ann_topk",
     "ivf_ann_topk",
     "ivf_ann_recall",
@@ -191,13 +121,11 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "approx_distinct_gate",
     "approx_quantile_gate",
     "url_dedup",
-    # mid-r14 registrations (ALLCHECK_r14-swept; no driver row yet)
     "bm25_topk_docs",
     "dedup_substrings",
     "containment_neardup",
     "bm25_incremental",
     "streaming_bm25_ingest",
-    # late-r14 registrations (ALLCHECK_r14-merged; no driver row yet)
     "ccnet_surprisal_buckets",
     "dsir_select",
     "corpus_drift_tv",
@@ -210,6 +138,76 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "bigram_surprisal_buckets",
     "hybrid_rrf_ivf",
     "dsir_incremental",
+    "latest_order_per_customer",
+    "scd2_user_event_type",
+    "salted_join_revenue",
+)
+
+# Pre-declared rotation heads for the NEXT round (r14), in
+# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
+# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
+# most recent driver row (r11) will be the oldest in the fleet. This
+# tuple is CHECKED, not advisory:
+# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
+# recomputes it as registry - (newest CORRECTNESS file UNION the
+# current 50-slot window) -- any query registered mid-round without
+# being appended here fails the suite, turning the manual
+# pre-declaration discipline into an invariant. Mid-round registrations
+# must be APPENDED here (and swept via ALLCHECK) so they front the next
+# rotation too.
+_NEXT_ROTATION_HEADS: tuple[str, ...] = (
+    # r16 heads, in CORRECTNESS_r13.json artifact order: the 47 r13
+    # names that did not fit the 50-slot r15 window above, so once
+    # CORRECTNESS_r15 lands their most recent driver row (r13) will be
+    # the oldest in the fleet. Mid-r15 registrations must be APPENDED
+    # here (and swept via ALLCHECK) so they front the next rotation too.
+    "large_order_customers",
+    "supplier_diversity",
+    "rich_customers_without_low_orders",
+    "events_json_flatten",
+    "customer_priority_baskets",
+    "streaming_windowed_counts",
+    "streaming_user_sessions",
+    "streaming_dedup_counts",
+    "streaming_segment_stats",
+    "streaming_attribution_join",
+    "asof_purchase_prior_view",
+    "packed_sequences",
+    "semantic_dedup",
+    "contamination_score",
+    "decontaminate_bloom_gate",
+    "pq_ann_topk",
+    "pq_ann_rerank",
+    "ivf_pq_ann_topk",
+    "ivf_pq_ann_incremental",
+    "streaming_decontaminate",
+    "dbt_incremental_orders",
+    "cycle_time_stats_bucketed",
+    "duplicate_ngram_spans",
+    "image_dhash_groups",
+    "epoch_shuffle_order",
+    "top_customers",
+    "curation_pipeline_v2",
+    "priority_wip",
+    "minhash_neardup",
+    "exact_dedup",
+    "clean_corpus",
+    "doc_stats",
+    "curation_pipeline",
+    "compacted_scan",
+    "ngram_jaccard_pairs",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "quantized_ann_topk",
+    "media_decode_stats",
+    "audio_feature_stats",
+    "media_resize_stats",
+    "equipment_unpivot",
+    "funnel_conversion",
+    "cohort_retention",
+    "table_diff_reconcile",
+    "value_percentiles_exact",
 )
 
 
