@@ -526,12 +526,20 @@ def ngram_jaccard_pairs(
     )
 
 
+#: containment_pairs is an AUDIT tool (exhaustive shared-shingle
+#: pairwise join, measured >2x the single-process baseline at every
+#: probed scale); this cap makes that framing STRUCTURAL — pointing a
+#: corpus at it fails fast with a pointer at the deployment path.
+CONTAINMENT_AUDIT_CAP = 1_000_000
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    audit_cap: int = CONTAINMENT_AUDIT_CAP,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT join (Broder 1997's second
     resemblance measure): ``C(A,B) = |S(A) n S(B)| / |S(A)|`` — the
@@ -543,14 +551,40 @@ def containment_pairs(
     (containment_a = inter/|S(A)|, containment_b = inter/|S(B)|),
     kept when either direction clears ``threshold``.
 
-    Scale shape: identical to :func:`ngram_jaccard_pairs` — the
-    equi-join on the 60-bit shingle hash IS the candidate generator
-    (only pairs sharing at least one shingle are ever grouped; never
-    all-pairs), the exploded scalar rows are pinned once for both
-    self-join sides, and the divisions are two exact int-over-int
-    doubles at the very end.
+    AUDIT TOOL, NOT A DEPLOYMENT PATH (r14 verdict task 2): the
+    exhaustive pairwise form exists to validate :func:`containment_probe`
+    and to sweep bounded corpora; banding cannot speed it up without
+    dropping exactly the high-containment/low-Jaccard pairs it exists
+    to find, so its cost IS the shared-shingle pair volume. The
+    ``audit_cap`` guard is enforced INSIDE the plan (a broadcast 1-row
+    count frame checked with ``assert_true`` — the repo's zero-build-
+    job scalar pattern, so building the DataFrame still launches no
+    jobs): running it over more than ``audit_cap`` input documents
+    fails at execution with a pointer at :func:`containment_probe`,
+    the one-sided O(corpus + matches) production shape.
+
+    Scale shape (within the cap): identical to
+    :func:`ngram_jaccard_pairs` — the equi-join on the 60-bit shingle
+    hash IS the candidate generator (only pairs sharing at least one
+    shingle are ever grouped; never all-pairs), the exploded scalar
+    rows are pinned once for both self-join sides, and the divisions
+    are two exact int-over-int doubles at the very end.
     """
     tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
+    guard = df.agg(
+        F.assert_true(
+            F.count(F.lit(1)) <= F.lit(audit_cap),
+            F.concat(
+                F.lit(
+                    "containment_pairs is an audit tool capped at "
+                    f"{audit_cap} input documents; for corpus-scale "
+                    "doc-in-doc detection use containment_probe "
+                    "(one-sided, O(corpus + matches)) — got "
+                ),
+                F.count(F.lit(1)).cast("string"),
+            ),
+        ).alias("_audit_ok")
+    )
     sh = shingled(
         spread(df).filter(F.expr(f"{tok_n} >= {k}")), text_col, id_col, k
     )
@@ -558,7 +592,15 @@ def containment_pairs(
         id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
     )
     sized = hashed.selectExpr(id_col, "hs", "size(hs) AS n_sh")
-    ex = pin(sized.select(id_col, "n_sh", F.explode("hs").alias("s")))
+    ex = pin(
+        sized.select(id_col, "n_sh", F.explode("hs").alias("s"))
+        .crossJoin(F.broadcast(guard))
+        # assert_true yields NULL on success (and raises on breach), so
+        # this filter passes every row while keeping the guard column
+        # referenced — column pruning cannot drop the assertion
+        .filter(F.col("_audit_ok").isNull())
+        .drop("_audit_ok")
+    )
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "s"
     )

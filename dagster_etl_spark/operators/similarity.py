@@ -1103,6 +1103,18 @@ RRF_K = 60
 RRF_SCALE = 1_000_000
 
 
+#: The brute-force hybrid's query-set bound (r14 verdict task 2): the
+#: exact cosine leg scores every query against the whole corpus, so a
+#: query set that GROWS with the corpus (bare ``id % seed_mod``) is
+#: quadratic by construction. Capping query ids below this constant
+#: fixes the query budget at ceil(cap / seed_mod) (= 21 at the default
+#: seed_mod 97) no matter how large the corpus gets — the exact leg is
+#: then a bounded-query batch like every other ANN entry point, linear
+#: in corpus size. For query sets that must grow with the corpus, use
+#: hybrid_rrf_ivf_topk (the IVF-leg scale path).
+HYBRID_Q_ID_CAP = 2_000
+
+
 def hybrid_rrf_topk(
     docs: DataFrame,
     emb: DataFrame,
@@ -1113,6 +1125,7 @@ def hybrid_rrf_topk(
     dim: int = 64,
     rrf_k: int = RRF_K,
     scale: int = RRF_SCALE,
+    q_id_cap: int = HYBRID_Q_ID_CAP,
 ) -> DataFrame:
     """Hybrid lexical+semantic retrieval fused with Reciprocal Rank
     Fusion (Cormack, Clarke & Buettcher 2009): the production pattern
@@ -1120,9 +1133,15 @@ def hybrid_rrf_topk(
     index, cosine ranks from the vector index, fused as
     ``Σ_systems 1/(rrf_k + rank)``.
 
-    Queries are the shared id slice ``id % seed_mod == 0`` on both
-    sides (the fixtures align documents.doc_id with embeddings.vec_id
-    1:1 — the usual "one embedding row per document" layout). The
+    Queries are the shared BOUNDED id slice ``id % seed_mod == 0 AND
+    id < q_id_cap`` on both sides (the fixtures align
+    documents.doc_id with embeddings.vec_id 1:1 — the usual "one
+    embedding row per document" layout). The cap is the structural
+    guard on the exact cosine leg: an uncapped ``id % seed_mod`` grows
+    the query set WITH the corpus, making the brute-force leg
+    quadratic; with the cap the query budget is a constant
+    (ceil(q_id_cap / seed_mod)) and the leg is linear in corpus size —
+    the same bounded-query-batch contract as ann_cosine_topk. The
     fusion is integer-exact: with integer ranks, each contribution is
     the fixed-point ``scale DIV (rrf_k + rank)`` and the fused score
     is their BIGINT sum — no float until the terminal display column,
@@ -1142,11 +1161,16 @@ def hybrid_rrf_topk(
     """
     from dagster_etl_spark.operators.text import bm25_topk_docs
 
-    lex = bm25_topk_docs(docs, k=k_lex, seed_mod=seed_mod).select(
-        "query_id", "doc_id", F.col("rank").alias("lex_rank")
-    )
+    lex = bm25_topk_docs(
+        docs, k=k_lex, seed_mod=seed_mod, q_id_cap=q_id_cap
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     sem = cosine_topk(
-        emb.filter(F.col("vec_id") % seed_mod == 0), emb, dim=dim, k=k_sem
+        emb.filter(
+            (F.col("vec_id") % seed_mod == 0) & (F.col("vec_id") < q_id_cap)
+        ),
+        emb,
+        dim=dim,
+        k=k_sem,
     ).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
@@ -1187,6 +1211,7 @@ def hybrid_rrf_topk_oracle_sql(
     dim: int = 64,
     rrf_k: int = RRF_K,
     scale: int = RRF_SCALE,
+    q_id_cap: int = HYBRID_Q_ID_CAP,
 ) -> str:
     """DuckDB mirror of :func:`hybrid_rrf_topk`: the BM25 leg embeds
     :func:`~dagster_etl_spark.operators.text.bm25_topk_docs_oracle_sql`
@@ -1195,14 +1220,16 @@ def hybrid_rrf_topk_oracle_sql(
     integer fixed-point sum."""
     from dagster_etl_spark.operators.text import bm25_topk_docs_oracle_sql
 
-    bm25_sql = bm25_topk_docs_oracle_sql(k=k_lex, seed_mod=seed_mod)
+    bm25_sql = bm25_topk_docs_oracle_sql(
+        k=k_lex, seed_mod=seed_mod, q_id_cap=q_id_cap
+    )
     cos = x.cosine("q.qv", "c.embedding", dim, x.DUCK)
     return f"""
 WITH lex AS (
   SELECT query_id, doc_id, rank AS lex_rank FROM ({bm25_sql})
 ), semq AS (
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id % {seed_mod} = 0
+  WHERE vec_id % {seed_mod} = 0 AND vec_id < {q_id_cap}
 ), sem_scored AS (
   SELECT q.query_id, c.vec_id AS doc_id,
          {cos} AS cosine

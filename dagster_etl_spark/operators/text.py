@@ -624,6 +624,7 @@ def bm25_topk_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     scale: int = BM25_SCALE,
+    q_id_cap: int | None = None,
 ) -> DataFrame:
     """BM25-ranked more-like-this retrieval: every document whose
     ``id_col % seed_mod == 0`` becomes a query (its distinct token set
@@ -673,8 +674,15 @@ def bm25_topk_docs(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
+    # q_id_cap bounds the QUERY set independently of corpus size
+    # (ids % seed_mod == 0 AND id < q_id_cap => at most
+    # ceil(q_id_cap / seed_mod) queries at any scale) — the knob the
+    # hybrid retriever's brute-force leg uses to stay linear.
+    q_pred = F.col(id_col) % seed_mod == 0
+    if q_id_cap is not None:
+        q_pred = q_pred & (F.col(id_col) < q_id_cap)
     qt = (
-        ex.filter(F.col(id_col) % seed_mod == 0)
+        ex.filter(q_pred)
         .select(F.col(id_col).alias("query_id"), "term")
         .distinct()
     )
@@ -721,6 +729,7 @@ def bm25_topk_docs_oracle_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     scale: int = BM25_SCALE,
+    q_id_cap: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`bm25_topk_docs` — same floored avgdl,
     same fixed-point contribs (DuckDB ``//`` = Spark ``DIV`` on
@@ -748,7 +757,7 @@ WITH g AS (
   FROM gg
 ), qt AS (
   SELECT DISTINCT {id_col} AS query_id, term FROM ex
-  WHERE {id_col} % {seed_mod} = 0
+  WHERE {id_col} % {seed_mod} = 0{f" AND {id_col} < {q_id_cap}" if q_id_cap is not None else ""}
 ), scored AS (
   SELECT qt.query_id, tf.{id_col},
          {num} // {den} AS contrib

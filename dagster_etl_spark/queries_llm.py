@@ -1121,7 +1121,10 @@ WHERE GREATEST(CAST(n_inter AS DOUBLE) / na,
     "detector symmetric Jaccard misses (a short block embedded in a "
     "long page). Same candidate machinery as the Jaccard join: the "
     "equi-join on the 60-bit shingle hash generates candidates, never "
-    "all-pairs.",
+    "all-pairs. AUDIT TOOL: structurally capped at "
+    "CONTAINMENT_AUDIT_CAP input documents by an in-plan assert "
+    "(broadcast 1-row count frame) — corpus-scale runs fail fast with "
+    "a pointer at containment_probe, the one-sided deployment path.",
 )
 def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.dedup import containment_pairs
@@ -1144,10 +1147,14 @@ def _hybrid_rrf_oracle() -> str:
     doc="Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. "
     "2009): BM25 top-20 over documents fused with cosine top-20 over "
     "the aligned embeddings (shared doc_id/vec_id domain, queries = "
-    "ids % 97 == 0) as sum of fixed-point scale DIV (60 + rank) -- "
-    "integer-exact, so the fused tiebreak never sits on a float "
-    "boundary. Fusion cost is <= 40 rows/query regardless of corpus "
-    "size; each leg keeps its own audited plan.",
+    "the BOUNDED slice ids % 97 == 0 AND id < HYBRID_Q_ID_CAP, a "
+    "constant <=21-query budget at any corpus size — the structural "
+    "guard that keeps the brute-force cosine leg linear; query sets "
+    "that grow with the corpus belong on hybrid_rrf_ivf) as sum of "
+    "fixed-point scale DIV (60 + rank) -- integer-exact, so the fused "
+    "tiebreak never sits on a float boundary. Fusion cost is <= 40 "
+    "rows/query regardless of corpus size; each leg keeps its own "
+    "audited plan.",
 )
 def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.similarity import hybrid_rrf_topk

@@ -1205,6 +1205,67 @@ def test_containment_probe_matches_pairwise_direction(spark):
     assert ref[(1, 2)] == got[(1, 2)]
 
 
+def test_containment_pairs_audit_cap_is_structural(spark):
+    """r14 verdict task 2: the exhaustive pairwise form is an AUDIT
+    tool — running it over more documents than audit_cap must FAIL at
+    execution (not silently plan a corpus x corpus pair join), and the
+    error must point the user at containment_probe, the shipped
+    one-sided scale path. Building the DataFrame stays job-free (the
+    guard is a broadcast 1-row count frame inside the plan, the
+    zero-build-job scalar pattern)."""
+    from dagster_etl_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"a{i} b{i} c{i} d{i}") for i in range(8)]
+    )
+    # within the cap: runs (empty result is fine; the rows are unique)
+    containment_pairs(docs, audit_cap=8).collect()
+    with pytest.raises(Exception) as ei:
+        containment_pairs(docs, audit_cap=7).collect()
+    assert "containment_probe" in str(ei.value)
+    assert "audit" in str(ei.value)
+
+
+def test_hybrid_rrf_query_budget_is_corpus_independent(spark):
+    """r14 verdict task 2, second weak form: the brute-force hybrid's
+    query set must be the BOUNDED slice (id % seed_mod == 0 AND
+    id < q_id_cap) on both legs — a fixed query budget no matter how
+    large the corpus grows, which is what retires the quadratic
+    exact-cosine leg. Doubling the corpus beyond the cap must not add
+    queries, and every query id must sit under the cap."""
+    from dagster_etl_spark.operators.similarity import hybrid_rrf_topk
+
+    def fixtures(n):
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=" ".join(f"t{(i + j) % 17}" for j in range(8)))
+                for i in range(n)
+            ]
+        )
+        emb = spark.createDataFrame(
+            [
+                Row(
+                    vec_id=i,
+                    embedding=[float((i * 7 + d) % 5 - 2) for d in range(4)],
+                )
+                for i in range(n)
+            ]
+        )
+        return docs, emb
+
+    cap, mod = 30, 10  # query ids {0, 10, 20}: 3 queries, forever
+    out_small = hybrid_rrf_topk(
+        *fixtures(60), dim=4, seed_mod=mod, q_id_cap=cap
+    )
+    out_big = hybrid_rrf_topk(
+        *fixtures(120), dim=4, seed_mod=mod, q_id_cap=cap
+    )
+    q_small = {r.query_id for r in out_small.select("query_id").distinct().collect()}
+    q_big = {r.query_id for r in out_big.select("query_id").distinct().collect()}
+    assert q_small == q_big == {0, 10, 20}
+    assert all(q < cap for q in q_big)
+
+
 def test_incremental_bm25_equals_one_shot(spark):
     """The fifth incremental surface's exactness invariant: tf, df and
     the totals are additive over disjoint slices and quantization

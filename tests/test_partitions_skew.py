@@ -3,6 +3,8 @@ skew helpers (salted join/groupby equivalence, approx distinct)."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_SMALL
 
 
@@ -208,15 +210,39 @@ def test_aqe_splits_skewed_join_and_salting_beats_disabled_aqe(spark):
         # trend tools: this box sees external CPU steal spikes that can
         # swallow sequential best-of-N samples (BASELINE.md host drift)
         one(plain_b), one(salted_b)  # warm codegen for both shapes
-        plains, salteds = [], []
-        for _ in range(3):
-            plains.append(one(plain_b))
-            salteds.append(one(salted_b))
-        plains.sort(), salteds.sort()
-        plain_s, salted_s = plains[1], salteds[1]
+        # r14 verdict task 7: the timing comparison documented ONE
+        # inversion under external box load (CPU steal swallowed the
+        # interleaved medians). Load-guard it: on an inverted result,
+        # retry once; if still inverted AND the 1-min load average says
+        # the box is externally contended (our local[4] session plus
+        # pytest contributes ~5 runnable threads; anything well past
+        # that is not ours), soft-skip like the round-boundary
+        # tripwires instead of burning the suite's signal. An inversion
+        # on an idle box still FAILS — that would be a real regression.
+        import os
+
+        plain_s = salted_s = None
+        load_seen = 0.0
+        for _attempt in range(2):
+            plains, salteds = [], []
+            for _ in range(3):
+                plains.append(one(plain_b))
+                salteds.append(one(salted_b))
+                load_seen = max(load_seen, os.getloadavg()[0])
+            plains.sort(), salteds.sort()
+            plain_s, salted_s = plains[1], salteds[1]
+            if salted_s < plain_s:
+                break
         # one task sorts/probes 7.2M rows vs ~450k with salt=16; require
         # a real win on the medians
-        assert salted_s < plain_s, (plains, salteds)
+        if salted_s >= plain_s and load_seen > 10.0:
+            pytest.skip(
+                "salted-vs-plain timing inverted twice under external "
+                f"load (1-min loadavg peaked at {load_seen:.1f} on "
+                f"{os.cpu_count()} cpus; this session accounts for ~5) "
+                f"— medians plain={plain_s:.2f}s salted={salted_s:.2f}s"
+            )
+        assert salted_s < plain_s, (plains, salteds, load_seen)
     finally:
         for k, v in saved.items():
             if v is None:

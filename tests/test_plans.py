@@ -220,6 +220,11 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
            "k-th-weight threshold frame"),
     "corpus_drift_tv": (
         1, "broadcast 1-row corpus-total frame"),
+    "containment_neardup": (
+        2, "the audit_cap guard: a 1-row assert_true count frame under "
+           "the pinned explode (prints once per self-join side, "
+           "executes once) — the structural bound that makes the "
+           "exhaustive pairwise form audit-only"),
     "hybrid_rrf_retrieval": (
         2, "inherits bm25's 1-row totals frame + cosine's broadcast "
            "bounded query batch"),
@@ -426,8 +431,12 @@ EXCHANGE_BUDGET = {
     # pinned explode prints once per consumer but executes once)
     "dedup_substrings": 5,
     # r14: same shape as ngram_jaccard_pairs — pinned shingle explode
-    # feeds both self-join sides, one pair aggregate
-    "containment_neardup": 3,
+    # feeds both self-join sides, one pair aggregate. +2 (r15): the
+    # audit_cap guard's 1-row count frame adds an Exchange
+    # SinglePartition under the pin, printed once per self-join side
+    # (executes once) — the deliberate cost of making the audit-only
+    # framing structural
+    "containment_neardup": 5,
     # late r14 (printed counts; pinned score frames reprint their
     # upstream exchanges once per consumer branch but execute once):
     # tf agg + term-count agg + doc agg + totals Single (x2 prints) +
