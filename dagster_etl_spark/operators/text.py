@@ -1943,3 +1943,194 @@ class IncrementalDSIRModel:
     def drop(self) -> None:
         for t in (self.counts_table, self.totals_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# -- fastText-shape quality classifier ----------------------------------------
+
+#: Hashed feature space of the linear quality classifier. fastText's
+#: default bucket table is 2M; 4096 keeps the broadcast model table a
+#: few KB while exercising the identical plan shape — the table size is
+#: a knob, not a structural property (even 2M rows x 16 B broadcasts
+#: fine).
+QCLF_N_BUCKETS = 4096
+#: Weight grain: stored weights live in [0, 2*QCLF_W_SCALE] (shifted
+#: non-negative so the fixed-point mean's integer division only ever
+#: sees non-negative operands — DuckDB // equals Spark DIV there),
+#: representing true weights in [-1.0, +1.0] at 1e-3 resolution.
+QCLF_W_SCALE = 1_000
+#: Logit fixed-point scale of the output score.
+QCLF_SIG_SCALE = 1_000_000
+#: Frozen bias (at QCLF_SIG_SCALE): +0.05 — a stand-in for the trained
+#: intercept, like the derived weights below.
+QCLF_BIAS_SCALED = 50_000
+
+# Integer sigmoid bucketing: applying a monotone sigmoid then
+# thresholding at p = 0.1 .. 0.9 is EXACTLY thresholding the logit at
+# ln(p/(1-p)) — so the probability deciles come from nine precomputed
+# integer logit cutpoints and no float exp/ln ever crosses an engine
+# boundary. Computed once in Python and baked identically into both
+# dialects' expression strings; c[4] (p=0.5) is exactly 0.
+import math as _math  # noqa: E402
+
+QCLF_DECILE_CUTS: tuple[int, ...] = tuple(
+    int(round(_math.log(p / (1.0 - p)) * QCLF_SIG_SCALE))
+    for p in (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+)
+
+
+def qclf_weight_expr(bucket: str, d: str) -> str:
+    """Frozen per-bucket classifier weight, SHIFTED non-negative:
+    ``h60('qclf-w' || bucket) % (2*W_SCALE + 1)`` — a deterministic
+    pseudorandom stand-in for trained parameters (this container has no
+    training data or labels; a production deployment loads its trained
+    fastText/CCNet weight vector into a table with this exact (bucket,
+    weight) schema and the plan is unchanged). Both engines derive the
+    identical table because h60 is the shared md5 prefix."""
+    h = x.h60(f"concat('qclf-w', CAST({bucket} AS STRING))", d) if d == x.SPARK \
+        else x.h60(f"('qclf-w' || CAST({bucket} AS VARCHAR))", d)
+    return f"({h} % {2 * QCLF_W_SCALE + 1})"
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = QCLF_N_BUCKETS,
+    bias_scaled: int = QCLF_BIAS_SCALED,
+) -> DataFrame:
+    """fastText-shape linear quality classifier inference (Joulin et
+    al. 2016, arXiv:1607.01759 — the model family behind the CCNet /
+    GPT-3 / LLaMA quality filters): features are hashed unigrams AND
+    word bigrams (fastText's wordNgrams=2 mode), the model is a
+    broadcast (bucket, weight) table, the document score is the mean
+    feature weight plus bias — a linear logit — and the classifier
+    decision is the logit's sign.
+
+    Integer-exact inference (the repo's determinism contract): weights
+    are stored shifted non-negative at grain 1/W_SCALE, the mean is
+    one fixed-point division of non-negative BIGINTs (where DuckDB //
+    and Spark DIV agree), and the sigmoid is APPLIED AS BUCKETING —
+    nine precomputed integer logit cutpoints (QCLF_DECILE_CUTS) give
+    the probability decile without any float exp: monotone sigmoid +
+    threshold == logit threshold. ``keep`` is decile >= 5, i.e.
+    p >= 0.5, i.e. logit >= 0 exactly (cut[4] == 0).
+
+    Scale shape: tokenize once, build the unigram+bigram feature array
+    in ONE array expression (no second explode), explode to (doc,
+    bucket) rows, broadcast-join the n_buckets-row model table
+    (model size is independent of corpus size — the canonical
+    broadcast dimension), then ONE hash aggregate per document. No
+    window, no corpus-sized sort; the only shuffle is the per-doc sum.
+    Docs with zero tokens have no features and are excluded.
+
+    Returns (doc_id, n_feats, logit_scaled, logit, prob_decile, keep).
+    """
+    s = x.SPARK
+    tok = x.tokens(text_col, s)
+    feats = x.let(
+        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", s), s), s
+    )
+    g = df.selectExpr(id_col, f"{feats} AS _f").selectExpr(
+        id_col, f"CAST({x.xsize('_f', s)} AS BIGINT) AS n_feats", "_f"
+    ).filter("n_feats > 0")
+    ex = g.select(
+        id_col, "n_feats", F.explode("_f").alias("feat")
+    ).selectExpr(id_col, "n_feats", f"({x.h60('feat', s)} % {n_buckets}) AS b")
+    spark = df.sparkSession
+    w = spark.range(n_buckets).selectExpr(
+        "id AS b", f"CAST({qclf_weight_expr('id', s)} AS BIGINT) AS w_shift"
+    )
+    summed = (
+        ex.join(F.broadcast(w), on="b")
+        .groupBy(id_col, "n_feats")
+        .agg(F.sum("w_shift").cast("long").alias("sw_shift"))
+    )
+    # mean weight at SIG_SCALE: (S * sw_shift) DIV (n_feats * W_SCALE)
+    # is the shifted mean in [0, 2S]; un-shift by -S, add the bias.
+    # Non-negative operands throughout the division.
+    logit = (
+        f"(CAST({QCLF_SIG_SCALE} AS BIGINT) * sw_shift)"
+        f" DIV (n_feats * {QCLF_W_SCALE})"
+        f" - {QCLF_SIG_SCALE} + ({bias_scaled})"
+    )
+    decile = " + ".join(
+        f"(CASE WHEN logit_scaled >= {c} THEN 1 ELSE 0 END)"
+        for c in QCLF_DECILE_CUTS
+    )
+    return (
+        summed.selectExpr(id_col, "n_feats", f"{logit} AS logit_scaled")
+        .selectExpr(
+            id_col,
+            "n_feats",
+            "logit_scaled",
+            f"CAST(logit_scaled AS DOUBLE) / CAST({QCLF_SIG_SCALE} AS DOUBLE)"
+            " AS logit",
+            f"CAST({decile} AS INT) AS prob_decile",
+        )
+        .selectExpr(
+            id_col,
+            "n_feats",
+            "logit_scaled",
+            "logit",
+            "prob_decile",
+            "prob_decile >= 5 AS keep",
+        )
+    )
+
+
+def quality_classifier_score_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = QCLF_N_BUCKETS,
+    bias_scaled: int = QCLF_BIAS_SCALED,
+) -> str:
+    """DuckDB mirror of :func:`quality_classifier_score` — same derived
+    weight table (h60 is the shared md5 prefix), same shifted
+    non-negative fixed-point mean, same integer logit cutpoints."""
+    d = x.DUCK
+    tok = x.tokens(text_col, d)
+    feats = x.let(
+        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", d), d), d
+    )
+    logit = (
+        f"(CAST({QCLF_SIG_SCALE} AS BIGINT) * sw_shift)"
+        f" // (n_feats * {QCLF_W_SCALE})"
+        f" - {QCLF_SIG_SCALE} + ({bias_scaled})"
+    )
+    decile = " + ".join(
+        f"(CASE WHEN logit_scaled >= {c} THEN 1 ELSE 0 END)"
+        for c in QCLF_DECILE_CUTS
+    )
+    return f"""
+WITH g AS (
+  SELECT {id_col}, {feats} AS _f FROM {table}
+), gg AS (
+  SELECT {id_col}, CAST({x.xsize('_f', d)} AS BIGINT) AS n_feats, _f
+  FROM g WHERE {x.xsize('_f', d)} > 0
+), ex AS (
+  SELECT {id_col}, n_feats,
+         ({x.h60('UNNEST(_f)', d)} % {n_buckets}) AS b
+  FROM gg
+), w AS (
+  SELECT b, CAST({qclf_weight_expr('b', d)} AS BIGINT) AS w_shift
+  FROM range({n_buckets}) t(b)
+), summed AS (
+  SELECT ex.{id_col}, ex.n_feats,
+         CAST(SUM(w.w_shift) AS BIGINT) AS sw_shift
+  FROM ex JOIN w USING (b)
+  GROUP BY 1, 2
+), scored AS (
+  SELECT {id_col}, n_feats, CAST({logit} AS BIGINT) AS logit_scaled
+  FROM summed
+), bucketed AS (
+  SELECT {id_col}, n_feats, logit_scaled,
+         CAST(logit_scaled AS DOUBLE) / CAST({QCLF_SIG_SCALE} AS DOUBLE)
+           AS logit,
+         CAST({decile} AS INT) AS prob_decile
+  FROM scored
+)
+SELECT {id_col}, n_feats, logit_scaled, logit, prob_decile,
+       prob_decile >= 5 AS keep
+FROM bucketed
+"""

@@ -1627,3 +1627,30 @@ def q_dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for day in range(3):
         m.ingest(docs.filter(F.col("doc_id") % 3 == day))
     return m.select(docs)
+
+
+def _qclf_oracle() -> str:
+    from dagster_etl_spark.operators.text import quality_classifier_score_oracle_sql
+
+    return quality_classifier_score_oracle_sql()
+
+
+@register(
+    "quality_classifier_score",
+    oracle=_qclf_oracle(),
+    tags=("llm", "text", "quality"),
+    doc="fastText-shape linear quality classifier inference (Joulin et "
+    "al. 2016 — the CCNet/GPT-3/LLaMA quality-filter model family): "
+    "hashed unigram+bigram features, broadcast (bucket, weight) model "
+    "table, fixed-point mean-weight logit, sigmoid applied as integer "
+    "logit-cutpoint bucketing (nine precomputed deciles; keep = "
+    "decile >= 5 = logit >= 0 exactly). One explode, one broadcast "
+    "model join, one per-doc aggregate — no window, no corpus sort. "
+    "Weights here are the deterministic h60-derived stand-in for "
+    "trained parameters; production loads real weights into the same "
+    "(bucket, weight) schema and the plan is unchanged.",
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import quality_classifier_score
+
+    return quality_classifier_score(load_table(spark, sf_dir, "documents"))

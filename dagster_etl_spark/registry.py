@@ -208,6 +208,8 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "cohort_retention",
     "table_diff_reconcile",
     "value_percentiles_exact",
+    # mid-r15 registrations (ALLCHECK_r15-swept; no driver row yet)
+    "quality_classifier_score",
 )
 
 

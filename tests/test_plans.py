@@ -136,6 +136,8 @@ AUDITED = [
     # the IVF-leg hybrid does the bounded nlist hash-centroid collect
     # on build, like filtered_ivf_ann_topk
     "hybrid_rrf_ivf",
+    # r15 registrations (pure expression trees)
+    "quality_classifier_score",
 ]
 
 
@@ -467,6 +469,10 @@ EXCHANGE_BUDGET = {
     # (order, supplier) dedup agg + per-order stats agg + the stats
     # join re-shuffle + supplier rollup; supplier dim broadcast
     "sole_failed_supplier": 4,
+    # r15 fastText-shape classifier: ONE per-doc sum aggregate — the
+    # model table is a broadcast hash join (4096 rows), no window, no
+    # corpus sort
+    "quality_classifier_score": 1,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

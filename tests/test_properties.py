@@ -925,3 +925,69 @@ def test_bigram_surprisal_matches_python_reference(spark, texts):
         for i, bs in bgs.items()
     }
     assert got == want, (texts, got, want)
+
+
+# -- quality classifier vs a pure-Python model ---------------------------------
+
+qclf_word = st.sampled_from(["the", "zq9", "data", "xx", "of", "corpus", "a"])
+qclf_texts = st.lists(
+    st.lists(qclf_word, min_size=0, max_size=6).map(lambda t: " ".join(t)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=qclf_texts)
+@settings(**SETTINGS)
+def test_quality_classifier_matches_python_model(spark, texts):
+    """r14 verdict task 3's independence check: the fastText-shape
+    scorer must equal a from-scratch Python implementation of the spec
+    (hashlib md5 bucketing, integer mean, logit-cutpoint deciles) on
+    arbitrary small corpora — including repeated tokens (feature
+    multiplicity), single-token docs (no bigrams), and empty docs
+    (excluded)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import (
+        QCLF_BIAS_SCALED,
+        QCLF_DECILE_CUTS,
+        QCLF_N_BUCKETS,
+        QCLF_SIG_SCALE,
+        QCLF_W_SCALE,
+        quality_classifier_score,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def model(text: str):
+        toks = [t for t in text.strip().lower().split() if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            return None
+        sw = sum(
+            h60(f"qclf-w{h60(f) % QCLF_N_BUCKETS}") % (2 * QCLF_W_SCALE + 1)
+            for f in feats
+        )
+        # all operands non-negative: Python // == Spark DIV == DuckDB //
+        logit = (
+            (QCLF_SIG_SCALE * sw) // (len(feats) * QCLF_W_SCALE)
+            - QCLF_SIG_SCALE
+            + QCLF_BIAS_SCALED
+        )
+        decile = sum(logit >= c for c in QCLF_DECILE_CUTS)
+        return (len(feats), logit, decile, decile >= 5)
+
+    want = {
+        i: m for i, t in enumerate(texts) if (m := model(t)) is not None
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.logit_scaled, r.prob_decile, r.keep)
+        for r in quality_classifier_score(df).collect()
+    }
+    assert got == want, (texts, got, want)

@@ -149,13 +149,12 @@ QUERIES: dict[str, str] = {
     "ccnet_surprisal_buckets": "cipher",
     "dsir_select": "cipher",
     "corpus_drift_tv": "cipher",
-    # hybrid RRF: the BM25 leg is linear on cipher (per-copy vocab),
-    # but the SEMANTIC leg is brute-force cosine with queries = ids %
-    # 97 growing WITH the corpus -> quadratic scored pairs by
-    # construction. Trend-rowed at x10 only; the production
-    # composition swaps that leg for ivf/pq (their own trend rows
-    # carry the scale story) while the fusion itself stays
-    # <= 40 rows/query at any corpus size
+    # hybrid RRF: the BM25 leg is linear on cipher (per-copy vocab);
+    # since r15 the semantic leg's query set is BOUNDED (id % 97 == 0
+    # AND id < HYBRID_Q_ID_CAP -> <= 21 queries at any corpus size),
+    # so the brute-force cosine leg is queries x corpus = LINEAR in
+    # the corpus — trendable past x10 now. Query sets that grow with
+    # the corpus belong on hybrid_rrf_ivf
     "hybrid_rrf_retrieval": "cipher",
     # the bigram LM rides the same axis as the unigram form: per-copy
     # disjoint vocab keeps transition counts copy-invariant
@@ -168,6 +167,10 @@ QUERIES: dict[str, str] = {
     # IncrementalIVFPQIndex (its own trend rows), and the RRF fuse
     # composes with any ranked leg unchanged
     "hybrid_rrf_ivf": "cipher",
+    # r15: the fastText-shape classifier is one explode + a broadcast
+    # 4096-row model join + one per-doc aggregate over the documents
+    # axis — work linear in corpus tokens, model size constant
+    "quality_classifier_score": "cipher",
 }
 
 
