@@ -2134,3 +2134,249 @@ SELECT {id_col}, n_feats, logit_scaled, logit, prob_decile,
        prob_decile >= 5 AS keep
 FROM bucketed
 """
+
+
+# -- greedy subword segmentation (WordPiece-shape) -----------------------------
+
+#: Frozen subword vocabulary — the tokenizer analog of a trained
+#: WordPiece/BPE vocab file (production loads its tokenizer.json pieces
+#: here; the greedy longest-match walk below is unchanged). Singles
+#: cover the fixture charset so [UNK] stays the out-of-alphabet escape,
+#: multi-char pieces are common English/corpus subunits. Ships as a
+#: plan CONSTANT (a literal array in the expression tree — fine at this
+#: size; a 30k-piece production vocab rides a broadcast 1-row array
+#: frame instead, same semantics).
+SUBWORD_VOCAB: tuple[str, ...] = tuple(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [str(i) for i in range(10)]
+    + [
+        "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+        "ti", "es", "or", "te", "ar", "st", "le", "ow", "ey", "ue",
+        "ch", "sh", "am", "up", "rk", "ge", "gg",
+        "row", "col", "val", "tab", "str", "lin", "dat", "gro", "par",
+        "spa", "cus", "tom", "fil", "win", "dow", "ort", "ast", "low",
+        "sma", "all", "mer", "ord", "vec", "tor", "ind", "tch", "eam",
+        "umn", "ble", "ter", "ion", "ing",
+        "scan", "hash", "join", "sort", "key",
+    ]
+)
+SUBWORD_MAX_PIECE = max(len(p) for p in SUBWORD_VOCAB)
+#: Fingerprint modulus (2^31 - 1): the walk folds each piece-boundary
+#: position into fp = (fp*31 + pos) % M — the boundary sequence
+#: determines the segmentation exactly, so equal fps mean equal
+#: segmentations (up to hash collision), and fp*31+pos < 2^36 never
+#: overflows BIGINT.
+SUBWORD_FP_MOD = 2_147_483_647
+
+
+def _subword_vocab_lit(d: str) -> str:
+    items = ", ".join(f"'{p}'" for p in SUBWORD_VOCAB)
+    return f"array({items})" if d == x.SPARK else f"[{items}]"
+
+
+def subword_match_len_expr(w: str, pos: str, d: str) -> str:
+    """Longest vocab piece starting at ``pos`` (1-based) of word ``w``,
+    NULL when even the single character is out-of-vocab. A lambda-free
+    CASE chain over piece lengths max..1 (each arm guards the remaining
+    length, so a truncated substr can never fake a longer match) —
+    deliberately not a filter/array_max lambda: DuckDB 1.0's nested
+    lambda captures mis-vectorize (list_reduce returned DIFFERENT
+    results for identical rows in the same batch — probed r15), and a
+    static chain is also friendlier to Spark codegen."""
+    contains = "array_contains" if d == x.SPARK else "list_contains"
+    sub = "substring" if d == x.SPARK else "substr"
+    v = _subword_vocab_lit(d)
+    arms = " ".join(
+        f"WHEN {pos} + {l - 1} <= length({w}) "
+        f"AND {contains}({v}, {sub}({w}, CAST({pos} AS INT), {l})) THEN {l}"
+        for l in range(SUBWORD_MAX_PIECE, 0, -1)
+    )
+    return f"(CASE {arms} ELSE NULL END)"
+
+
+def subword_walk_expr(w: str, d: str) -> str:
+    """Greedy longest-match-first subword segmentation of one word —
+    WordPiece's inference algorithm (Wu et al. 2016, arXiv:1609.08144
+    §3.1; position-independent pieces, i.e. SentencePiece-style units
+    rather than ##-marked continuations — the ## variant is the same
+    walk with a second vocab array). Returns a struct
+    (pos, cnt, unk, fp): cnt = number of pieces, unk = 1 if the word
+    hit an out-of-vocab character (the whole remainder becomes one
+    [UNK], as in WordPiece), fp = the boundary-position fingerprint.
+
+    The walk is a LEFT FOLD with at most length(w) steps (each step
+    advances >= 1 char; the exhausted state is the identity), spelled
+    ``aggregate(sequence(1, L), zero, step)``. SPARK DIALECT ONLY:
+    DuckDB 1.0's ``list_reduce`` mis-vectorizes captured columns
+    (identical rows in one batch returned different folds — probed
+    r15), so the oracle walks the same recurrence as a recursive CTE
+    instead (:func:`subword_segment_oracle_sql`). Entirely scan-local:
+    no shuffle, no Python — per-character cost is bounded by the
+    max-piece-length CASE chain inside codegen.
+    """
+    if d != x.SPARK:
+        raise ValueError(
+            "subword_walk_expr is Spark-only: DuckDB 1.0 list_reduce "
+            "mis-vectorizes captured columns; use the recursive-CTE "
+            "oracle (subword_segment_oracle_sql)"
+        )
+    L = f"length({w})"
+    m = subword_match_len_expr(w, "acc.pos", d)
+    zero = (
+        "named_struct('pos', CAST(1 AS BIGINT), 'cnt', CAST(0 AS BIGINT), "
+        "'unk', CAST(0 AS BIGINT), 'fp', CAST(0 AS BIGINT))"
+    )
+    unk_state = (
+        f"named_struct('pos', CAST({L} + 1 AS BIGINT), 'cnt', acc.cnt + 1, "
+        f"'unk', acc.unk + 1, "
+        f"'fp', (acc.fp * 31 + {L} + 1) % {SUBWORD_FP_MOD})"
+    )
+    hit_state = (
+        "named_struct('pos', acc.pos + _m, 'cnt', acc.cnt + 1, "
+        "'unk', acc.unk, "
+        f"'fp', (acc.fp * 31 + acc.pos + _m) % {SUBWORD_FP_MOD})"
+    )
+    step = (
+        f"CASE WHEN acc.pos > {L} THEN acc ELSE "
+        f"transform(array(CAST({m} AS BIGINT)), _m -> "
+        f"CASE WHEN _m IS NULL THEN {unk_state} ELSE {hit_state} END)[0] "
+        "END"
+    )
+    return f"aggregate(sequence(1, {L}), {zero}, (acc, _i) -> {step})"
+
+
+def subword_doc_expr(text_col: str, d: str) -> str:
+    """Per-document subword stats as ONE struct expression
+    (Spark-only; see :func:`subword_walk_expr`): (n_words, n_pieces,
+    n_unk_words, seg_fp) — seg_fp sums the per-word boundary
+    fingerprints, so it checks the exact segmentation, not just
+    counts. Uses the let trick to tokenize and walk exactly once."""
+    walk = x.xform("_ws", "_w", subword_walk_expr("_w", d), d)
+    sums = {
+        "n_pieces": x.xsum_int(x.xform("_segs", "_s", "_s.cnt", d), d),
+        "n_unk_words": x.xsum_int(x.xform("_segs", "_s", "_s.unk", d), d),
+        "seg_fp": x.xsum_int(x.xform("_segs", "_s", "_s.fp", d), d),
+    }
+    body = (
+        "named_struct('n_words', CAST(size(_ws) AS BIGINT), "
+        f"'n_pieces', {sums['n_pieces']}, "
+        f"'n_unk_words', {sums['n_unk_words']}, "
+        f"'seg_fp', {sums['seg_fp']})"
+    )
+    inner = x.let(walk, "_segs", body, d)
+    return x.let(x.tokens(text_col, d), "_ws", inner, d)
+
+
+def subword_segment(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy subword segmentation stats per document over the frozen
+    broadcast vocabulary — the real-tokenizer replacement for the
+    whitespace/regex token-count proxy in doc_stats: training budgets
+    are set in TOKENIZER tokens, and this is the engine-side way to
+    count them without a Python UDF. Empty docs report zero counts
+    (kept — a budget pipeline needs their zero, not their absence).
+
+    Scale shape: pure per-row expression tree — zero shuffles, whole
+    plan inside codegen, linear in corpus characters; the vocabulary
+    is a plan constant (or a broadcast array frame at production
+    vocab sizes). The oracle twin proves the walk with a recursive
+    CTE, one recursion row per emitted piece.
+
+    Returns (doc_id, n_words, n_pieces, n_unk_words, seg_fp,
+    pieces_per_word_x1000 — the fixed-point compression diagnostic).
+    """
+    s = x.SPARK
+    return df.selectExpr(
+        id_col, f"{subword_doc_expr(text_col, s)} AS _sw"
+    ).selectExpr(
+        id_col,
+        "_sw.n_words AS n_words",
+        "_sw.n_pieces AS n_pieces",
+        "_sw.n_unk_words AS n_unk_words",
+        "_sw.seg_fp AS seg_fp",
+        "CASE WHEN _sw.n_words > 0 THEN (CAST(1000 AS BIGINT) * _sw.n_pieces)"
+        " DIV _sw.n_words ELSE CAST(0 AS BIGINT) END AS pieces_per_word_x1000",
+    )
+
+
+def _subword_walk_ctes(table: str, text_col: str, id_col: str) -> str:
+    """The shared recursive-CTE walk body (g/words/walk/done): one row
+    per (doc, word) state, stepping pos -> pos + match until exhausted
+    — the same recurrence as Spark's aggregate fold. Callers compose it
+    under ``WITH RECURSIVE`` and aggregate ``done`` their own way."""
+    d = x.DUCK
+    m = subword_match_len_expr("w", "pos", d)
+    return f"""g AS (
+  SELECT {id_col}, {x.tokens(text_col, d)} AS _ws FROM {table}
+), words AS (
+  SELECT {id_col}, UNNEST(_ws) AS w,
+         UNNEST(range(1, len(_ws) + 1)) AS wi
+  FROM g
+), walk AS (
+  SELECT {id_col}, wi, w,
+         CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cnt,
+         CAST(0 AS BIGINT) AS unk, CAST(0 AS BIGINT) AS fp
+  FROM words
+  UNION ALL
+  SELECT {id_col}, wi, w,
+         CASE WHEN m IS NULL THEN length(w) + 1 ELSE pos + m END,
+         cnt + 1,
+         unk + CASE WHEN m IS NULL THEN 1 ELSE 0 END,
+         (fp * 31 + CASE WHEN m IS NULL THEN length(w) + 1
+                         ELSE pos + m END) % {SUBWORD_FP_MOD}
+  FROM (SELECT *, {m} AS m FROM walk WHERE pos <= length(w)) s
+), done AS (
+  SELECT {id_col}, wi, cnt, unk, fp FROM walk WHERE pos > length(w)
+)"""
+
+
+def subword_segment_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB mirror of :func:`subword_segment` as a RECURSIVE CTE:
+    one row per (doc, word) walk state — the same recurrence as
+    Spark's aggregate fold, with the match length from the identical
+    lambda-free CASE chain. (list_reduce is avoided on purpose:
+    DuckDB 1.0 mis-vectorizes captured columns in fold lambdas —
+    probed r15.)"""
+    return f"""
+WITH RECURSIVE {_subword_walk_ctes(table, text_col, id_col)}, per_doc AS (
+  SELECT {id_col},
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(cnt) AS BIGINT) AS n_pieces,
+         CAST(SUM(unk) AS BIGINT) AS n_unk_words,
+         CAST(SUM(fp) AS BIGINT) AS seg_fp
+  FROM done GROUP BY 1
+)
+SELECT g.{id_col},
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_pieces, 0) AS n_pieces,
+       COALESCE(p.n_unk_words, 0) AS n_unk_words,
+       COALESCE(p.seg_fp, 0) AS seg_fp,
+       CASE WHEN COALESCE(p.n_words, 0) > 0
+            THEN (CAST(1000 AS BIGINT) * p.n_pieces) // p.n_words
+            ELSE CAST(0 AS BIGINT) END AS pieces_per_word_x1000
+FROM g LEFT JOIN per_doc p USING ({id_col})
+"""
+
+
+def subword_token_counts_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: str = "source",
+) -> str:
+    """(id, extra_cols, n_subword_tokens) per document — the oracle-side
+    twin of budgeting by REAL tokenizer tokens: composes under another
+    oracle\'s FROM clause (token_budget_mixture_oracle_sql takes it as
+    its ``table``)."""
+    ec = f"t.{', t.'.join(c.strip() for c in extra_cols.split(','))}, " if extra_cols else ""
+    return f"""(
+WITH RECURSIVE {_subword_walk_ctes(table, text_col, id_col)}, per_doc AS (
+  SELECT {id_col}, CAST(SUM(cnt) AS BIGINT) AS n_subword_tokens
+  FROM done GROUP BY 1
+)
+SELECT t.{id_col}, {ec}COALESCE(p.n_subword_tokens, 0) AS n_subword_tokens
+FROM {table} t LEFT JOIN per_doc p USING ({id_col})
+) sw"""

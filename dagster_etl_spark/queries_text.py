@@ -1654,3 +1654,72 @@ def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import quality_classifier_score
 
     return quality_classifier_score(load_table(spark, sf_dir, "documents"))
+
+
+def _subword_oracle() -> str:
+    from dagster_etl_spark.operators.text import subword_segment_oracle_sql
+
+    return subword_segment_oracle_sql()
+
+
+@register(
+    "subword_segment",
+    oracle=_subword_oracle(),
+    tags=("llm", "text"),
+    doc="Greedy longest-match-first subword segmentation (WordPiece "
+    "inference, Wu et al. 2016) over a frozen vocabulary: per-doc "
+    "piece/UNK counts plus a boundary-position fingerprint that "
+    "checks the exact segmentation. Pure per-row expression tree — "
+    "zero shuffles, codegen throughout; the vocab is a plan constant. "
+    "Oracle walks the identical recurrence as a recursive CTE "
+    "(DuckDB 1.0 list_reduce mis-vectorizes captured columns).",
+)
+def q_subword_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import subword_segment
+
+    return subword_segment(load_table(spark, sf_dir, "documents"))
+
+
+_MIX_BUDGETS_SW = {"src0": 10_000_000, "src1": 2_000, "src2": 300, "src3": 800}
+
+
+def _budget_subword_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import (
+        token_budget_mixture_oracle_sql,
+    )
+    from dagster_etl_spark.operators.text import (
+        subword_token_counts_oracle_sql,
+    )
+
+    return token_budget_mixture_oracle_sql(
+        _MIX_BUDGETS_SW,
+        table=subword_token_counts_oracle_sql(),
+        token_col="n_subword_tokens",
+        select_cols="doc_id, source, n_subword_tokens",
+        seed=13,
+    )
+
+
+@register(
+    "token_budget_mixture_subword",
+    oracle=_budget_subword_oracle(),
+    tags=("llm", "sampling", "text"),
+    doc="token_budget_mixture re-based on REAL tokenizer tokens: the "
+    "per-source budgets fill by greedy-subword piece counts "
+    "(subword_segment) instead of the n_chars proxy — the form a "
+    "pretraining pipeline actually budgets in. Same one hash exchange "
+    "+ per-source cumulative window; the segmentation itself adds "
+    "zero shuffles (scan-local expression).",
+)
+def q_token_budget_mixture_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import token_budget_mixture
+    from dagster_etl_spark.operators.text import subword_doc_expr
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        f"{subword_doc_expr('text', x.SPARK)}.n_pieces AS n_subword_tokens",
+    )
+    return token_budget_mixture(
+        docs, _MIX_BUDGETS_SW, token_col="n_subword_tokens", seed=13
+    )

@@ -210,6 +210,8 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "value_percentiles_exact",
     # mid-r15 registrations (ALLCHECK_r15-swept; no driver row yet)
     "quality_classifier_score",
+    "subword_segment",
+    "token_budget_mixture_subword",
 )
 
 

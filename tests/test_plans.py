@@ -138,6 +138,7 @@ AUDITED = [
     "hybrid_rrf_ivf",
     # r15 registrations (pure expression trees)
     "quality_classifier_score",
+    "subword_segment",
 ]
 
 
@@ -473,6 +474,9 @@ EXCHANGE_BUDGET = {
     # model table is a broadcast hash join (4096 rows), no window, no
     # corpus sort
     "quality_classifier_score": 1,
+    # r15 greedy subword walk: pure per-row expression tree — ZERO
+    # shuffles is the operator's scale claim, pinned here
+    "subword_segment": 0,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -991,3 +991,81 @@ def test_quality_classifier_matches_python_model(spark, texts):
         for r in quality_classifier_score(df).collect()
     }
     assert got == want, (texts, got, want)
+
+
+# -- subword segmentation vs a pure-Python model --------------------------------
+
+subword_word = st.text(alphabet="abez9!", min_size=0, max_size=7)
+subword_texts = st.lists(
+    st.lists(subword_word, min_size=0, max_size=5).map(lambda t: " ".join(t)),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=subword_texts)
+@settings(**SETTINGS)
+def test_subword_segment_matches_python_model(spark, texts):
+    """r14 verdict task 4's independence check: the greedy
+    longest-match walk must equal a from-scratch Python implementation
+    on arbitrary words — multi-char matches, single-char fallbacks,
+    out-of-vocab characters ('!' -> the whole remainder is one [UNK]),
+    and empty documents (zero counts, kept)."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import (
+        SUBWORD_FP_MOD,
+        SUBWORD_MAX_PIECE,
+        SUBWORD_VOCAB,
+        subword_segment,
+    )
+
+    V = set(SUBWORD_VOCAB)
+
+    def walk(wd: str):
+        pos, cnt, unk, fp = 1, 0, 0, 0
+        L = len(wd)
+        while pos <= L:
+            m = next(
+                (
+                    l
+                    for l in range(SUBWORD_MAX_PIECE, 0, -1)
+                    if pos + l - 1 <= L and wd[pos - 1 : pos - 1 + l] in V
+                ),
+                None,
+            )
+            if m is None:
+                cnt, unk, pos = cnt + 1, unk + 1, L + 1
+                fp = (fp * 31 + L + 1) % SUBWORD_FP_MOD
+            else:
+                pos, cnt = pos + m, cnt + 1
+                fp = (fp * 31 + pos) % SUBWORD_FP_MOD
+        return cnt, unk, fp
+
+    def model(text: str):
+        words = [w for w in text.strip().lower().split() if w]
+        segs = [walk(w) for w in words]
+        n_p = sum(s[0] for s in segs)
+        return (
+            len(words),
+            n_p,
+            sum(s[1] for s in segs),
+            sum(s[2] for s in segs),
+            (1000 * n_p) // len(words) if words else 0,
+        )
+
+    want = {i: model(t) for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (
+            r.n_words,
+            r.n_pieces,
+            r.n_unk_words,
+            r.seg_fp,
+            r.pieces_per_word_x1000,
+        )
+        for r in subword_segment(df).collect()
+    }
+    assert got == want, (texts, got, want)

@@ -171,6 +171,10 @@ QUERIES: dict[str, str] = {
     # 4096-row model join + one per-doc aggregate over the documents
     # axis — work linear in corpus tokens, model size constant
     "quality_classifier_score": "cipher",
+    # r15: the subword walk is scan-local (zero shuffles) over the
+    # documents axis — the trend measures the per-character CASE-chain
+    # constant factor, linear in corpus characters
+    "subword_segment": "cipher",
 }
 
 
