@@ -2380,3 +2380,220 @@ WITH RECURSIVE {_subword_walk_ctes(table, text_col, id_col)}, per_doc AS (
 SELECT t.{id_col}, {ec}COALESCE(p.n_subword_tokens, 0) AS n_subword_tokens
 FROM {table} t LEFT JOIN per_doc p USING ({id_col})
 ) sw"""
+
+
+# -- interpolated Kneser-Ney bigram LM -----------------------------------------
+
+#: Kneser-Ney absolute discount D = 3/4 as an exact rational (num,
+#: den): the standard 0.75 used when the Chen & Goodman (1998)
+#: count-of-counts estimate is not being fit. Rational, so the KN
+#: probability stays a single integer fraction.
+KN_DISCOUNT = (3, 4)
+
+
+def kn_bigram_surprisal(
+    df: DataFrame,
+    scale: int = SURPRISAL_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean surprisal under an INTERPOLATED KNESER-NEY bigram
+    LM (Kneser & Ney 1995; Chen & Goodman 1998 — the KenLM-style
+    smoothing CCNet's perplexity filter actually ships, upgrading the
+    add-one-smoothed bigram twin above):
+
+        P_KN(w2|w1) = (c12 - D)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/N1+(··)
+
+    with D = 3/4, c12 = bigram count, c1 = w1's prefix occurrences,
+    N1+(w1,·) = w1's distinct continuations, N1+(·,w2) = w2's distinct
+    CONTEXTS (the continuation probability — "how many different
+    prefixes license w2", the insight that demotes 'francisco'-style
+    words frequent only in one context), N1+(··) = distinct bigram
+    types. Scoring the corpus under its own LM means c12 >= 1, so the
+    max(·,0) clamp never binds and P_KN is the single exact fraction
+
+        ((4·c12 - 3)·Nbi + 3·N1p·Ncont) / (4·c1·Nbi)
+
+    whose floor-log2 is :func:`xdialect.floor_log2_ratio` — the same
+    1-bit-grain integer quantization as the whole LM family (P_KN <= 1
+    because KN is a proper distribution, so the surprisal is
+    non-negative). Per-doc score = fixed-point occurrence-weighted
+    mean; head/middle/tail at cumulative-histogram tercile cutpoints.
+    Docs with < 2 tokens have no bigram positions and are excluded.
+
+    Scale shape: ONE positional-bigram explode (pinned) feeds all four
+    count aggregates (per-doc tf, c12 by bigram, (c1, N1p) by prefix —
+    one aggregate, two measures, Ncont by suffix); the (Nbi, n_docs)
+    constants ride one broadcast 1-row frame; the probe joins are
+    term-keyed equi-joins; the histogram trick keeps the tercile
+    cutpoints off any corpus-sized sort.
+
+    BIGINT headroom: 4·c1·Nbi <= 4·T·B where T = corpus tokens, B =
+    distinct bigram types (B <= T); at sf0.1 (~5·10^5 tokens) that is
+    ~10^12, five orders under the 9.2·10^18 ceiling. The product
+    crosses BIGINT near T ~ 1.5·10^9 tokens per LM shard — at 100 TB
+    partition the LM by language/domain shard (the production shape
+    anyway) or move the two factors into DECIMAL(38,0).
+
+    Returns (doc_id, n_bigrams, surprisal_scaled, surprisal, bucket).
+    """
+    from pyspark.sql.window import Window
+
+    s = x.SPARK
+    dn, dd = KN_DISCOUNT
+    tok = x.tokens(text_col, s)
+    bg = x.let(tok, "_t", _bigram_list_expr("_t", s), s)
+    g = df.selectExpr(
+        id_col, f"{bg} AS _bg"
+    ).selectExpr(
+        id_col, f"CAST({x.xsize('_bg', s)} AS BIGINT) AS nb", "_bg"
+    ).filter("nb > 0")
+    ex = pin(
+        g.select(id_col, "nb", F.explode("_bg").alias("bg"))
+        .selectExpr(
+            id_col, "nb", "bg",
+            "split(bg, ' ')[0] AS w1", "split(bg, ' ')[1] AS w2",
+        )
+    )
+    tf = ex.groupBy(id_col, "nb", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    c12 = ex.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    pre = ex.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c1"),
+        F.countDistinct("w2").cast("long").alias("n1p"),
+    )
+    cont = ex.groupBy("w2").agg(
+        F.countDistinct("w1").cast("long").alias("ncont")
+    )
+    consts = ex.agg(F.countDistinct("bg").cast("long").alias("nbi")).crossJoin(
+        g.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    # re-derive w1/w2 on the tf frame (split of the grouped key) so the
+    # prefix/suffix joins don't need them in the aggregate key
+    keyed = tf.selectExpr(
+        id_col, "nb", "bg", "tf",
+        "split(bg, ' ')[0] AS w1", "split(bg, ' ')[1] AS w2",
+    )
+    qsurp = x.floor_log2_ratio(
+        f"{dd} * c1 * nbi",
+        f"({dd} * c12 - {dn}) * nbi + {dn} * n1p * ncont",
+        s,
+    )
+    docsc = pin(
+        keyed.join(c12, on="bg")
+        .join(pre, on="w1")
+        .join(cont, on="w2")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col, "nb", "n_docs")
+        .agg(F.sum(F.expr(f"tf * CAST({qsurp} AS BIGINT)")).alias("_sq"))
+        .selectExpr(
+            id_col,
+            "nb AS n_bigrams",
+            "n_docs",
+            f"(CAST({scale} AS BIGINT) * _sq) DIV nb AS surprisal_scaled",
+        )
+    )
+    hist = docsc.groupBy("surprisal_scaled", "n_docs").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cw = Window.orderBy("surprisal_scaled").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("cnt").over(cw))
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 3 >= F.col("n_docs"), F.col("surprisal_scaled"))
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") * 3 >= 2 * F.col("n_docs"), F.col("surprisal_scaled")
+                )
+            ).alias("t2"),
+        )
+    )
+    return docsc.crossJoin(F.broadcast(thr)).selectExpr(
+        id_col,
+        "n_bigrams",
+        "surprisal_scaled",
+        f"CAST(surprisal_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS surprisal",
+        "CASE WHEN surprisal_scaled <= t1 THEN 'head' "
+        "WHEN surprisal_scaled <= t2 THEN 'middle' ELSE 'tail' END AS bucket",
+    )
+
+
+def kn_bigram_surprisal_oracle_sql(
+    table: str = "documents",
+    scale: int = SURPRISAL_SCALE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`kn_bigram_surprisal` — same exact
+    KN fraction, same floor-log2, same tercile cutpoints."""
+    d = x.DUCK
+    dn, dd = KN_DISCOUNT
+    tok = x.tokens(text_col, d)
+    bg = x.let(tok, "_t", _bigram_list_expr("_t", d), d)
+    qsurp = x.floor_log2_ratio(
+        f"{dd} * c1.c1 * tot.nbi",
+        f"({dd} * c12.c12 - {dn}) * tot.nbi + {dn} * c1.n1p * cont.ncont",
+        d,
+    )
+    return f"""
+WITH g0 AS (
+  SELECT {id_col}, {bg} AS _bg FROM {table}
+), g AS (
+  SELECT {id_col}, CAST({x.xsize('_bg', d)} AS BIGINT) AS nb, _bg FROM g0
+  WHERE {x.xsize('_bg', d)} > 0
+), ex AS (
+  SELECT {id_col}, nb, bg,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM (SELECT {id_col}, nb, UNNEST(_bg) AS bg FROM g)
+), tf AS (
+  SELECT {id_col}, nb, bg, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex GROUP BY 1, 2, 3
+), keyed AS (
+  SELECT {id_col}, nb, bg, tf,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM tf
+), c12 AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM ex GROUP BY 1
+), c1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1,
+         CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1p
+  FROM ex GROUP BY 1
+), cont AS (
+  SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS ncont FROM ex GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT bg) AS BIGINT) AS nbi FROM ex
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM g
+), docsc AS (
+  SELECT keyed.{id_col}, keyed.nb AS n_bigrams, nd.n_docs,
+         CAST((CAST({scale} AS BIGINT)
+               * CAST(SUM(keyed.tf * CAST({qsurp} AS BIGINT)) AS BIGINT))
+           // keyed.nb AS BIGINT) AS surprisal_scaled
+  FROM keyed JOIN c12 USING (bg) JOIN c1 USING (w1) JOIN cont USING (w2)
+  CROSS JOIN tot CROSS JOIN nd
+  GROUP BY 1, 2, 3
+), hist AS (
+  SELECT surprisal_scaled, n_docs, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM docsc GROUP BY 1, 2
+), cum AS (
+  SELECT surprisal_scaled, n_docs,
+         SUM(cnt) OVER (ORDER BY surprisal_scaled
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), thr AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n_docs THEN surprisal_scaled END) AS t1,
+         MIN(CASE WHEN cum * 3 >= 2 * n_docs THEN surprisal_scaled END) AS t2
+  FROM cum
+)
+SELECT d.{id_col}, d.n_bigrams, d.surprisal_scaled,
+       CAST(d.surprisal_scaled AS DOUBLE) / CAST({scale} AS DOUBLE) AS surprisal,
+       CASE WHEN d.surprisal_scaled <= thr.t1 THEN 'head'
+            WHEN d.surprisal_scaled <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM docsc d CROSS JOIN thr
+"""

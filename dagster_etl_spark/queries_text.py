@@ -1723,3 +1723,28 @@ def q_token_budget_mixture_subword(spark: SparkSession, sf_dir: str) -> DataFram
     return token_budget_mixture(
         docs, _MIX_BUDGETS_SW, token_col="n_subword_tokens", seed=13
     )
+
+
+def _kn_oracle() -> str:
+    from dagster_etl_spark.operators.text import kn_bigram_surprisal_oracle_sql
+
+    return kn_bigram_surprisal_oracle_sql()
+
+
+@register(
+    "kn_bigram_surprisal",
+    oracle=_kn_oracle(),
+    tags=("llm", "text", "quality"),
+    doc="Interpolated Kneser-Ney bigram LM surprisal buckets (Kneser & "
+    "Ney 1995, Chen & Goodman 1998 — the KenLM-style smoothing behind "
+    "CCNet's perplexity filter): absolute discount 3/4, continuation "
+    "probability from distinct-context counts, the whole P_KN as one "
+    "exact integer fraction through floor_log2_ratio. One pinned "
+    "positional-bigram explode feeds all four count aggregates; "
+    "constants ride a broadcast 1-row frame; tercile cutpoints from "
+    "the cumulative histogram (no corpus sort).",
+)
+def q_kn_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import kn_bigram_surprisal
+
+    return kn_bigram_surprisal(load_table(spark, sf_dir, "documents"))

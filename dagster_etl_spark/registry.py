@@ -212,6 +212,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "quality_classifier_score",
     "subword_segment",
     "token_budget_mixture_subword",
+    "kn_bigram_surprisal",
 )
 
 

@@ -139,6 +139,7 @@ AUDITED = [
     # r15 registrations (pure expression trees)
     "quality_classifier_score",
     "subword_segment",
+    "kn_bigram_surprisal",
 ]
 
 
@@ -235,6 +236,10 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
         5, "one (V, n_docs) constants frame: its 1-row x 1-row build "
            "join + its fan-in, x2 pinned prints, + the 1-row tercile-"
            "cutpoint frame"),
+    "kn_bigram_surprisal": (
+        5, "one (Nbi, n_docs) constants frame: its 1-row x 1-row build "
+           "join + its fan-in, x2 pinned prints, + the 1-row tercile-"
+           "cutpoint frame (same shape as bigram_surprisal_buckets)"),
     "hybrid_rrf_ivf": (
         1, "inherits bm25's 1-row totals frame (the IVF leg's probe "
            "join is an equi-join on the bucket key, no nested loop)"),
@@ -477,6 +482,13 @@ EXCHANGE_BUDGET = {
     # r15 greedy subword walk: pure per-row expression tree — ZERO
     # shuffles is the operator's scale claim, pinned here
     "subword_segment": 0,
+    # r15 Kneser-Ney bigram LM (printed counts; the pinned per-doc
+    # score frame reprints its upstream once per consumer branch but
+    # executes once): tf + c12 aggregates + the two countDistinct
+    # aggregates (prefix continuations, suffix contexts — 2 exchanges
+    # each via Expand) + (Nbi, n_docs) constants Singles + doc agg,
+    # all x2 pinned prints, + histogram agg + cutpoint Single
+    "kn_bigram_surprisal": 22,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -175,6 +175,10 @@ QUERIES: dict[str, str] = {
     # documents axis — the trend measures the per-character CASE-chain
     # constant factor, linear in corpus characters
     "subword_segment": "cipher",
+    # the KN bigram LM rides the same axis as the add-one bigram form:
+    # per-copy disjoint vocab keeps counts, continuation counts and
+    # distinct-bigram totals copy-invariant — work linear in tokens
+    "kn_bigram_surprisal": "cipher",
 }
 
 
