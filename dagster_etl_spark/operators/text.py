@@ -2597,3 +2597,98 @@ SELECT d.{id_col}, d.n_bigrams, d.surprisal_scaled,
             ELSE 'tail' END AS bucket
 FROM docsc d CROSS JOIN thr
 """
+
+
+# -- composite quality gate ----------------------------------------------------
+
+def quality_gate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The FineWeb/CCNet-style COMPOSITE curation gate — the three
+    standard quality signals, each already an operator here, joined
+    into one per-document keep decision (the form a crawl-curation
+    pipeline actually ships: structural gate AND model gate AND
+    perplexity gate):
+
+    1. Gopher structural flags (:func:`gopher_quality` — per-row, no
+       shuffle): token-count bounds, mean word length, repeated-bigram
+       ratio;
+    2. fastText-shape classifier keep
+       (:func:`quality_classifier_score` — broadcast model join + one
+       aggregate): logit >= 0;
+    3. CCNet perplexity bucket (:func:`ccnet_surprisal_buckets` —
+       corpus-relative tercile): not 'tail'.
+
+    Scale shape: branch 1 is scan-local; branches 2 and 3 end in
+    per-doc frames that join back on the id key (AQE-planned
+    equi-joins; at 100 TB pre-partition the corpus by the id key once
+    and all three branches plus the joins co-locate). Empty docs are
+    excluded from branches 2-3 by construction and fail the composite
+    via the COALESCEd flags (Gopher's n >= 30 already rejects them).
+
+    Returns (doc_id, keep_gopher, keep_classifier, ppl_bucket, keep)
+    with 0/1 BIGINT flags ('none' bucket for docs absent from the
+    perplexity branch).
+    """
+    base = gopher_quality(df, text_col, id_col).select(
+        id_col, F.col("keep").alias("keep_gopher")
+    )
+    clf = quality_classifier_score(df, text_col, id_col).selectExpr(
+        id_col,
+        "CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT) AS keep_classifier",
+    )
+    ppl = ccnet_surprisal_buckets(df, text_col=text_col, id_col=id_col).select(
+        id_col, F.col("bucket").alias("ppl_bucket")
+    )
+    return (
+        base.join(clf, on=id_col, how="left")
+        .join(ppl, on=id_col, how="left")
+        .selectExpr(
+            id_col,
+            "keep_gopher",
+            "COALESCE(keep_classifier, CAST(0 AS BIGINT)) AS keep_classifier",
+            "COALESCE(ppl_bucket, 'none') AS ppl_bucket",
+            "CAST(CASE WHEN keep_gopher = 1 "
+            "AND COALESCE(keep_classifier, 0) = 1 "
+            "AND COALESCE(ppl_bucket, 'none') IN ('head', 'middle') "
+            "THEN 1 ELSE 0 END AS BIGINT) AS keep",
+        )
+    )
+
+
+def quality_gate_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB mirror of :func:`quality_gate`: the three branch oracles
+    (each already bit-exact on its own) embedded as subqueries and
+    joined the same way."""
+    d = x.DUCK
+    gq = gopher_quality_exprs(text_col, d, tok="_tok")["keep"]
+    staged = (
+        f"SELECT {id_col}, {text_col}, "
+        f"{x.tokens(text_col, d)} AS _tok FROM {table}"
+    )
+    clf = quality_classifier_score_oracle_sql(table, text_col, id_col)
+    ppl = ccnet_surprisal_buckets_oracle_sql(table, text_col=text_col, id_col=id_col)
+    return f"""
+WITH gop AS (
+  SELECT {id_col}, {gq} AS keep_gopher FROM ({staged})
+), clf AS (
+  SELECT {id_col},
+         CAST(CASE WHEN keep THEN 1 ELSE 0 END AS BIGINT) AS keep_classifier
+  FROM ({clf}) c
+), ppl AS (
+  SELECT {id_col}, bucket AS ppl_bucket FROM ({ppl}) p
+)
+SELECT g.{id_col},
+       g.keep_gopher,
+       COALESCE(c.keep_classifier, CAST(0 AS BIGINT)) AS keep_classifier,
+       COALESCE(p.ppl_bucket, 'none') AS ppl_bucket,
+       CAST(CASE WHEN g.keep_gopher = 1
+            AND COALESCE(c.keep_classifier, 0) = 1
+            AND COALESCE(p.ppl_bucket, 'none') IN ('head', 'middle')
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM gop g
+LEFT JOIN clf c USING ({id_col})
+LEFT JOIN ppl p USING ({id_col})
+"""

@@ -1748,3 +1748,26 @@ def q_kn_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import kn_bigram_surprisal
 
     return kn_bigram_surprisal(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_gate_oracle() -> str:
+    from dagster_etl_spark.operators.text import quality_gate_oracle_sql
+
+    return quality_gate_oracle_sql()
+
+
+@register(
+    "quality_gate_composite",
+    oracle=_quality_gate_oracle(),
+    tags=("llm", "text", "quality"),
+    doc="FineWeb/CCNet-style composite curation gate: Gopher "
+    "structural flags AND fastText-shape classifier keep AND CCNet "
+    "perplexity bucket != tail, joined per document into one 0/1 keep "
+    "decision — the composition a crawl pipeline actually ships. "
+    "Branch 1 is scan-local; branches 2-3 join back on the id key "
+    "(co-locatable by pre-partitioning at scale).",
+)
+def q_quality_gate_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import quality_gate
+
+    return quality_gate(load_table(spark, sf_dir, "documents"))

@@ -213,6 +213,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "subword_segment",
     "token_budget_mixture_subword",
     "kn_bigram_surprisal",
+    "quality_gate_composite",
 )
 
 

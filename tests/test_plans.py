@@ -140,6 +140,7 @@ AUDITED = [
     "quality_classifier_score",
     "subword_segment",
     "kn_bigram_surprisal",
+    "quality_gate_composite",
 ]
 
 
@@ -240,6 +241,11 @@ BNLJ_ALLOWED: dict[str, tuple[int, str]] = {
         5, "one (Nbi, n_docs) constants frame: its 1-row x 1-row build "
            "join + its fan-in, x2 pinned prints, + the 1-row tercile-"
            "cutpoint frame (same shape as bigram_surprisal_buckets)"),
+    "quality_gate_composite": (
+        3, "inherits the ccnet branch's totals frame (x2 pinned "
+           "prints) + its 1-row tercile-cutpoint frame; the classifier "
+           "branch's model join is a broadcast HASH join, no nested "
+           "loop"),
     "hybrid_rrf_ivf": (
         1, "inherits bm25's 1-row totals frame (the IVF leg's probe "
            "join is an equi-join on the bucket key, no nested loop)"),
@@ -489,6 +495,12 @@ EXCHANGE_BUDGET = {
     # each via Expand) + (Nbi, n_docs) constants Singles + doc agg,
     # all x2 pinned prints, + histogram agg + cutpoint Single
     "kn_bigram_surprisal": 22,
+    # r15 composite gate (printed counts): the classifier branch's
+    # per-doc agg + its join re-shuffle, the ccnet branch's pinned
+    # upstream (tf + term-count + doc aggs + totals Single, x2 prints)
+    # + histogram agg + cutpoint Single + its join re-shuffle; the
+    # gopher branch is scan-local
+    "quality_gate_composite": 14,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -179,6 +179,10 @@ QUERIES: dict[str, str] = {
     # per-copy disjoint vocab keeps counts, continuation counts and
     # distinct-bigram totals copy-invariant — work linear in tokens
     "kn_bigram_surprisal": "cipher",
+    # the composite gate = gopher (scan-local) + classifier (broadcast
+    # model join) + ccnet (one-pass LM aggregates) + two id equi-joins
+    # — every branch linear on the documents axis
+    "quality_gate_composite": "cipher",
 }
 
 
