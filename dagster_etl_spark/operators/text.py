@@ -882,33 +882,64 @@ class IncrementalBM25Index:
             self.totals_table
         )
 
-    def topk(self, queries: DataFrame, k: int = 10) -> DataFrame:
+    def topk(
+        self, queries: DataFrame, k: int = 10, push_terms: int | None = 20_000
+    ) -> DataFrame:
         """Fixed-point BM25 top-k against the standing index.
         ``queries`` = (id_col, text_col); each query's distinct token
         set scores the accumulated corpus — identical arithmetic to
         :func:`bm25_topk_docs` with (N, total_tokens, df) read from
         the summed standing state. The probe join shuffles only the
         query term set; postings and partial dfs read co-located on
-        their term bucketing."""
+        their term bucketing.
+
+        TERM PUSHDOWN (r15 — what makes the probe BOUNDED instead of
+        corpus-linear): without it, the probe join must SCAN the whole
+        postings table even though only query-term rows survive — the
+        r15 30-day soak's first run measured exactly that, probe time
+        growing 1:1 with the corpus. When the query batch's distinct
+        term count is <= ``push_terms`` (collected via a LIMIT-capped
+        bounded job — the query batch is bounded by the same contract
+        as every ANN probe), the term set is pushed into BOTH corpus
+        scans as an IN filter: Spark's bucket pruning then reads only
+        the term-matching buckets and parquet row-group stats skip
+        within them, so probe cost tracks the MATCHING postings, not
+        the corpus. Semantics-preserving by construction (the join on
+        the query term set discards every filtered row anyway);
+        ``push_terms=None`` disables (and any batch over the cap falls
+        back to the full-scan plan rather than erroring).
+        """
         from pyspark.sql.window import Window
 
         spark = queries.sparkSession
         for t in (self.postings_table, self.df_table, self.totals_table):
             spark.catalog.refreshTable(t)
         postings = spark.table(self.postings_table)
-        dfq = spark.table(self.df_table).groupBy("term").agg(
-            F.sum("df").cast("long").alias("df")
-        )
-        tot = spark.table(self.totals_table).agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("total_tokens").cast("long").alias("total_tokens"),
-        )
+        raw_df = spark.table(self.df_table)
         qt = (
             queries.selectExpr(
                 f"{self.id_col} AS query_id",
                 f"explode({x.tokens(self.text_col, x.SPARK)}) AS term",
             )
             .distinct()
+        )
+        if push_terms is not None:
+            terms = [
+                r.term
+                for r in qt.select("term")
+                .distinct()
+                .limit(push_terms + 1)
+                .collect()
+            ]
+            if len(terms) <= push_terms:
+                postings = postings.filter(F.col("term").isin(terms))
+                raw_df = raw_df.filter(F.col("term").isin(terms))
+        dfq = raw_df.groupBy("term").agg(
+            F.sum("df").cast("long").alias("df")
+        )
+        tot = spark.table(self.totals_table).agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
         )
         avgdl = "(total_tokens DIV n_docs)"
         num = (

@@ -1333,6 +1333,18 @@ def test_incremental_bm25_probe_plan_and_compact(spark):
     assert n_shuffles <= 5, f"probe plans {n_shuffles} shuffles:\n{plan[:2000]}"
     assert "t_bm25_plan_bm25_postings" in plan
     assert "ShuffledHashJoin" in plan
+    # r15 term pushdown: the bounded query batch's term set must reach
+    # BOTH corpus scans as an IN filter (bucket pruning + row-group
+    # skipping — what turns the probe from corpus-linear to
+    # matching-postings-bounded; first r15 soak run measured the
+    # difference)
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and ("_bm25_postings" in l or "_bm25_df" in l)
+    ]
+    assert scan_lines and all("INSET" in l or " IN (" in l for l in scan_lines), (
+        "query term set not pushed into the corpus scans"
+    )
     # the bucketed postings scan feeds its join with no Exchange
     lines = plan.splitlines()
     pi = next(i for i, l in enumerate(lines) if "_bm25_postings" in l and "FileScan" in l)

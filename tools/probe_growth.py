@@ -173,12 +173,20 @@ def _bm25_series(spark, docs, n: int) -> tuple[list[dict], int]:
     from tools.scale_trend_llm import _cipher_docs
 
     all_copies = _cipher_docs(docs, DAYS, n)
-    # fixed query set: PROBE_PER_DAY docs per copy (same scheme as the
-    # near-dup probe) — each query only matches docs of its own cipher
-    # copy (disjoint vocab), so hits grow as copies arrive while the
-    # query side stays constant
+    # r15: fixed BOUNDED query set — PROBE_PER_DAY docs from copy 0
+    # only (the production probe contract: |queries| << |corpus|, same
+    # as every ANN batch). The r14 scheme sampled every copy, which
+    # made the probe-side VOCABULARY grow with DAYS and (together with
+    # the then-unfiltered corpus scan) measured a corpus-linear probe;
+    # with the bounded set, topk()'s term pushdown prunes the postings
+    # scan to the query terms' buckets/row-groups and the claim under
+    # test is the right one: probe cost bounded while the corpus grows
+    # DAYS x. Hits are constant (~10 per query against copy-0 docs)
+    # by the disjoint-vocab construction.
     queries = (
-        all_copies.filter(F.col("doc_id") % (n // PROBE_PER_DAY) == 0)
+        all_copies.filter(
+            (F.col("doc_id") < n) & (F.col("doc_id") % (n // PROBE_PER_DAY) == 0)
+        )
         .select((F.col("doc_id") + DAYS * n * 10).alias("doc_id"), "text")
         .localCheckpoint()
     )
