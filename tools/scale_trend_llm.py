@@ -183,6 +183,10 @@ QUERIES: dict[str, str] = {
     # model join) + ccnet (one-pass LM aggregates) + two id equi-joins
     # — every branch linear on the documents axis
     "quality_gate_composite": "cipher",
+    # budgets fixed => output ~constant while the per-source windows
+    # sweep the grown corpus (same law as token_budget_mixture); the
+    # subword walk itself is scan-local
+    "token_budget_mixture_subword": "cipher",
 }
 
 
