@@ -1771,3 +1771,65 @@ def q_quality_gate_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.text import quality_gate
 
     return quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+def _packed_subword_oracle() -> str:
+    from dagster_etl_spark.operators.text import (
+        _subword_walk_ctes,
+        chunk_docs_oracle_sql,
+    )
+
+    chunks = chunk_docs_oracle_sql()
+    bucket = x.h60("CAST(doc_id AS VARCHAR)", x.DUCK)
+    walk = _subword_walk_ctes("ck", "chunk_text", "ckid")
+    return f"""
+WITH RECURSIVE chunks AS (
+  {chunks}
+), ck AS (
+  SELECT doc_id, chunk_idx, chunk_text,
+         doc_id * 1000000 + chunk_idx AS ckid
+  FROM chunks
+), {walk}, per_ck AS (
+  SELECT ckid, CAST(SUM(cnt) AS BIGINT) AS n FROM done GROUP BY 1
+), b AS (
+  SELECT c.doc_id, c.chunk_idx,
+         COALESCE(p.n, 0) AS n_subword_tokens,
+         CAST({bucket} % 64 AS INT) AS bucket
+  FROM ck c LEFT JOIN per_ck p USING (ckid)
+)
+SELECT bucket,
+       CAST((SUM(n_subword_tokens) OVER (
+          PARTITION BY bucket ORDER BY doc_id, chunk_idx
+          ROWS UNBOUNDED PRECEDING) - n_subword_tokens) // 512
+            AS BIGINT) AS seq_id,
+       doc_id, chunk_idx, n_subword_tokens
+FROM b
+"""
+
+
+@register(
+    "packed_sequences_subword",
+    oracle=_packed_subword_oracle(),
+    tags=("llm", "text"),
+    doc="packed_sequences re-based on REAL tokenizer tokens: the same "
+    "greedy 512-token first-fit packing within 64 hash buckets, but "
+    "each chunk's budget contribution is its greedy-subword piece "
+    "count (subword_segment's walk over the chunk text) instead of "
+    "the whitespace count — training sequences are budgeted in the "
+    "units the model actually consumes. The walk is scan-local; "
+    "still one shuffle (the bucket window).",
+)
+def q_packed_sequences_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import (
+        chunk_docs,
+        pack_chunks,
+        subword_doc_expr,
+    )
+
+    chunks = chunk_docs(load_table(spark, sf_dir, "documents"))
+    sw = chunks.selectExpr(
+        "doc_id",
+        "chunk_idx",
+        f"{subword_doc_expr('chunk_text', x.SPARK)}.n_pieces AS n_subword_tokens",
+    )
+    return pack_chunks(sw, n_col="n_subword_tokens")

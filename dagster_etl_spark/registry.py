@@ -214,6 +214,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "token_budget_mixture_subword",
     "kn_bigram_surprisal",
     "quality_gate_composite",
+    "packed_sequences_subword",
 )
 
 

@@ -187,6 +187,9 @@ QUERIES: dict[str, str] = {
     # sweep the grown corpus (same law as token_budget_mixture); the
     # subword walk itself is scan-local
     "token_budget_mixture_subword": "cipher",
+    # subword-budgeted packing: chunking + the walk are scan-local,
+    # one bucket-window shuffle — same law as packed_sequences
+    "packed_sequences_subword": "cipher",
 }
 
 
