@@ -354,3 +354,31 @@ def q_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.drift_monitor import streaming_drift_ingest
 
     return streaming_drift_ingest(spark, sf_dir)
+
+
+def _qclf_stream_oracle() -> str:
+    from dagster_etl_spark.operators.text import (
+        quality_classifier_score_oracle_sql,
+    )
+
+    return quality_classifier_score_oracle_sql()
+
+
+@register(
+    "streaming_quality_score",
+    oracle=_qclf_stream_oracle(),
+    tags=("streaming", "quality", "text"),
+    doc="Streaming quality-classifier scoring: the documents corpus "
+    "arrives as 4 micro-batches (file stream, maxFilesPerTrigger=1) "
+    "and each batch is scored by the frozen fastText-shape model via "
+    "foreachBatch, appending scored rows plus a per-batch keep-rate "
+    "observability row. The model is corpus-independent (the contrast "
+    "with the corpus-relative CCNet buckets, which stream via the "
+    "IncrementalUnigramLM surface), so the accumulated scored table "
+    "equals the one-shot quality_classifier_score bit-for-bit and the "
+    "same oracle verifies it.",
+)
+def q_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.quality import streaming_quality_score
+
+    return streaming_quality_score(spark, sf_dir)

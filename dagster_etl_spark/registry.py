@@ -215,6 +215,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "kn_bigram_surprisal",
     "quality_gate_composite",
     "packed_sequences_subword",
+    "streaming_quality_score",
 )
 
 

@@ -1,0 +1,83 @@
+"""Streaming quality scoring: the fastText-shape classifier applied to
+a document stream, one micro-batch at a time via ``foreachBatch``.
+
+The classifier is the one quality signal that streams TRIVIALLY — its
+model (the broadcast (bucket, weight) table) is FROZEN and every score
+is per-document, so batch-local application equals one-shot application
+over the union exactly, with no standing state at all. That is the
+deliberate contrast with the corpus-relative signals (CCNet surprisal
+buckets need corpus counts -> the IncrementalUnigramLM surface; tercile
+cutpoints need the corpus histogram): production pipelines run the
+classifier ON the ingest stream and the corpus-relative gates against
+standing state, which is exactly how the pieces here compose
+(streaming_quality_score + surprisal_incremental).
+
+Each micro-batch also appends a (batch_id, n_docs, n_keep) row to an
+observability table — the per-slice keep-rate a curation dashboard
+watches for upstream drift (a crawl source going bad shows up as the
+keep rate falling batch over batch).
+
+Reference parity note: the reference is batch-only (SURVEY §2.7); this
+is the streaming generalization of its per-run validation-report
+pattern (etl/common/validation.py) applied to model-gated quality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_quality_score(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Stream the documents fixture through the quality classifier in
+    ``n_files`` micro-batches, appending scored rows + per-batch keep
+    rates; returns the scored table, which equals the one-shot
+    :func:`~dagster_etl_spark.operators.text.quality_classifier_score`
+    over the full corpus bit-for-bit (frozen model, per-doc scores —
+    the registered query reuses the one-shot oracle unchanged)."""
+    from dagster_etl_spark.operators.text import quality_classifier_score
+    from dagster_etl_spark.scratch import scratch_dir
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    docs = load_table(spark, sf_dir, "documents")
+    work = scratch_dir(f"stream_qclf_{sfx}")
+    in_dir = f"{work}/docs"
+    out_dir = f"{work}/scored"
+    obs_dir = f"{work}/keep_rates"
+    docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    from dagster_etl_spark.sources.lake import delete_path
+
+    delete_path(spark, out_dir)
+    delete_path(spark, obs_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = quality_classifier_score(batch_df)
+        scored.write.mode("append").parquet(out_dir)
+        scored.agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        ).write.mode("append").parquet(obs_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -690,3 +690,39 @@ def test_batch_drift_log_matches_replayed_model(spark):
     lm.drop()
     assert r1 == {s: r.tv_scaled for s, r in d1.items()}
     assert r2 == {s: r.tv_scaled for s, r in d2.items()}
+
+
+def test_streaming_quality_score_equals_batch_and_logs_keep_rates(spark):
+    """The streaming classifier must equal the one-shot scorer
+    bit-for-bit (frozen model, per-doc scores — no standing state to
+    drift), and the per-batch observability rows must account for
+    every scored document exactly."""
+    from dagster_etl_spark.operators.text import quality_classifier_score
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.quality import streaming_quality_score
+    from tests.conftest import SF_SMALL
+
+    out = streaming_quality_score(spark, SF_SMALL)
+    got = sorted(
+        (r.doc_id, r.n_feats, r.logit_scaled, r.prob_decile, r.keep)
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_feats, r.logit_scaled, r.prob_decile, r.keep)
+        for r in quality_classifier_score(
+            load_table(spark, SF_SMALL, "documents")
+        ).collect()
+    )
+    assert got == want
+    # derive the scratch root from the returned frame's files —
+    # calling scratch_dir() again would WIPE the directory (that is
+    # its contract)
+    import os
+
+    scored_dir = os.path.dirname(out.inputFiles()[0].replace("file:", ""))
+    rates = spark.read.parquet(
+        os.path.join(os.path.dirname(scored_dir), "keep_rates")
+    ).collect()
+    assert len(rates) >= 2  # really arrived as multiple micro-batches
+    assert sum(r.n_docs for r in rates) == len(got)
+    assert sum(r.n_keep for r in rates) == sum(1 for g in got if g[4])
