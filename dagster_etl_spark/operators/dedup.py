@@ -1717,3 +1717,156 @@ def dedup_self_repeats(
         F.count(F.lit(1)).alias("n_lines"),
         F.count(F.when(~F.col("keep"), F.lit(1))).alias("n_dropped"),
     )
+
+
+def scrub_benchmark_spans(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination — the surgical upgrade of
+    document-level :func:`~dagster_etl_spark.operators.scrub.decontaminate`
+    (GPT-3 appendix C / Lee et al. 2022 both remove the overlapping
+    WINDOW, not the whole document): every maximal run of train-doc
+    positions whose 13-gram matches ANY benchmark 13-gram is excised
+    (positions i..i+k-1 for each matching start i; gap <= k runs
+    coalesce into one island exactly as in :func:`dedup_substrings`),
+    and the document survives with the contaminated spans removed —
+    dropping whole documents over one quoted eval question throws away
+    good tokens, and at 100 TB that is real training data.
+
+    Scale shape: the benchmark's distinct k-gram hash set is
+    benchmark-sized (broadcastable in practice; the probe is a
+    left-semi equi-join on the 60-bit hash either way), the train side
+    is ONE positional-shingle explode + the per-doc island window +
+    ONE join back to the pinned token arrays — the text itself never
+    shuffles, same plan family as dedup_substrings (0.10x the
+    single-process baseline at x100).
+
+    Returns (doc_id, text, n_tokens, n_removed_tokens,
+    n_spans_removed); clean docs pass through whitespace-normalized.
+    """
+    from pyspark.sql.window import Window
+
+    body = (
+        f"named_struct('toks', _t, "
+        f"'hs', {x.pos_shingle_hashes('_t', k, x.SPARK)})"
+    )
+    g = train.selectExpr(
+        id_col,
+        f"{x.let(x.tokens(text_col, x.SPARK), '_t', body, x.SPARK)} AS _s",
+    ).select(
+        id_col,
+        F.col("_s.toks").alias("_t"),
+        F.col("_s.hs").alias("hs"),
+    )
+    g = pin(spread(g))
+    ex = g.select(id_col, F.posexplode("hs").alias("pos", "h"))
+    bench_h = (
+        bench.selectExpr(
+            f"explode({x.let(x.tokens(text_col, x.SPARK), '_t', x.pos_shingle_hashes('_t', k, x.SPARK), x.SPARK)}) AS h"
+        )
+        .distinct()
+    )
+    dup = ex.join(bench_h, on="h", how="left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = dup.withColumn(
+        "_new",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k + 1)) > k,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    islands = marked.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + k).alias("e"),
+    )
+    isl_arr = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
+    )
+    joined = g.join(isl_arr, on=id_col, how="left")
+    kept = (
+        "CASE WHEN _spans IS NULL THEN _t "
+        "ELSE filter(_t, (t, i) -> "
+        "NOT exists(_spans, a -> i >= a.s AND i < a.e)) END"
+    )
+    return joined.selectExpr(
+        id_col,
+        x.let(kept, "_k", "concat_ws(' ', _k)", x.SPARK) + " AS text",
+        "CAST(size(_t) AS BIGINT) AS n_tokens",
+        f"CAST(size(_t) - size({kept}) AS BIGINT) AS n_removed_tokens",
+        "CAST(COALESCE(size(_spans), 0) AS BIGINT) AS n_spans_removed",
+    )
+
+
+def scrub_benchmark_spans_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+    bench_pred: str = "doc_id % 17 = 0",
+) -> str:
+    """DuckDB mirror of :func:`scrub_benchmark_spans` over the standard
+    fixture split (bench = ``bench_pred``, train = its complement)."""
+    d = x.DUCK
+    body = f"{{'toks': _t, 'hs': {x.pos_shingle_hashes('_t', k, d)}}}"
+    s = x.let(x.tokens(text_col, d), "_t", body, d)
+    return f"""
+WITH g AS (
+  SELECT {id_col}, s['toks'] AS _t, s['hs'] AS hs
+  FROM (SELECT {id_col}, {s} AS s FROM {table}
+        WHERE NOT ({bench_pred}))
+),
+bench AS (
+  SELECT DISTINCT UNNEST(s['hs']) AS h
+  FROM (SELECT {s} AS s FROM {table} WHERE {bench_pred})
+),
+ex AS (
+  SELECT {id_col}, CAST(u.i AS INT) AS pos, hs[u.i + 1] AS h
+  FROM g, unnest(range(0, len(hs))) u(i)
+),
+dup AS (
+  SELECT {id_col}, pos,
+         CASE WHEN COALESCE(pos - lag(pos) OVER (
+           PARTITION BY {id_col} ORDER BY pos), {k + 1}) > {k}
+         THEN 1 ELSE 0 END AS _new
+  FROM ex WHERE h IN (SELECT h FROM bench)
+),
+isl0 AS (
+  SELECT {id_col}, pos,
+         SUM(_new) OVER (PARTITION BY {id_col} ORDER BY pos) AS _isl
+  FROM dup
+),
+isl AS (
+  SELECT {id_col}, _isl, MIN(pos) AS s, MAX(pos) + {k} AS e
+  FROM isl0 GROUP BY 1, 2
+),
+toks AS (
+  SELECT {id_col}, CAST(u.i AS INT) AS pos, _t[u.i + 1] AS tok
+  FROM g, unnest(range(0, len(_t))) u(i)
+),
+kept AS (
+  SELECT t.{id_col}, t.pos, t.tok
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM isl
+    WHERE isl.{id_col} = t.{id_col} AND t.pos >= isl.s AND t.pos < isl.e
+  )
+)
+SELECT g.{id_col},
+       COALESCE((SELECT string_agg(kept.tok, ' ' ORDER BY kept.pos)
+                 FROM kept WHERE kept.{id_col} = g.{id_col}), '') AS text,
+       CAST(len(g._t) AS BIGINT) AS n_tokens,
+       CAST(len(g._t) AS BIGINT)
+         - COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM kept
+                     WHERE kept.{id_col} = g.{id_col}), 0)
+         AS n_removed_tokens,
+       COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM isl
+                 WHERE isl.{id_col} = g.{id_col}), 0) AS n_spans_removed
+FROM g
+"""

@@ -1233,3 +1233,34 @@ def q_hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         dim=EMB_DIM,
     )
+
+
+def _scrub_spans_oracle() -> str:
+    from dagster_etl_spark.operators.dedup import (
+        scrub_benchmark_spans_oracle_sql,
+    )
+
+    return scrub_benchmark_spans_oracle_sql()
+
+
+@register(
+    "scrub_benchmark_spans",
+    oracle=_scrub_spans_oracle(),
+    tags=("llm", "decontaminate", "dedup"),
+    doc="Span-level benchmark decontamination (GPT-3 appendix C / Lee "
+    "et al. 2022 remove the overlapping WINDOW, not the document): "
+    "every maximal train-doc span whose 13-gram matches a benchmark "
+    "13-gram is excised and the document survives — the surgical "
+    "upgrade of the document-dropping decontaminate. Benchmark hash "
+    "set is benchmark-sized (left-semi equi-join probe); train side "
+    "is one positional explode + per-doc island window; the text "
+    "never shuffles (dedup_substrings plan family, 0.10x baseline at "
+    "x100).",
+)
+def q_scrub_benchmark_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.dedup import scrub_benchmark_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_benchmark_spans(
+        docs.filter("doc_id % 17 != 0"), docs.filter("doc_id % 17 = 0")
+    )

@@ -216,6 +216,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "quality_gate_composite",
     "packed_sequences_subword",
     "streaming_quality_score",
+    "scrub_benchmark_spans",
 )
 
 

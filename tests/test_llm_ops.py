@@ -1919,3 +1919,39 @@ def test_kn_continuation_demotes_single_context_words(spark):
     p_francisco = p(1, 2, 2, 2)   # c1('x')=2, n1p('x')=2
     p_house = p(1, 2, 2, 4)
     assert p_francisco < p_house  # rarer context -> lower prob -> more surprisal
+
+
+def test_scrub_benchmark_spans_excises_quote_keeps_doc(spark):
+    """The surgical-vs-drop contrast, tested directly: a train doc
+    quoting a benchmark question verbatim must survive with exactly
+    the quoted span (plus the k-gram windows overlapping it) removed,
+    while a clean doc passes through untouched (normalized) — and the
+    document-level decontaminate would have dropped the quoting doc
+    entirely."""
+    from dagster_etl_spark.operators.dedup import scrub_benchmark_spans
+    from dagster_etl_spark.operators.scrub import contaminated_ids
+
+    k = 13
+    quote = " ".join(f"q{i}" for i in range(k))          # one bench 13-gram
+    pre = " ".join(f"a{i}" for i in range(20))
+    post = " ".join(f"b{i}" for i in range(20))
+    bench = spark.createDataFrame([Row(doc_id=100, text=quote)])
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{pre} {quote} {post}"),
+            Row(doc_id=2, text=" ".join(f"c{i}" for i in range(30))),
+        ]
+    )
+    out = {r.doc_id: r for r in scrub_benchmark_spans(train, bench, k=k).collect()}
+    # doc 1: the quote (13 tokens, one matching window) excised
+    assert out[1].n_spans_removed == 1
+    assert out[1].n_removed_tokens == k
+    assert out[1].text == f"{pre} {post}"
+    # doc 2 untouched
+    assert out[2].n_removed_tokens == 0
+    assert out[2].text == train.collect()[1].text
+    # the doc-level scrubber would have dropped doc 1 wholesale
+    dropped = {
+        r.doc_id for r in contaminated_ids(train, bench, n=k).collect()
+    }
+    assert dropped == {1}

@@ -141,6 +141,7 @@ AUDITED = [
     "subword_segment",
     "kn_bigram_surprisal",
     "quality_gate_composite",
+    "scrub_benchmark_spans",
 ]
 
 
@@ -501,6 +502,11 @@ EXCHANGE_BUDGET = {
     # + histogram agg + cutpoint Single + its join re-shuffle; the
     # gopher branch is scan-local
     "quality_gate_composite": 14,
+    # r15 span decontamination (dedup_substrings family): benchmark
+    # hash-set distinct + train semi-join input, per-doc island window
+    # + island agg + spans-array agg (the pinned explode prints once
+    # per consumer but executes once) — measured 4
+    "scrub_benchmark_spans": 4,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -190,6 +190,10 @@ QUERIES: dict[str, str] = {
     # subword-budgeted packing: chunking + the walk are scan-local,
     # one bucket-window shuffle — same law as packed_sequences
     "packed_sequences_subword": "cipher",
+    # span decontamination rides cipher like dedup_substrings: each
+    # copy's 1/17 benchmark slice only matches its own copy's spans,
+    # so bench set and matches both grow linearly
+    "scrub_benchmark_spans": "cipher",
 }
 
 
