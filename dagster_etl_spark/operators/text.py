@@ -2723,3 +2723,162 @@ FROM gop g
 LEFT JOIN clf c USING ({id_col})
 LEFT JOIN ppl p USING ({id_col})
 """
+
+
+# -- multiclass language classifier (fastText langid shape) ---------------------
+
+def langclf_weight_expr(bucket: str, lang: str, d: str) -> str:
+    """Frozen per-(bucket, language) weight, shifted non-negative —
+    the multiclass sibling of :func:`qclf_weight_expr` (same derived
+    stand-in framing: production loads its trained fastText langid
+    matrix into a table with this (bucket, weights[lang]) schema and
+    the plan is unchanged)."""
+    if d == x.SPARK:
+        h = x.h60(f"concat('langclf-{lang}-', CAST({bucket} AS STRING))", d)
+    else:
+        h = x.h60(f"('langclf-{lang}-' || CAST({bucket} AS VARCHAR))", d)
+    return f"({h} % {2 * QCLF_W_SCALE + 1})"
+
+
+def lang_classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = QCLF_N_BUCKETS,
+) -> DataFrame:
+    """Multiclass linear language identification — the fastText-langid
+    model shape (Joulin et al. 2016; the model CCNet actually gates
+    with, upgrading the profile-overlap heuristic in
+    :func:`lang_score_exprs` to real inference): hashed unigram+bigram
+    features, a broadcast (bucket, per-language weight vector) model
+    table, one fixed-point mean logit PER LANGUAGE, deterministic
+    argmax with the fixed LANGS precedence for exact ties, and the
+    integer top-two margin as the confidence signal (monotone in the
+    softmax gap, so thresholding the margin IS thresholding softmax
+    confidence — no float exp anywhere).
+
+    Scale shape: identical to :func:`quality_classifier_score` — one
+    explode, one broadcast model join (the per-language weights ride
+    ONE array column, so model rows stay n_buckets regardless of
+    language count), one per-doc aggregate with |LANGS| sum measures.
+    Weights are the derived h60 stand-in (see
+    :func:`langclf_weight_expr`).
+
+    Returns (doc_id, n_feats, pred_lang, best_scaled, margin_scaled).
+    """
+    s = x.SPARK
+    tok = x.tokens(text_col, s)
+    feats = x.let(
+        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", s), s), s
+    )
+    g = df.selectExpr(id_col, f"{feats} AS _f").selectExpr(
+        id_col, f"CAST({x.xsize('_f', s)} AS BIGINT) AS n_feats", "_f"
+    ).filter("n_feats > 0")
+    ex = g.select(
+        id_col, "n_feats", F.explode("_f").alias("feat")
+    ).selectExpr(id_col, "n_feats", f"({x.h60('feat', s)} % {n_buckets}) AS b")
+    spark = df.sparkSession
+    w_arr = ", ".join(
+        f"CAST({langclf_weight_expr('id', lang, s)} AS BIGINT)"
+        for lang in LANGS
+    )
+    w = spark.range(n_buckets).selectExpr("id AS b", f"array({w_arr}) AS ws")
+    sums = [
+        F.sum(F.expr(f"ws[{i}]")).cast("long").alias(f"sw_{lang}")
+        for i, lang in enumerate(LANGS)
+    ]
+    summed = ex.join(F.broadcast(w), on="b").groupBy(id_col, "n_feats").agg(*sums)
+    logits = [
+        f"(CAST({QCLF_SIG_SCALE} AS BIGINT) * sw_{lang})"
+        f" DIV (n_feats * {QCLF_W_SCALE}) - {QCLF_SIG_SCALE} AS lg_{lang}"
+        for lang in LANGS
+    ]
+    cases = []
+    for lang in LANGS:
+        cond = " AND ".join(
+            f"lg_{lang} >= lg_{o}" for o in LANGS if o != lang
+        )
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    argmax = "CASE " + " ".join(cases) + " END"
+    all_lg = ", ".join(f"lg_{lang}" for lang in LANGS)
+    # top-two via sorted indexing (tie-safe: two languages sharing the
+    # max give margin 0, where a remove-the-max form would strip both)
+    n = len(LANGS)
+    srt = f"array_sort(array({all_lg}))"
+    return (
+        summed.selectExpr(id_col, "n_feats", *logits)
+        .selectExpr(
+            id_col,
+            "n_feats",
+            f"{argmax} AS pred_lang",
+            f"{srt}[{n - 1}] AS best_scaled",
+            f"{srt}[{n - 1}] - {srt}[{n - 2}] AS margin_scaled",
+        )
+    )
+
+
+def lang_classifier_scores_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = QCLF_N_BUCKETS,
+) -> str:
+    """DuckDB mirror of :func:`lang_classifier_scores` — same derived
+    weight matrix, same fixed-point per-language logits, same
+    precedence argmax and top-two margin."""
+    d = x.DUCK
+    tok = x.tokens(text_col, d)
+    feats = x.let(
+        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", d), d), d
+    )
+    w_cols = ",\n         ".join(
+        f"CAST({langclf_weight_expr('b', lang, d)} AS BIGINT) AS w_{lang}"
+        for lang in LANGS
+    )
+    sums = ",\n         ".join(
+        f"CAST(SUM(w.w_{lang}) AS BIGINT) AS sw_{lang}" for lang in LANGS
+    )
+    logits = ",\n         ".join(
+        f"(CAST({QCLF_SIG_SCALE} AS BIGINT) * sw_{lang})"
+        f" // (n_feats * {QCLF_W_SCALE}) - {QCLF_SIG_SCALE} AS lg_{lang}"
+        for lang in LANGS
+    )
+    cases = []
+    for lang in LANGS:
+        cond = " AND ".join(f"lg_{lang} >= lg_{o}" for o in LANGS if o != lang)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    argmax = "CASE " + " ".join(cases) + " END"
+    all_lg = ", ".join(f"lg_{lang}" for lang in LANGS)
+    n = len(LANGS)
+    best = f"list_sort([{all_lg}])[{n}]"
+    second = f"list_sort([{all_lg}])[{n - 1}]"
+    return f"""
+WITH g AS (
+  SELECT {id_col}, {feats} AS _f FROM {table}
+), gg AS (
+  SELECT {id_col}, CAST({x.xsize('_f', d)} AS BIGINT) AS n_feats, _f
+  FROM g WHERE {x.xsize('_f', d)} > 0
+), ex AS (
+  SELECT {id_col}, n_feats,
+         ({x.h60('UNNEST(_f)', d)} % {n_buckets}) AS b
+  FROM gg
+), w AS (
+  SELECT b,
+         {w_cols}
+  FROM range({n_buckets}) t(b)
+), summed AS (
+  SELECT ex.{id_col}, ex.n_feats,
+         {sums}
+  FROM ex JOIN w USING (b)
+  GROUP BY 1, 2
+), lg AS (
+  SELECT {id_col}, n_feats,
+         {logits}
+  FROM summed
+)
+SELECT {id_col}, n_feats,
+       {argmax} AS pred_lang,
+       {best} AS best_scaled,
+       {best} - {second} AS margin_scaled
+FROM lg
+"""

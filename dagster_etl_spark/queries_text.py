@@ -1833,3 +1833,29 @@ def q_packed_sequences_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{subword_doc_expr('chunk_text', x.SPARK)}.n_pieces AS n_subword_tokens",
     )
     return pack_chunks(sw, n_col="n_subword_tokens")
+
+
+def _langclf_oracle() -> str:
+    from dagster_etl_spark.operators.text import lang_classifier_scores_oracle_sql
+
+    return lang_classifier_scores_oracle_sql()
+
+
+@register(
+    "lang_classifier_scores",
+    oracle=_langclf_oracle(),
+    tags=("llm", "text", "quality"),
+    doc="Multiclass linear language identification (fastText langid "
+    "shape, Joulin et al. 2016 — the model CCNet gates with, "
+    "upgrading the lang_id profile-overlap heuristic to real "
+    "inference): hashed unigram+bigram features, a broadcast (bucket, "
+    "per-language weight vector) model table, fixed-point per-language "
+    "logits, deterministic precedence argmax, integer top-two margin "
+    "as the confidence signal (monotone in softmax confidence, no "
+    "float exp). One explode, one broadcast model join, one per-doc "
+    "aggregate with |LANGS| sum measures.",
+)
+def q_lang_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import lang_classifier_scores
+
+    return lang_classifier_scores(load_table(spark, sf_dir, "documents"))

@@ -217,6 +217,7 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "packed_sequences_subword",
     "streaming_quality_score",
     "scrub_benchmark_spans",
+    "lang_classifier_scores",
 )
 
 

@@ -142,6 +142,7 @@ AUDITED = [
     "kn_bigram_surprisal",
     "quality_gate_composite",
     "scrub_benchmark_spans",
+    "lang_classifier_scores",
 ]
 
 
@@ -507,6 +508,9 @@ EXCHANGE_BUDGET = {
     # + island agg + spans-array agg (the pinned explode prints once
     # per consumer but executes once) — measured 4
     "scrub_benchmark_spans": 4,
+    # r15 multiclass langid: same shape as quality_classifier_score —
+    # ONE per-doc sum aggregate (5 measures), broadcast model join
+    "lang_classifier_scores": 1,
 }
 
 # Queries whose BUILD legitimately launches bounded Spark jobs, with the

@@ -1069,3 +1069,58 @@ def test_subword_segment_matches_python_model(spark, texts):
         for r in subword_segment(df).collect()
     }
     assert got == want, (texts, got, want)
+
+
+@given(texts=qclf_texts)
+@settings(**SETTINGS)
+def test_lang_classifier_matches_python_model(spark, texts):
+    """The multiclass sibling of the quality-classifier check: per-doc
+    per-language fixed-point logits, precedence argmax (exact ties go
+    to the earlier LANGS entry), and the tie-safe top-two margin must
+    equal a from-scratch Python implementation."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import (
+        LANGS,
+        QCLF_N_BUCKETS,
+        QCLF_SIG_SCALE,
+        QCLF_W_SCALE,
+        lang_classifier_scores,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def model(text: str):
+        toks = [t for t in text.strip().lower().split() if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            return None
+        lgs = []
+        for lang in LANGS:
+            sw = sum(
+                h60(f"langclf-{lang}-{h60(f) % QCLF_N_BUCKETS}")
+                % (2 * QCLF_W_SCALE + 1)
+                for f in feats
+            )
+            lgs.append(
+                (QCLF_SIG_SCALE * sw) // (len(feats) * QCLF_W_SCALE)
+                - QCLF_SIG_SCALE
+            )
+        pred = max(range(len(LANGS)), key=lambda i: (lgs[i], -i))
+        srt = sorted(lgs)
+        return (len(feats), LANGS[pred], srt[-1], srt[-1] - srt[-2])
+
+    want = {
+        i: m for i, t in enumerate(texts) if (m := model(t)) is not None
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.pred_lang, r.best_scaled, r.margin_scaled)
+        for r in lang_classifier_scores(df).collect()
+    }
+    assert got == want, (texts, got, want)

@@ -194,6 +194,9 @@ QUERIES: dict[str, str] = {
     # copy's 1/17 benchmark slice only matches its own copy's spans,
     # so bench set and matches both grow linearly
     "scrub_benchmark_spans": "cipher",
+    # multiclass langid: same law as the binary classifier (one
+    # broadcast-join scan + per-doc aggregate), 5 sum measures
+    "lang_classifier_scores": "cipher",
 }
 
 
