@@ -1124,3 +1124,63 @@ def test_lang_classifier_matches_python_model(spark, texts):
         for r in lang_classifier_scores(df).collect()
     }
     assert got == want, (texts, got, want)
+
+
+def _py_bench_spans(train: list[str], bench: list[str], k: int):
+    """Naive span-decontamination reference: the benchmark's k-gram
+    set, then per train doc union the [i, i+k) windows of matching
+    k-grams, remove covered tokens (maximal-span counting as in
+    _py_dup_spans)."""
+    bg = set()
+    for t in bench:
+        tk = t.split()
+        for i in range(len(tk) - k + 1):
+            bg.add(tuple(tk[i : i + k]))
+    out = []
+    for t in train:
+        tk = t.split()
+        covered = set()
+        spans = 0
+        prev_end = -2
+        for i in range(len(tk) - k + 1):
+            if tuple(tk[i : i + k]) in bg:
+                if i > prev_end + 1:
+                    spans += 1
+                covered.update(range(i, i + k))
+                prev_end = max(prev_end, i + k - 1)
+        kept = [x for j, x in enumerate(tk) if j not in covered]
+        out.append((" ".join(kept), len(tk), len(covered), spans))
+    return out
+
+
+@given(
+    train=_texts,
+    bench=st.lists(
+        st.lists(_words, min_size=0, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+)
+@settings(**SETTINGS)
+def test_scrub_benchmark_spans_matches_python_reference(spark, train, bench):
+    """scrub_benchmark_spans vs an independent naive reference over the
+    5-word collision vocabulary: removal set, maximal-span count, and
+    reassembled text — including overlapping matches, repeated bench
+    grams, and train docs shorter than k."""
+    from dagster_etl_spark.operators.dedup import scrub_benchmark_spans
+
+    k = 2
+    tr = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], schema="doc_id long, text string"
+    )
+    be = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed_tokens, r.n_spans_removed)
+        for r in scrub_benchmark_spans(tr, be, k=k).collect()
+    }
+    ref = _py_bench_spans(train, bench, k=k)
+    for i, expect in enumerate(ref):
+        assert got[i] == expect, (i, train[i], got[i], expect)
