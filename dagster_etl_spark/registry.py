@@ -76,91 +76,21 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 15: generated FROM the artifacts, not memory. Fronts the 47
-    # pre-declared r15 heads from _NEXT_ROTATION_HEADS as checked at the
-    # r14 boundary (the 30 r12 names that aged out of the r14 window +
-    # the 17 mid/late-r14 registrations with ALLCHECK_r14-green rows at
-    # all 3 SFs but no driver row), then the first 3 CORRECTNESS_r13.json
-    # names (in artifact order) not already covered -- the next-stalest
-    # driver rows in the fleet. The remaining 47 r13 names age to r16:
-    # see _NEXT_ROTATION_HEADS below, which
+    # round 16: generated FROM the artifacts, not memory. Fronts the
+    # first 50 of the 56 pre-declared r16 heads from _NEXT_ROTATION_HEADS
+    # as checked at the r15 boundary (the 47 r13 names that aged out of
+    # the r15 window, in CORRECTNESS_r13.json artifact order, + the first
+    # 3 mid-r15 registrations with ALLCHECK_r15-green rows at all 3 SFs
+    # but no driver row). The remaining 6 mid-r15 registrations are
+    # never-seen names (excused by the staleness test's all_seen clause)
+    # and front the r17 rotation: see _NEXT_ROTATION_HEADS below, which
     # tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
     # derives from the artifacts instead of trusting a comment.
-    # Disjointness vs CORRECTNESS_r14.json (the newest artifact) is
+    # Disjointness vs CORRECTNESS_r15.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the registry
     # grows: len(registry) - 50 >= 50 (pinned by
     # tests/test_plans.py::test_registry_keeps_rotation_headroom).
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "ivf_ann_recall",
-    "media_metadata",
-    "media_frame_sample",
-    "media_features",
-    "wip_aggregate",
-    "priority_wip_join",
-    "cycle_time_stats",
-    "equipment_pivot",
-    "item_master_enrich",
-    "order_rank_window",
-    "events_lag",
-    "sessionize",
-    "customers_without_urgent_orders",
-    "validation_report",
-    "pricing_summary",
-    "regional_revenue",
-    "customer_segment_setops",
-    "rolling_customer_spend",
-    "events_json_percentiles",
-    "shipping_priority",
-    "returned_item_customers",
-    "late_shipment_priority",
-    "priority_shipping_mix",
-    "promo_revenue_share",
-    "revenue_cube",
-    "approx_distinct_gate",
-    "approx_quantile_gate",
-    "url_dedup",
-    "bm25_topk_docs",
-    "dedup_substrings",
-    "containment_neardup",
-    "bm25_incremental",
-    "streaming_bm25_ingest",
-    "ccnet_surprisal_buckets",
-    "dsir_select",
-    "corpus_drift_tv",
-    "hybrid_rrf_retrieval",
-    "surprisal_incremental",
-    "corpus_drift_incremental",
-    "streaming_drift_monitor",
-    "top_revenue_suppliers",
-    "sole_failed_supplier",
-    "bigram_surprisal_buckets",
-    "hybrid_rrf_ivf",
-    "dsir_incremental",
-    "latest_order_per_customer",
-    "scd2_user_event_type",
-    "salted_join_revenue",
-)
-
-# Pre-declared rotation heads for the NEXT round (r14), in
-# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
-# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
-# most recent driver row (r11) will be the oldest in the fleet. This
-# tuple is CHECKED, not advisory:
-# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
-# recomputes it as registry - (newest CORRECTNESS file UNION the
-# current 50-slot window) -- any query registered mid-round without
-# being appended here fails the suite, turning the manual
-# pre-declaration discipline into an invariant. Mid-round registrations
-# must be APPENDED here (and swept via ALLCHECK) so they front the next
-# rotation too.
-_NEXT_ROTATION_HEADS: tuple[str, ...] = (
-    # r16 heads, in CORRECTNESS_r13.json artifact order: the 47 r13
-    # names that did not fit the 50-slot r15 window above, so once
-    # CORRECTNESS_r15 lands their most recent driver row (r13) will be
-    # the oldest in the fleet. Mid-r15 registrations must be APPENDED
-    # here (and swept via ALLCHECK) so they front the next rotation too.
     "large_order_customers",
     "supplier_diversity",
     "rich_customers_without_low_orders",
@@ -208,16 +138,87 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "cohort_retention",
     "table_diff_reconcile",
     "value_percentiles_exact",
-    # mid-r15 registrations (ALLCHECK_r15-swept; no driver row yet)
     "quality_classifier_score",
     "subword_segment",
     "token_budget_mixture_subword",
+)
+
+# Pre-declared rotation heads for the NEXT round (r14), in
+# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
+# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
+# most recent driver row (r11) will be the oldest in the fleet. This
+# tuple is CHECKED, not advisory:
+# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
+# recomputes it as registry - (newest CORRECTNESS file UNION the
+# current 50-slot window) -- any query registered mid-round without
+# being appended here fails the suite, turning the manual
+# pre-declaration discipline into an invariant. Mid-round registrations
+# must be APPENDED here (and swept via ALLCHECK) so they front the next
+# rotation too.
+_NEXT_ROTATION_HEADS: tuple[str, ...] = (
+    # r17 heads: first the 6 mid-r15 registrations that did not fit the
+    # 50-slot r16 window above (never driver-checked — the most urgent
+    # names in the fleet), then the 50 CORRECTNESS_r14.json names in
+    # artifact order, whose most recent driver row (r14) will be the
+    # oldest once CORRECTNESS_r16 lands. Mid-r16 registrations must be
+    # APPENDED here (and swept via ALLCHECK) so they front the next
+    # rotation too.
     "kn_bigram_surprisal",
     "quality_gate_composite",
     "packed_sequences_subword",
     "streaming_quality_score",
     "scrub_benchmark_spans",
     "lang_classifier_scores",
+    "user_event_type_map",
+    "fuzzy_part_pairs",
+    "major_suppliers",
+    "order_price_window_stats",
+    "lineitem_moment_stats",
+    "streaming_error_bursts",
+    "streaming_media_decode",
+    "value_band_range_join",
+    "event_rollup_multigrain",
+    "incremental_event_rollup",
+    "gap_filled_user_timeline",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "null_profile_orders",
+    "redact_pii",
+    "decontaminate_vs_benchmark",
+    "train_val_test_split",
+    "corpus_mixture",
+    "quality_deciles",
+    "corpus_bigram_counts",
+    "gopher_quality_flags",
+    "temperature_mixture",
+    "filtered_ann_topk",
+    "cross_corpus_neardup",
+    "filtered_ivf_ann_topk",
+    "minhash_estimate_gate",
+    "cross_corpus_neardup_incremental",
+    "cm_heavy_hitters",
+    "doc_chunks",
+    "stratified_event_sample",
+    "bigram_novelty",
+    "vocab_oov",
+    "winnow_fingerprints",
+    "cycle_time_stats_incremental",
+    "minhash_neardup_incremental",
+    "ivf_ann_incremental",
+    "streaming_neardup_ingest",
+    "audio_fingerprint_groups",
+    "weighted_corpus_sample",
+    "training_order_pipeline",
+    "token_budget_mixture",
+    "streaming_weighted_sample",
+    "self_repetition_removal",
+    "zorder_span_stats",
+    "wip_aggregate_approx",
+    "priority_wip_approx",
+    "dedup_lines",
+    "dedup_survivors",
 )
 
 
