@@ -1539,7 +1539,139 @@ class IncrementalNearDupIndex:
             self.pairs_table
         )
 
-    def _probe_pairs(self, new_bands: DataFrame, threshold: float) -> DataFrame:
+    def _slice_store(self):
+        """Slice region for exactly-once streaming ingest (see
+        streaming/slicestore.py)."""
+        from dagster_etl_spark.streaming.slicestore import SliceStore
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        return SliceStore(f"{warehouse}/{self.bands_table.lower()}__slices")
+
+    def _merged(
+        self, spark, component: str, table: str, extra: DataFrame | None = None
+    ) -> DataFrame | None:
+        """Base table ∪ committed slices (∪ ``extra``, the current
+        slice's own staged rows during an ingest probe)."""
+        store = self._slice_store()
+        parts: list[DataFrame] = []
+        if spark.catalog.tableExists(table):
+            spark.catalog.refreshTable(table)
+            parts.append(spark.table(table))
+        delta = store.read(spark, component)
+        if delta is not None:
+            parts.append(delta)
+        if extra is not None:
+            parts.append(extra)
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def ingest_slice(
+        self,
+        docs: DataFrame,
+        slice_id: int,
+        threshold: float = 0.2,
+        fault_hook=None,
+    ) -> bool:
+        """Exactly-once ingest of one checkpoint-identified micro-batch
+        (``slice_id`` = the foreachBatch batch id). Crash-safe at any
+        point (see streaming/slicestore.py): bands/hashes/pairs land in
+        overwrite-mode slice directories and become visible only at the
+        atomic manifest commit; a replay of a committed slice is a
+        no-op. The probe view is committed state ∪ this slice's own
+        staged bands — identical on a replay, because the crashed
+        attempt never committed — so the pair-completeness invariant
+        (every pair found on the batch where its later member arrives,
+        never re-found) survives a kill at any point.
+        tests/test_streaming_recovery.py kills and restarts for real.
+
+        ``fault_hook(label)`` is a test-only injection point."""
+        store = self._slice_store()
+        if store.is_committed(slice_id):
+            return False
+        hook = fault_hook or (lambda _label: None)
+        spark = docs.sparkSession
+        new_bands, new_hashes = self._encode(docs)
+        store.write("bands", slice_id, new_bands)
+        hook("staged_bands")
+        store.write("hashes", slice_id, new_hashes)
+        hook("staged_hashes")
+        slice_bands = store.read_slice(spark, "bands", slice_id)
+        index_bands = self._merged(
+            spark, "bands", self.bands_table, extra=slice_bands
+        )
+        index_hashes = self._merged(
+            spark,
+            "hashes",
+            self.hashes_table,
+            extra=store.read_slice(spark, "hashes", slice_id),
+        )
+        pairs = self._probe_pairs(
+            slice_bands,
+            threshold,
+            index_bands=index_bands,
+            index_hashes=index_hashes,
+        )
+        store.write("pairs", slice_id, pairs)
+        hook("staged_pairs")
+        store.commit(slice_id)
+        hook("post_commit")
+        return True
+
+    def compact_slices(self) -> int:
+        """Fold committed slice deltas into the bucketed base tables and
+        clear the region, restoring the pure co-located probe plan.
+        Returns the number of slices folded. Same crash-window caveat
+        as IncrementalBM25Index.compact_slices: production = one ACID
+        table commit; locally run once, post-stream."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        store = self._slice_store()
+        n = len(store.committed())
+        if n == 0:
+            return 0
+        spark = self.spark
+        bands = store.read(spark, "bands")
+        hashes = store.read(spark, "hashes")
+        pairs = store.read(spark, "pairs")
+        first = not spark.catalog.tableExists(self.bands_table)
+        if first:
+            from dagster_etl_spark.sources.lake import delete_path
+
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(spark, f"{warehouse}/{self.pairs_table.lower()}")
+            write_bucketed(
+                bands, self.bands_table, ["bkey"], num_buckets=self.num_buckets
+            )
+            write_bucketed(
+                hashes,
+                self.hashes_table,
+                [self.id_col],
+                num_buckets=self.num_buckets,
+            )
+            if pairs is not None:
+                pairs.write.mode("overwrite").saveAsTable(self.pairs_table)
+        else:
+            append_bucketed(bands, self.bands_table)
+            append_bucketed(hashes, self.hashes_table)
+            if pairs is not None:
+                pairs.write.mode("append").saveAsTable(self.pairs_table)
+        store.clear()
+        return n
+
+    def _probe_pairs(
+        self,
+        new_bands: DataFrame,
+        threshold: float,
+        index_bands: DataFrame | None = None,
+        index_hashes: DataFrame | None = None,
+    ) -> DataFrame:
         """Pairs touching >= 1 doc of ``new_bands``, probed against the
         standing index. Split out so tests can assert the plan shape
         (the index sides read bucketed; only probe/candidate rows
@@ -1559,11 +1691,20 @@ class IncrementalNearDupIndex:
         invalidated by another session's append — reading the index
         via self.spark from inside batch N would serve batch 0's file
         listing and silently drop every cross-batch pair (r11: 2 pairs
-        found instead of 28 before this fix)."""
+        found instead of 28 before this fix).
+
+        ``index_bands`` / ``index_hashes`` override the standing-table
+        reads with an explicit state view — ingest_slice passes its
+        committed-slices ∪ current-slice view so a checkpoint replay
+        probes exactly the state the crashed attempt saw."""
         spark = new_bands.sparkSession
         id_c = self.id_col
         probe = new_bands.select(F.col(id_c).alias("__pid"), "bkey")
-        index = spark.table(self.bands_table)
+        index = (
+            index_bands
+            if index_bands is not None
+            else spark.table(self.bands_table)
+        )
         cands = (
             probe.join(
                 index,
@@ -1576,7 +1717,11 @@ class IncrementalNearDupIndex:
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        hs = spark.table(self.hashes_table)
+        hs = (
+            index_hashes
+            if index_hashes is not None
+            else spark.table(self.hashes_table)
+        )
         ha = hs.select(F.col(id_c).alias("id_a"), F.col("hs").alias("hs_a"))
         hb = hs.select(F.col(id_c).alias("id_b"), F.col("hs").alias("hs_b"))
         jac = (
@@ -1660,17 +1805,23 @@ class IncrementalNearDupIndex:
         If no ingest ever created the table (e.g. a stream whose
         micro-batches were all empty — ingest_batch returns early on
         isEmpty), returns an EMPTY (id_a, id_b, jaccard) frame instead
-        of raising table-not-found."""
-        if not self.spark.catalog.tableExists(self.pairs_table):
+        of raising table-not-found.
+
+        State view = base table ∪ committed slice deltas (exactly the
+        base read when no slice region exists — the batch-built plan
+        is unchanged); ingest_slice-built state is fully visible
+        before any compact_slices fold."""
+        merged = self._merged(self.spark, "pairs", self.pairs_table)
+        if merged is None:
             return self.spark.createDataFrame(
                 [], "id_a BIGINT, id_b BIGINT, jaccard DOUBLE"
             )
-        self.spark.catalog.refreshTable(self.pairs_table)
-        return self.spark.table(self.pairs_table)
+        return merged
 
     def drop(self) -> None:
         for t in (self.bands_table, self.hashes_table, self.pairs_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self._slice_store().clear()
 
 
 def dedup_self_repeats(

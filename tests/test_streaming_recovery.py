@@ -1,0 +1,226 @@
+"""Checkpoint recovery for the streaming index ingests (r15 verdict
+task 2): kill a foreachBatch ingest mid-batch — including the nastiest
+windows, mid-staging and manifest-committed/checkpoint-uncommitted —
+restart from the SAME checkpoint, and prove the recovered standing
+state is exactly the one-shot operator's output over the full corpus.
+
+Fault injection goes through ``ingest_slice``'s ``fault_hook`` (see
+streaming/recovery.py): an InjectedFault raised inside foreachBatch
+fails the streaming query precisely where a process kill would, and
+the restart replays the in-flight batch exactly as Structured
+Streaming does after a real crash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.errors.exceptions.captured import StreamingQueryException
+
+from tests.conftest import SF_SMALL
+
+N_FILES = 4
+
+
+def _docs(spark, n=160):
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    return load_table(spark, SF_SMALL, "documents").filter(
+        f"doc_id % 3 = 0 AND doc_id < {3 * n}"
+    )
+
+
+def _drop_dir(spark, docs, tmp_path):
+    in_dir = str(tmp_path / "docs")
+    docs.repartition(N_FILES).write.mode("overwrite").parquet(in_dir)
+    return in_dir
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _run(spark, in_dir, ckpt, ingest, fail_at=None):
+    from dagster_etl_spark.streaming.recovery import run_recoverable_ingest
+
+    run_recoverable_ingest(spark, in_dir, ckpt, ingest, fail_at=fail_at)
+
+
+def _run_expect_fault(spark, in_dir, ckpt, ingest, fail_at):
+    with pytest.raises(StreamingQueryException) as exc:
+        _run(spark, in_dir, ckpt, ingest, fail_at=fail_at)
+    assert "injected kill" in str(exc.value)
+
+
+# -- BM25 ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fail_label", ["staged_postings", "staged_totals"])
+def test_bm25_kill_mid_staging_then_restart_equals_oneshot(
+    spark, tmp_path, fail_label
+):
+    """Kill while the slice is PARTIALLY staged (some components written,
+    manifest not committed): the replay must overwrite the partial slice
+    and converge to the one-shot index, with no component double-counted."""
+    from dagster_etl_spark.operators.text import (
+        IncrementalBM25Index,
+        bm25_topk_docs,
+    )
+
+    docs = _docs(spark)
+    in_dir = _drop_dir(spark, docs, tmp_path)
+    idx = IncrementalBM25Index(spark, f"rcv_bm25_{fail_label}")
+    idx.drop()
+
+    _run_expect_fault(
+        spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice,
+        fail_at=(2, fail_label),
+    )
+    # partial slice 2 must be invisible: only fully committed slices count
+    committed = idx._slice_store().committed()
+    assert 2 not in committed and len(committed) >= 1
+
+    _run(spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice)
+    assert idx._slice_store().committed() == list(range(N_FILES))
+
+    seeds = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    got = _rows(idx.topk(seeds, k=10))
+    want = _rows(
+        bm25_topk_docs(docs).select(
+            "query_id", "doc_id", "score_scaled", "score", "rank"
+        )
+    )
+    assert got == want
+
+
+def test_bm25_kill_in_committed_uncommitted_window_skips_replay(
+    spark, tmp_path
+):
+    """Kill AFTER the manifest commit but BEFORE Spark's checkpoint
+    commit (the at-least-once window): the restarted stream replays the
+    batch, ingest_slice detects the committed slice and applies nothing
+    — a double apply would double every tf/df/totals row and shift
+    every BM25 score."""
+    from dagster_etl_spark.operators.text import (
+        IncrementalBM25Index,
+        bm25_topk_docs,
+    )
+
+    docs = _docs(spark)
+    in_dir = _drop_dir(spark, docs, tmp_path)
+    idx = IncrementalBM25Index(spark, "rcv_bm25_postcommit")
+    idx.drop()
+
+    _run_expect_fault(
+        spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice,
+        fail_at=(1, "post_commit"),
+    )
+    assert 1 in idx._slice_store().committed()  # committed, not checkpointed
+
+    _run(spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice)
+    assert idx._slice_store().committed() == list(range(N_FILES))
+
+    seeds = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    got = _rows(idx.topk(seeds, k=10))
+    want = _rows(
+        bm25_topk_docs(docs).select(
+            "query_id", "doc_id", "score_scaled", "score", "rank"
+        )
+    )
+    assert got == want
+
+    # compaction folds the slices into the bucketed base tables and the
+    # answer is unchanged (the pure co-located plan returns)
+    assert idx.compact_slices() == N_FILES
+    assert idx._slice_store().committed() == []
+    assert _rows(idx.topk(seeds, k=10)) == want
+
+
+# -- MinHash near-dup ---------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "fail_at", [(2, "staged_bands"), (2, "staged_pairs"), (1, "post_commit")]
+)
+def test_neardup_kill_restart_equals_oneshot(spark, tmp_path, fail_at):
+    """Kill the near-dup ingest mid-staging / after-pairs-staged /
+    post-commit; after restart the accumulated pairs equal the one-shot
+    MinHash+LSH over the full corpus (pair-completeness survives the
+    replay because the replayed probe sees exactly the committed-state
+    view the crashed attempt saw)."""
+    from dagster_etl_spark.operators.dedup import (
+        IncrementalNearDupIndex,
+        minhash_neardup_pairs,
+    )
+
+    docs = _docs(spark)
+    in_dir = _drop_dir(spark, docs, tmp_path)
+    name = f"rcv_nd_{fail_at[0]}_{fail_at[1]}"
+    idx = IncrementalNearDupIndex(spark, name)
+    idx.drop()
+
+    def ingest(batch_df, batch_id, fault_hook=None):
+        return idx.ingest_slice(
+            batch_df, batch_id, threshold=0.2, fault_hook=fault_hook
+        )
+
+    _run_expect_fault(spark, in_dir, str(tmp_path / "ckpt"), ingest, fail_at)
+    _run(spark, in_dir, str(tmp_path / "ckpt"), ingest)
+    assert idx._slice_store().committed() == list(range(N_FILES))
+
+    got = _rows(idx.pairs())
+    want = _rows(minhash_neardup_pairs(docs, threshold=0.2))
+    assert got == want and len(want) > 0
+
+    # fold into the bucketed base; answer unchanged, region cleared
+    assert idx.compact_slices() == N_FILES
+    assert idx._slice_store().committed() == []
+    assert _rows(idx.pairs()) == want
+
+
+def test_neardup_uninterrupted_slice_ingest_equals_oneshot(spark, tmp_path):
+    """Baseline (no fault): the slice-store ingest path itself preserves
+    the pair-completeness invariant batch by batch."""
+    from dagster_etl_spark.operators.dedup import (
+        IncrementalNearDupIndex,
+        minhash_neardup_pairs,
+    )
+
+    docs = _docs(spark)
+    in_dir = _drop_dir(spark, docs, tmp_path)
+    idx = IncrementalNearDupIndex(spark, "rcv_nd_clean")
+    idx.drop()
+
+    def ingest(batch_df, batch_id, fault_hook=None):
+        return idx.ingest_slice(
+            batch_df, batch_id, threshold=0.2, fault_hook=fault_hook
+        )
+
+    _run(spark, in_dir, str(tmp_path / "ckpt"), ingest)
+    assert _rows(idx.pairs()) == _rows(
+        minhash_neardup_pairs(docs, threshold=0.2)
+    )
+
+
+def test_manifest_commit_is_atomic_and_idempotent(tmp_path):
+    """SliceStore unit-level: commit survives duplicate calls, the
+    manifest never lists a slice that wasn't committed, and clear()
+    resets."""
+    from dagster_etl_spark.streaming.slicestore import SliceStore
+
+    store = SliceStore(str(tmp_path / "region"))
+    assert store.committed() == []
+    assert not store.is_committed(0)
+    store.commit(0)
+    store.commit(0)
+    store.commit(3)
+    assert store.committed() == [0, 3]
+    assert store.is_committed(3) and not store.is_committed(1)
+    # no stray temp files left behind by the write-replace protocol
+    leftovers = [
+        f for f in os.listdir(tmp_path / "region") if f.startswith(".manifest_")
+    ]
+    assert leftovers == []
+    store.clear()
+    assert store.committed() == []
