@@ -909,12 +909,24 @@ def dedup_substrings(
         "ELSE filter(_t, (t, i) -> "
         "NOT exists(_spans, a -> i >= a.s AND i < a.e)) END"
     )
+    # ONE evaluation of the O(spans x tokens) kept-filter per row (r15
+    # ADVICE): bind _k once and derive both the rebuilt text and the
+    # removed-token count from the same binding.
+    packed = (
+        "named_struct('text', concat_ws(' ', _k), "
+        "'removed', CAST(size(_t) - size(_k) AS BIGINT))"
+    )
     return joined.selectExpr(
         id_col,
-        x.let(kept, "_k", "concat_ws(' ', _k)", x.SPARK) + " AS text",
+        x.let(kept, "_k", packed, x.SPARK) + " AS _o",
         "CAST(size(_t) AS BIGINT) AS n_tokens",
-        f"CAST(size(_t) - size({kept}) AS BIGINT) AS n_removed_tokens",
         "CAST(COALESCE(size(_spans), 0) AS BIGINT) AS n_spans_removed",
+    ).selectExpr(
+        id_col,
+        "_o.text AS text",
+        "n_tokens",
+        "_o.removed AS n_removed_tokens",
+        "n_spans_removed",
     )
 
 
@@ -1946,12 +1958,24 @@ def scrub_benchmark_spans(
         "ELSE filter(_t, (t, i) -> "
         "NOT exists(_spans, a -> i >= a.s AND i < a.e)) END"
     )
+    # ONE evaluation of the O(spans x tokens) kept-filter per row (r15
+    # ADVICE): bind _k once and derive both the rebuilt text and the
+    # removed-token count from the same binding.
+    packed = (
+        "named_struct('text', concat_ws(' ', _k), "
+        "'removed', CAST(size(_t) - size(_k) AS BIGINT))"
+    )
     return joined.selectExpr(
         id_col,
-        x.let(kept, "_k", "concat_ws(' ', _k)", x.SPARK) + " AS text",
+        x.let(kept, "_k", packed, x.SPARK) + " AS _o",
         "CAST(size(_t) AS BIGINT) AS n_tokens",
-        f"CAST(size(_t) - size({kept}) AS BIGINT) AS n_removed_tokens",
         "CAST(COALESCE(size(_spans), 0) AS BIGINT) AS n_spans_removed",
+    ).selectExpr(
+        id_col,
+        "_o.text AS text",
+        "n_tokens",
+        "_o.removed AS n_removed_tokens",
+        "n_spans_removed",
     )
 
 

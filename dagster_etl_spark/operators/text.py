@@ -994,7 +994,11 @@ class IncrementalBM25Index:
         )
 
     def topk(
-        self, queries: DataFrame, k: int = 10, push_terms: int | None = 20_000
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        push_terms: int | None = 2_000,
+        isin_terms: int = 256,
     ) -> DataFrame:
         """Fixed-point BM25 top-k against the standing index.
         ``queries`` = (id_col, text_col); each query's distinct token
@@ -1012,13 +1016,19 @@ class IncrementalBM25Index:
         term count is <= ``push_terms`` (collected via a LIMIT-capped
         bounded job — the query batch is bounded by the same contract
         as every ANN probe), the term set is pushed into BOTH corpus
-        scans as an IN filter: Spark's bucket pruning then reads only
-        the term-matching buckets and parquet row-group stats skip
-        within them, so probe cost tracks the MATCHING postings, not
-        the corpus. Semantics-preserving by construction (the join on
-        the query term set discards every filtered row anyway);
-        ``push_terms=None`` disables (and any batch over the cap falls
-        back to the full-scan plan rather than erroring).
+        scans. Two mechanisms by size (r15 ADVICE — a 20k-literal
+        isin() bloats plan strings/codegen and degrades parquet IN
+        pushdown): up to ``isin_terms`` the set goes in as an IN
+        literal (parquet row-group stats skip + bucket pruning at the
+        scan itself); between that and ``push_terms`` it becomes a
+        broadcast LEFT SEMI join on the term set — no giant plan
+        string, rows drop at the first post-scan stage with zero
+        corpus-side shuffle. Semantics-preserving by construction
+        either way (the probe join on the query term set discards
+        every filtered row anyway); ``push_terms=None`` disables (and
+        any batch over the cap falls back to the full-scan plan
+        rather than erroring — the collect is bounded at
+        ``push_terms + 1`` rows).
         """
         from pyspark.sql.window import Window
 
@@ -1039,9 +1049,17 @@ class IncrementalBM25Index:
                 .limit(push_terms + 1)
                 .collect()
             ]
-            if len(terms) <= push_terms:
+            if len(terms) <= isin_terms:
                 postings = postings.filter(F.col("term").isin(terms))
                 raw_df = raw_df.filter(F.col("term").isin(terms))
+            elif len(terms) <= push_terms:
+                term_set = F.broadcast(
+                    spark.createDataFrame(
+                        [(t,) for t in terms], "term STRING"
+                    )
+                )
+                postings = postings.join(term_set, on="term", how="left_semi")
+                raw_df = raw_df.join(term_set, on="term", how="left_semi")
         dfq = raw_df.groupBy("term").agg(
             F.sum("df").cast("long").alias("df")
         )

@@ -12,10 +12,20 @@ classifier ON the ingest stream and the corpus-relative gates against
 standing state, which is exactly how the pieces here compose
 (streaming_quality_score + surprisal_incremental).
 
-Each micro-batch also appends a (batch_id, n_docs, n_keep) row to an
+Each micro-batch also writes a (batch_id, n_docs, n_keep) row to an
 observability table — the per-slice keep-rate a curation dashboard
 watches for upstream drift (a crawl source going bad shows up as the
 keep rate falling batch over batch).
+
+Idempotence under replay (r15 ADVICE): both writes land in a
+batch_id-keyed subdirectory with ``mode("overwrite")`` — Structured
+Streaming replays the in-flight batch after a crash (at-least-once
+delivery to foreachBatch), and a plain append would double-land the
+crashed batch's rows. Overwrite-per-batch makes the replay rewrite the
+same directory with identical rows (frozen model ⇒ deterministic
+scores), so the recovered output equals the one-shot scorer
+bit-for-bit — the same commit discipline as streaming/slicestore.py,
+without a manifest because each batch's directory is self-contained.
 
 Reference parity note: the reference is batch-only (SURVEY §2.7); this
 is the streaming generalization of its per-run validation-report
@@ -66,12 +76,15 @@ def streaming_quality_score(
         if batch_df.isEmpty():
             return
         scored = quality_classifier_score(batch_df)
-        scored.write.mode("append").parquet(out_dir)
+        # batch-keyed overwrite = idempotent on checkpoint replay (the
+        # dir name is NOT key=value form so the read below stays a plain
+        # recursive file scan, no inferred partition column)
+        scored.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id}")
         scored.agg(
             F.lit(batch_id).alias("batch_id"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
-        ).write.mode("append").parquet(obs_dir)
+        ).write.mode("overwrite").parquet(f"{obs_dir}/b{batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(score_batch)
@@ -80,4 +93,4 @@ def streaming_quality_score(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

@@ -234,12 +234,17 @@ def test_aqe_splits_skewed_join_and_salting_beats_disabled_aqe(spark):
             if salted_s < plain_s:
                 break
         # one task sorts/probes 7.2M rows vs ~450k with salt=16; require
-        # a real win on the medians
-        if salted_s >= plain_s and load_seen > 10.0:
+        # a real win on the medians. The contention gate scales with the
+        # box (r15 ADVICE): this session's local[4] accounts for ~5 of
+        # the load; anything past cpu_count/2 + 5 means genuinely
+        # contended timings on small AND large boxes alike.
+        contended = (os.cpu_count() or 4) / 2 + 5.0
+        if salted_s >= plain_s and load_seen > contended:
             pytest.skip(
                 "salted-vs-plain timing inverted twice under external "
                 f"load (1-min loadavg peaked at {load_seen:.1f} on "
-                f"{os.cpu_count()} cpus; this session accounts for ~5) "
+                f"{os.cpu_count()} cpus, gate {contended:.1f}; this "
+                "session accounts for ~5) "
                 f"— medians plain={plain_s:.2f}s salted={salted_s:.2f}s"
             )
         assert salted_s < plain_s, (plains, salteds, load_seen)

@@ -719,10 +719,14 @@ def test_streaming_quality_score_equals_batch_and_logs_keep_rates(spark):
     # its contract)
     import os
 
-    scored_dir = os.path.dirname(out.inputFiles()[0].replace("file:", ""))
-    rates = spark.read.parquet(
-        os.path.join(os.path.dirname(scored_dir), "keep_rates")
-    ).collect()
+    batch_dir = os.path.dirname(out.inputFiles()[0].replace("file:", ""))
+    work = os.path.dirname(os.path.dirname(batch_dir))  # scored/b<k> -> work
+    assert os.path.basename(batch_dir).startswith("b")  # batch-keyed layout
+    rates = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(work, "keep_rates"))
+        .collect()
+    )
     assert len(rates) >= 2  # really arrived as multiple micro-batches
     assert sum(r.n_docs for r in rates) == len(got)
     assert sum(r.n_keep for r in rates) == sum(1 for g in got if g[4])
