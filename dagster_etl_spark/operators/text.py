@@ -2136,6 +2136,37 @@ QCLF_DECILE_CUTS: tuple[int, ...] = tuple(
 )
 
 
+#: fastText's ngram-hash multiplier (dictionary.cc: ``h = h * 116049371
+#: + wordHash``): bigram feature buckets are COMPOSED from the two word
+#: hashes instead of md5-hashing the joined bigram string. That is both
+#: more faithful to fastText and half the md5 work — each token is
+#: hashed exactly once and every bigram bucket is integer arithmetic
+#: over the reduced word buckets (r15 verdict task 3: the classifier
+#: constant factor was the per-feature md5 chain).
+QCLF_BIGRAM_MULT = 116049371
+
+
+def qclf_feature_buckets_expr(text_col: str, d: str, n_buckets: int) -> str:
+    """Bucket array (unigram buckets then word-bigram buckets) shared
+    by both fastText-shape classifiers, identical in both dialects.
+
+    ONE md5 per token (``h60``), reduced to a bucket; bigram bucket =
+    ``(b_i * MULT + b_{i+1}) % n_buckets`` — all operands stay far
+    below 2^63 (b < n_buckets, MULT ~ 2^27), so Spark's ANSI BIGINT
+    arithmetic and DuckDB agree exactly. The explode downstream then
+    carries BIGINT buckets, never feature strings."""
+    tok = x.tokens(text_col, d)
+    hb = x.xform("_t", "t", f"({x.h60('t', d)} % {n_buckets})", d)
+    n1 = f"({x.xsize('_h', d)} - 1)"
+    bi_body = (
+        f"(({x.idx_var('_h', 'i', d)} * {QCLF_BIGRAM_MULT} "
+        f"+ {x.idx_var('_h', 'i', d, 1)}) % {n_buckets})"
+    )
+    bi = x.xform(x.zero_range(n1, d), "i", bi_body, d)
+    inner = x.concat_arrays("_h", bi, d)
+    return x.let(tok, "_t", x.let(hb, "_h", inner, d), d)
+
+
 def qclf_weight_expr(bucket: str, d: str) -> str:
     """Frozen per-bucket classifier weight, SHIFTED non-negative:
     ``h60('qclf-w' || bucket) % (2*W_SCALE + 1)`` — a deterministic
@@ -2173,27 +2204,25 @@ def quality_classifier_score(
     threshold == logit threshold. ``keep`` is decile >= 5, i.e.
     p >= 0.5, i.e. logit >= 0 exactly (cut[4] == 0).
 
-    Scale shape: tokenize once, build the unigram+bigram feature array
-    in ONE array expression (no second explode), explode to (doc,
-    bucket) rows, broadcast-join the n_buckets-row model table
-    (model size is independent of corpus size — the canonical
-    broadcast dimension), then ONE hash aggregate per document. No
-    window, no corpus-sized sort; the only shuffle is the per-doc sum.
-    Docs with zero tokens have no features and are excluded.
+    Scale shape: tokenize once, hash each token ONCE (bigram buckets
+    compose from the word hashes, fastText-style — see
+    :data:`QCLF_BIGRAM_MULT`), build the unigram+bigram BUCKET array in
+    ONE array expression, explode to (doc, bucket) BIGINT rows (no
+    feature strings cross the explode), broadcast-join the
+    n_buckets-row model table (model size is independent of corpus
+    size — the canonical broadcast dimension), then ONE hash aggregate
+    per document. No window, no corpus-sized sort; the only shuffle is
+    the per-doc sum. Docs with zero tokens have no features and are
+    excluded.
 
     Returns (doc_id, n_feats, logit_scaled, logit, prob_decile, keep).
     """
     s = x.SPARK
-    tok = x.tokens(text_col, s)
-    feats = x.let(
-        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", s), s), s
-    )
+    feats = qclf_feature_buckets_expr(text_col, s, n_buckets)
     g = df.selectExpr(id_col, f"{feats} AS _f").selectExpr(
         id_col, f"CAST({x.xsize('_f', s)} AS BIGINT) AS n_feats", "_f"
     ).filter("n_feats > 0")
-    ex = g.select(
-        id_col, "n_feats", F.explode("_f").alias("feat")
-    ).selectExpr(id_col, "n_feats", f"({x.h60('feat', s)} % {n_buckets}) AS b")
+    ex = g.select(id_col, "n_feats", F.explode("_f").alias("b"))
     spark = df.sparkSession
     w = spark.range(n_buckets).selectExpr(
         "id AS b", f"CAST({qclf_weight_expr('id', s)} AS BIGINT) AS w_shift"
@@ -2247,10 +2276,7 @@ def quality_classifier_score_oracle_sql(
     weight table (h60 is the shared md5 prefix), same shifted
     non-negative fixed-point mean, same integer logit cutpoints."""
     d = x.DUCK
-    tok = x.tokens(text_col, d)
-    feats = x.let(
-        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", d), d), d
-    )
+    feats = qclf_feature_buckets_expr(text_col, d, n_buckets)
     logit = (
         f"(CAST({QCLF_SIG_SCALE} AS BIGINT) * sw_shift)"
         f" // (n_feats * {QCLF_W_SCALE})"
@@ -2267,8 +2293,7 @@ WITH g AS (
   SELECT {id_col}, CAST({x.xsize('_f', d)} AS BIGINT) AS n_feats, _f
   FROM g WHERE {x.xsize('_f', d)} > 0
 ), ex AS (
-  SELECT {id_col}, n_feats,
-         ({x.h60('UNNEST(_f)', d)} % {n_buckets}) AS b
+  SELECT {id_col}, n_feats, UNNEST(_f) AS b
   FROM gg
 ), w AS (
   SELECT b, CAST({qclf_weight_expr('b', d)} AS BIGINT) AS w_shift
@@ -2894,16 +2919,11 @@ def lang_classifier_scores(
     Returns (doc_id, n_feats, pred_lang, best_scaled, margin_scaled).
     """
     s = x.SPARK
-    tok = x.tokens(text_col, s)
-    feats = x.let(
-        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", s), s), s
-    )
+    feats = qclf_feature_buckets_expr(text_col, s, n_buckets)
     g = df.selectExpr(id_col, f"{feats} AS _f").selectExpr(
         id_col, f"CAST({x.xsize('_f', s)} AS BIGINT) AS n_feats", "_f"
     ).filter("n_feats > 0")
-    ex = g.select(
-        id_col, "n_feats", F.explode("_f").alias("feat")
-    ).selectExpr(id_col, "n_feats", f"({x.h60('feat', s)} % {n_buckets}) AS b")
+    ex = g.select(id_col, "n_feats", F.explode("_f").alias("b"))
     spark = df.sparkSession
     w_arr = ", ".join(
         f"CAST({langclf_weight_expr('id', lang, s)} AS BIGINT)"
@@ -2954,10 +2974,7 @@ def lang_classifier_scores_oracle_sql(
     weight matrix, same fixed-point per-language logits, same
     precedence argmax and top-two margin."""
     d = x.DUCK
-    tok = x.tokens(text_col, d)
-    feats = x.let(
-        tok, "_t", x.concat_arrays("_t", _bigram_list_expr("_t", d), d), d
-    )
+    feats = qclf_feature_buckets_expr(text_col, d, n_buckets)
     w_cols = ",\n         ".join(
         f"CAST({langclf_weight_expr('b', lang, d)} AS BIGINT) AS w_{lang}"
         for lang in LANGS
@@ -2986,8 +3003,7 @@ WITH g AS (
   SELECT {id_col}, CAST({x.xsize('_f', d)} AS BIGINT) AS n_feats, _f
   FROM g WHERE {x.xsize('_f', d)} > 0
 ), ex AS (
-  SELECT {id_col}, n_feats,
-         ({x.h60('UNNEST(_f)', d)} % {n_buckets}) AS b
+  SELECT {id_col}, n_feats, UNNEST(_f) AS b
   FROM gg
 ), w AS (
   SELECT b,

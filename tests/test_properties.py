@@ -952,6 +952,7 @@ def test_quality_classifier_matches_python_model(spark, texts):
 
     from dagster_etl_spark.operators.text import (
         QCLF_BIAS_SCALED,
+        QCLF_BIGRAM_MULT,
         QCLF_DECILE_CUTS,
         QCLF_N_BUCKETS,
         QCLF_SIG_SCALE,
@@ -964,21 +965,26 @@ def test_quality_classifier_matches_python_model(spark, texts):
 
     def model(text: str):
         toks = [t for t in text.strip().lower().split() if t]
-        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-        if not feats:
+        # fastText-style bigram composition: word hashed once, bigram
+        # bucket derived from the two word buckets (QCLF_BIGRAM_MULT)
+        wb = [h60(t) % QCLF_N_BUCKETS for t in toks]
+        buckets = wb + [
+            (a * QCLF_BIGRAM_MULT + b) % QCLF_N_BUCKETS
+            for a, b in zip(wb, wb[1:])
+        ]
+        if not buckets:
             return None
         sw = sum(
-            h60(f"qclf-w{h60(f) % QCLF_N_BUCKETS}") % (2 * QCLF_W_SCALE + 1)
-            for f in feats
+            h60(f"qclf-w{b}") % (2 * QCLF_W_SCALE + 1) for b in buckets
         )
         # all operands non-negative: Python // == Spark DIV == DuckDB //
         logit = (
-            (QCLF_SIG_SCALE * sw) // (len(feats) * QCLF_W_SCALE)
+            (QCLF_SIG_SCALE * sw) // (len(buckets) * QCLF_W_SCALE)
             - QCLF_SIG_SCALE
             + QCLF_BIAS_SCALED
         )
         decile = sum(logit >= c for c in QCLF_DECILE_CUTS)
-        return (len(feats), logit, decile, decile >= 5)
+        return (len(buckets), logit, decile, decile >= 5)
 
     want = {
         i: m for i, t in enumerate(texts) if (m := model(t)) is not None
@@ -1084,6 +1090,7 @@ def test_lang_classifier_matches_python_model(spark, texts):
 
     from dagster_etl_spark.operators.text import (
         LANGS,
+        QCLF_BIGRAM_MULT,
         QCLF_N_BUCKETS,
         QCLF_SIG_SCALE,
         QCLF_W_SCALE,
@@ -1095,23 +1102,26 @@ def test_lang_classifier_matches_python_model(spark, texts):
 
     def model(text: str):
         toks = [t for t in text.strip().lower().split() if t]
-        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-        if not feats:
+        wb = [h60(t) % QCLF_N_BUCKETS for t in toks]
+        buckets = wb + [
+            (a * QCLF_BIGRAM_MULT + b) % QCLF_N_BUCKETS
+            for a, b in zip(wb, wb[1:])
+        ]
+        if not buckets:
             return None
         lgs = []
         for lang in LANGS:
             sw = sum(
-                h60(f"langclf-{lang}-{h60(f) % QCLF_N_BUCKETS}")
-                % (2 * QCLF_W_SCALE + 1)
-                for f in feats
+                h60(f"langclf-{lang}-{b}") % (2 * QCLF_W_SCALE + 1)
+                for b in buckets
             )
             lgs.append(
-                (QCLF_SIG_SCALE * sw) // (len(feats) * QCLF_W_SCALE)
+                (QCLF_SIG_SCALE * sw) // (len(buckets) * QCLF_W_SCALE)
                 - QCLF_SIG_SCALE
             )
         pred = max(range(len(LANGS)), key=lambda i: (lgs[i], -i))
         srt = sorted(lgs)
-        return (len(feats), LANGS[pred], srt[-1], srt[-1] - srt[-2])
+        return (len(buckets), LANGS[pred], srt[-1], srt[-1] - srt[-2])
 
     want = {
         i: m for i, t in enumerate(texts) if (m := model(t)) is not None
