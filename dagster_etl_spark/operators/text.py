@@ -2565,6 +2565,258 @@ FROM {table} t LEFT JOIN per_doc p USING ({id_col})
 ) sw"""
 
 
+# -- BPE merge-rank segmentation (GPT-family tokenizer shape) ------------------
+
+#: Frozen BPE merge table, ORDERED BY RANK (rank = 1-based position) —
+#: the tokenizer analog of a trained GPT-2 ``merges.txt`` (production
+#: loads its merge file into this tuple / a broadcast table; the walk
+#: is unchanged). The table is BOTTOM-UP CONSISTENT (every multi-char
+#: side is formed by an earlier merge — pinned by a test), which is
+#: what real BPE training always produces and what makes the
+#: one-at-a-time leftmost-merge recurrence below equal classic
+#: merge-all-occurrences BPE: a pair created by applying merge k can
+#: only have rank > k, so remaining occurrences of the rank-k pair
+#: always win the next step.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("s", "t"), ("e", "s"), ("l", "e"), ("a", "r"), ("c", "h"),
+    ("o", "w"), ("i", "t"), ("o", "u"), ("an", "d"), ("in", "g"),
+    ("t", "o"), ("e", "d"), ("i", "s"), ("a", "l"), ("u", "s"),
+    ("m", "a"), ("s", "e"), ("th", "at"), ("d", "e"), ("c", "o"),
+    ("r", "o"), ("p", "ar"), ("s", "u"), ("t", "er"), ("l", "i"),
+    ("ou", "r"), ("t", "a"), ("d", "at"), ("co", "l"), ("ro", "w"),
+    ("s", "p"), ("k", "e"), ("v", "al"), ("g", "r"), ("f", "i"),
+    ("w", "in"), ("or", "d"), ("le", "n"), ("st", "r"),
+    ("ch", "ar"), ("ta", "b"),
+)
+#: Sentinel rank for "pair not in the table" — strictly above every
+#: real rank, so array_min picks a real merge iff one applies.
+BPE_RANK_MAX = len(BPE_MERGES) + 1
+
+
+def _bpe_keys_lit(d: str) -> str:
+    items = ", ".join(f"'{a} {b}'" for a, b in BPE_MERGES)
+    return f"array({items})" if d == x.SPARK else f"[{items}]"
+
+
+def bpe_rank_expr(pair: str, d: str) -> str:
+    """1-based merge rank of a ``'left right'`` pair key, or
+    BPE_RANK_MAX when the pair is not in the table. Both engines'
+    position functions signal a miss as 0 (DuckDB 1.x switched from
+    NULL to 0 — probed), so both normalize via NULLIF + COALESCE."""
+    if d == x.SPARK:
+        return (
+            f"COALESCE(NULLIF(array_position({_bpe_keys_lit(d)}, {pair}), 0),"
+            f" CAST({BPE_RANK_MAX} AS BIGINT))"
+        )
+    return (
+        f"COALESCE(NULLIF(list_position({_bpe_keys_lit(d)}, {pair}), 0),"
+        f" {BPE_RANK_MAX})"
+    )
+
+
+def bpe_walk_expr(w: str, d: str) -> str:
+    """BPE inference on one word (Sennrich et al. 2016,
+    arXiv:1508.07909; the GPT-2 tokenizer's merge loop, Radford et al.
+    2019): start from the character sequence and repeatedly merge the
+    LEFTMOST occurrence of the lowest-rank adjacent pair until no pair
+    is in the merge table. Returns the final pieces array<string>.
+
+    The recurrence differs from :func:`subword_walk_expr`'s greedy
+    longest-match walk in kind, not just vocab: BPE is an ITERATIVE
+    PAIR-MERGE ordered by a frozen rank table — a different tokenizer
+    family (GPT) from WordPiece (BERT). One-at-a-time leftmost
+    merging equals classic merge-all-occurrences BPE on a bottom-up
+    consistent table (see BPE_MERGES).
+
+    Fold shape: a word of L chars admits at most L-1 merges, so the
+    walk is ``aggregate(sequence of L-1 steps, chars, step)`` with the
+    no-pair state as the identity — same bounded-left-fold pattern as
+    the subword walk, SPARK DIALECT ONLY for the same reason
+    (list_reduce mis-vectorizes in DuckDB 1.0; the oracle walks the
+    identical recurrence as a recursive CTE,
+    :func:`bpe_segment_oracle_sql`). Entirely scan-local: no shuffle,
+    no Python, O(L^2) worst-case per word inside codegen."""
+    if d != x.SPARK:
+        raise ValueError(
+            "bpe_walk_expr is Spark-only: use the recursive-CTE oracle "
+            "(bpe_segment_oracle_sql)"
+        )
+    chars = (
+        f"transform(sequence(1, length({w})), _ci -> "
+        f"substring({w}, _ci, 1))"
+    )
+    pair = "concat(acc[_i], ' ', acc[_i + 1])"
+    ranks = x.xform(
+        x.zero_range("(size(acc) - 1)", d), "_i", bpe_rank_expr(pair, d), d
+    )
+    merged = (
+        "concat(slice(acc, 1, _j), "
+        "array(concat(acc[_j], acc[_j + 1])), "
+        "slice(acc, _j + 3, size(acc) - _j - 2))"
+    )
+    pick_j = "CAST(array_position(_r, array_min(_r)) - 1 AS INT)"
+    step = x.let(
+        ranks,
+        "_r",
+        f"CASE WHEN size(acc) < 2 OR array_min(_r) >= {BPE_RANK_MAX} "
+        f"THEN acc ELSE {x.let(pick_j, '_j', merged, d)} END",
+        d,
+    )
+    return (
+        f"aggregate({x.zero_range(f'(length({w}) - 1)', d)}, "
+        f"{chars}, (acc, _it) -> {step})"
+    )
+
+
+def bpe_doc_expr(text_col: str, d: str) -> str:
+    """Per-document BPE stats as ONE struct expression (Spark-only):
+    (n_words, n_pieces, seg_fp) — seg_fp = Σ_words h60(pieces joined
+    by ' ') % SUBWORD_FP_MOD, which pins the exact segmentation (a
+    space can never occur inside a piece, so the join is injective)."""
+    joined = "concat_ws(' ', _bp)"
+    word_stats = x.let(
+        bpe_walk_expr("_w", d),
+        "_bp",
+        "named_struct('cnt', CAST(size(_bp) AS BIGINT), "
+        f"'fp', ({x.h60(joined, d)} % {SUBWORD_FP_MOD}))",
+        d,
+    )
+    walk = x.xform("_ws", "_w", word_stats, d)
+    body = (
+        "named_struct('n_words', CAST(size(_ws) AS BIGINT), "
+        f"'n_pieces', {x.xsum_int(x.xform('_segs', '_s', '_s.cnt', d), d)}, "
+        f"'seg_fp', {x.xsum_int(x.xform('_segs', '_s', '_s.fp', d), d)})"
+    )
+    inner = x.let(walk, "_segs", body, d)
+    return x.let(x.tokens(text_col, d), "_ws", inner, d)
+
+
+def bpe_segment(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE merge-rank segmentation stats per document — the GPT-family
+    third budget basis next to whitespace counts (doc_stats) and the
+    WordPiece-style greedy walk (:func:`subword_segment`). Empty docs
+    report zero counts.
+
+    Scale shape: identical to subword_segment — pure per-row
+    expression tree, zero shuffles, whole plan inside codegen; the
+    merge table is a plan constant (a broadcast table at production
+    merge counts).
+
+    Returns (doc_id, n_words, n_pieces, seg_fp,
+    pieces_per_word_x1000)."""
+    s = x.SPARK
+    return df.selectExpr(
+        id_col, f"{bpe_doc_expr(text_col, s)} AS _bw"
+    ).selectExpr(
+        id_col,
+        "_bw.n_words AS n_words",
+        "_bw.n_pieces AS n_pieces",
+        "_bw.seg_fp AS seg_fp",
+        "CASE WHEN _bw.n_words > 0 THEN (CAST(1000 AS BIGINT) * _bw.n_pieces)"
+        " DIV _bw.n_words ELSE CAST(0 AS BIGINT) END AS pieces_per_word_x1000",
+    )
+
+
+def _bpe_walk_ctes(table: str, text_col: str, id_col: str) -> str:
+    """Shared recursive-CTE BPE walk (g/words/walk/done): one row per
+    (doc, word) state carrying the current pieces LIST, merging the
+    leftmost lowest-rank pair per recursion step until no pair is in
+    the merge table — the same recurrence as Spark's aggregate fold.
+    ``done`` holds exactly one final row per word."""
+    d = x.DUCK
+    keys = _bpe_keys_lit(d)
+    ranks = (
+        f"list_transform(range(1, len(p)), _i -> "
+        f"COALESCE(NULLIF(list_position({keys}, p[_i] || ' ' || p[_i + 1]),"
+        f" 0), {BPE_RANK_MAX}))"
+    )
+    merged = (
+        "p[1:j - 1] || [p[j] || p[j + 1]] || p[j + 2:]"
+    )
+    return f"""g AS (
+  SELECT {id_col}, {x.tokens(text_col, d)} AS _ws FROM {table}
+), words AS (
+  SELECT {id_col}, UNNEST(_ws) AS w,
+         UNNEST(range(1, len(_ws) + 1)) AS wi
+  FROM g
+), walk AS (
+  SELECT {id_col}, wi,
+         list_transform(range(1, length(w) + 1),
+                        _ci -> substr(w, CAST(_ci AS INT), 1)) AS p
+  FROM words
+  UNION ALL
+  SELECT {id_col}, wi, {merged} AS p
+  FROM (
+    SELECT {id_col}, wi, p,
+           CAST(list_position(r, list_min(r)) AS INT) AS j,
+           list_min(r) AS best
+    FROM (SELECT {id_col}, wi, p, {ranks} AS r FROM walk WHERE len(p) >= 2) s0
+  ) s
+  WHERE best < {BPE_RANK_MAX}
+), fin AS (
+  SELECT {id_col}, wi, p, {ranks} AS r FROM walk
+), done AS (
+  SELECT {id_col}, wi, p FROM fin
+  WHERE len(p) < 2 OR list_min(r) >= {BPE_RANK_MAX}
+)"""
+
+
+def bpe_segment_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB mirror of :func:`bpe_segment` as a RECURSIVE CTE over
+    list-valued state — same leftmost-lowest-rank recurrence, same
+    piece fingerprint (md5 of the space-joined pieces)."""
+    d = x.DUCK
+    joined = "array_to_string(p, ' ')"
+    fp = f"({x.h60(joined, d)} % {SUBWORD_FP_MOD})"
+    return f"""
+WITH RECURSIVE {_bpe_walk_ctes(table, text_col, id_col)}, per_doc AS (
+  SELECT {id_col},
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(p)) AS BIGINT) AS n_pieces,
+         CAST(SUM({fp}) AS BIGINT) AS seg_fp
+  FROM done GROUP BY 1
+)
+SELECT g.{id_col},
+       COALESCE(p.n_words, 0) AS n_words,
+       COALESCE(p.n_pieces, 0) AS n_pieces,
+       COALESCE(p.seg_fp, 0) AS seg_fp,
+       CASE WHEN COALESCE(p.n_words, 0) > 0
+            THEN (CAST(1000 AS BIGINT) * p.n_pieces) // p.n_words
+            ELSE CAST(0 AS BIGINT) END AS pieces_per_word_x1000
+FROM g LEFT JOIN per_doc p USING ({id_col})
+"""
+
+
+def bpe_token_counts_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: str = "source",
+) -> str:
+    """(id, extra_cols, n_bpe_tokens) per document — the BPE budget
+    basis, composing under another oracle's FROM clause exactly like
+    :func:`subword_token_counts_oracle_sql`."""
+    ec = (
+        f"t.{', t.'.join(c.strip() for c in extra_cols.split(','))}, "
+        if extra_cols
+        else ""
+    )
+    return f"""(
+WITH RECURSIVE {_bpe_walk_ctes(table, text_col, id_col)}, per_doc AS (
+  SELECT {id_col}, CAST(SUM(len(p)) AS BIGINT) AS n_bpe_tokens
+  FROM done GROUP BY 1
+)
+SELECT t.{id_col}, {ec}COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM {table} t LEFT JOIN per_doc p USING ({id_col})
+) bp"""
+
+
 # -- interpolated Kneser-Ney bigram LM -----------------------------------------
 
 #: Kneser-Ney absolute discount D = 3/4 as an exact rational (num,

@@ -1725,6 +1725,75 @@ def q_token_budget_mixture_subword(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _bpe_oracle() -> str:
+    from dagster_etl_spark.operators.text import bpe_segment_oracle_sql
+
+    return bpe_segment_oracle_sql()
+
+
+@register(
+    "bpe_segment",
+    oracle=_bpe_oracle(),
+    tags=("llm", "text"),
+    doc="BPE merge-rank segmentation stats (Sennrich et al. 2016; the "
+    "GPT-2 tokenizer's merge loop): per word, start from characters "
+    "and repeatedly merge the leftmost lowest-rank adjacent pair from "
+    "a frozen ordered merge table — a different tokenizer family "
+    "(GPT/BPE) from subword_segment's WordPiece greedy walk. The walk "
+    "is a bounded aggregate fold (<= L-1 merges per word), scan-local, "
+    "zero shuffles; the oracle proves the identical recurrence as a "
+    "recursive CTE over list-valued state. seg_fp pins the exact "
+    "segmentation (md5 of the space-joined pieces).",
+)
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.text import bpe_segment
+
+    return bpe_segment(load_table(spark, sf_dir, "documents"))
+
+
+_MIX_BUDGETS_BPE = {"src0": 10_000_000, "src1": 2_500, "src2": 400, "src3": 900}
+
+
+def _budget_bpe_oracle() -> str:
+    from dagster_etl_spark.operators.sampling import (
+        token_budget_mixture_oracle_sql,
+    )
+    from dagster_etl_spark.operators.text import bpe_token_counts_oracle_sql
+
+    return token_budget_mixture_oracle_sql(
+        _MIX_BUDGETS_BPE,
+        table=bpe_token_counts_oracle_sql(),
+        token_col="n_bpe_tokens",
+        select_cols="doc_id, source, n_bpe_tokens",
+        seed=13,
+    )
+
+
+@register(
+    "token_budget_mixture_bpe",
+    oracle=_budget_bpe_oracle(),
+    tags=("llm", "sampling", "text"),
+    doc="token_budget_mixture on the THIRD budget basis: per-source "
+    "budgets fill by BPE merge-rank piece counts (bpe_segment) — the "
+    "unit a GPT-family model actually consumes — next to the "
+    "whitespace proxy (token_budget_mixture) and the WordPiece walk "
+    "(token_budget_mixture_subword). Same one hash exchange + "
+    "per-source cumulative window; the BPE walk adds zero shuffles.",
+)
+def q_token_budget_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.operators.sampling import token_budget_mixture
+    from dagster_etl_spark.operators.text import bpe_doc_expr
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        f"{bpe_doc_expr('text', x.SPARK)}.n_pieces AS n_bpe_tokens",
+    )
+    return token_budget_mixture(
+        docs, _MIX_BUDGETS_BPE, token_col="n_bpe_tokens", seed=13
+    )
+
+
 def _kn_oracle() -> str:
     from dagster_etl_spark.operators.text import kn_bigram_surprisal_oracle_sql
 

@@ -219,6 +219,9 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "priority_wip_approx",
     "dedup_lines",
     "dedup_survivors",
+    # mid-r16 registrations (ALLCHECK-swept; no driver row yet)
+    "bpe_segment",
+    "token_budget_mixture_bpe",
 )
 
 

@@ -1077,6 +1077,86 @@ def test_subword_segment_matches_python_model(spark, texts):
     assert got == want, (texts, got, want)
 
 
+def test_bpe_merge_table_is_bottom_up_consistent():
+    """Every multi-char side of a BPE merge must be FORMED by an
+    earlier merge — the invariant real BPE training always produces,
+    and the one that makes the one-at-a-time leftmost recurrence equal
+    classic merge-all-occurrences BPE (a pair created by applying
+    merge k can only have rank > k)."""
+    from dagster_etl_spark.operators.text import BPE_MERGES
+
+    formed: set[str] = set()
+    for i, (a, b) in enumerate(BPE_MERGES):
+        for side in (a, b):
+            assert len(side) >= 1, f"merge {i + 1} has an empty side"
+            assert len(side) == 1 or side in formed, (
+                f"merge {i + 1} {a, b}: piece {side!r} is not formed by "
+                "an earlier merge"
+            )
+        formed.add(a + b)
+    assert len({f"{a} {b}" for a, b in BPE_MERGES}) == len(BPE_MERGES)
+
+
+@given(texts=subword_texts)
+@settings(**SETTINGS)
+def test_bpe_segment_matches_python_model(spark, texts):
+    """r15 verdict task 5's independence check: the merge-rank walk
+    must equal a from-scratch Python implementation of classic BPE
+    (lowest-rank pair first, leftmost occurrence, until no pair is in
+    the table) on arbitrary words — including characters outside every
+    merge ('!', '9' stay single pieces) and empty documents."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.text import (
+        BPE_MERGES,
+        BPE_RANK_MAX,
+        SUBWORD_FP_MOD,
+        bpe_segment,
+    )
+
+    ranks = {f"{a} {b}": i + 1 for i, (a, b) in enumerate(BPE_MERGES)}
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def walk(wd: str) -> list[str]:
+        p = list(wd)
+        while len(p) >= 2:
+            rs = [
+                ranks.get(f"{p[i]} {p[i + 1]}", BPE_RANK_MAX)
+                for i in range(len(p) - 1)
+            ]
+            best = min(rs)
+            if best >= BPE_RANK_MAX:
+                break
+            j = rs.index(best)
+            p = p[:j] + [p[j] + p[j + 1]] + p[j + 2 :]
+        return p
+
+    def model(text: str):
+        words = [w for w in text.strip().lower().split() if w]
+        segs = [walk(w) for w in words]
+        n_p = sum(len(s) for s in segs)
+        return (
+            len(words),
+            n_p,
+            sum(h60(" ".join(s)) % SUBWORD_FP_MOD for s in segs),
+            (1000 * n_p) // len(words) if words else 0,
+        )
+
+    want = {i: model(t) for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, r.seg_fp, r.pieces_per_word_x1000)
+        for r in bpe_segment(df).collect()
+    }
+    assert got == want, (texts, got, want)
+
+
 @given(texts=qclf_texts)
 @settings(**SETTINGS)
 def test_lang_classifier_matches_python_model(spark, texts):
