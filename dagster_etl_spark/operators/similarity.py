@@ -997,8 +997,20 @@ class IncrementalIVFPQIndex:
             f"{_pq_code_expr(self.vec_col, book, j, ds)} AS code_{j}"
             for j, book in enumerate(books)
         ]
-        return spread(vectors).selectExpr(
+        coded = spread(vectors).selectExpr(
             self.id_col, f"{bucket} AS bucket", *code_exprs
+        )
+        # Reconstruction norm PRE-COMPUTED at encode time (r16, the
+        # ivfpq half of the BM25-pushdown lesson): rn is a pure
+        # function of the codes, so paying the norm fold once per
+        # vector at ingest — instead of once per vector PER PROBE —
+        # removes a dim-length fold from the search hot path without
+        # changing a single float (same rv, same fold, same value).
+        recon = pq_reconstruct_expr(
+            [f"code_{j}" for j in range(self.m)], books
+        )
+        return coded.selectExpr(
+            "*", f"{x.norm_fold(f'({recon})', x.SPARK)} AS rn"
         )
 
     def append(self, vectors: DataFrame) -> None:
@@ -1030,21 +1042,31 @@ class IncrementalIVFPQIndex:
         recon = pq_reconstruct_expr(
             [f"code_{j}" for j in range(self.m)], books
         )
-        c = (
-            self.spark.table(self.codes_table)
-            .selectExpr(
-                f"{self.id_col} AS neighbor_id", "bucket", f"{recon} AS rv"
-            )
-            .selectExpr(
-                "neighbor_id", "bucket", "rv",
-                f"{x.norm_fold('rv', x.SPARK)} AS rn",
-            )
-        )
         probe = _topn_centroid_buckets_expr("qv", cents, nprobe)
         q = (
             queries.selectExpr(f"{self.id_col} AS query_id", f"{self.vec_col} AS qv")
             .selectExpr("query_id", "qv", f"{x.norm_fold('qv', x.SPARK)} AS qn")
             .selectExpr("query_id", "qv", "qn", f"explode({probe}) AS bucket")
+        )
+        # PROBE PUSHDOWN (r16, the BM25-term-pushdown analog): the
+        # probed bucket set is bounded (<= min(nlist, n_queries *
+        # nprobe) values; the collect is a bounded job on the tiny
+        # query side), and pushing it into the codes scan as an IN
+        # filter BEFORE the reconstruction projection means the
+        # dim-length ADC reconstruction runs only on probed lists and
+        # the bucketed scan prunes never-probed buckets — probe cost
+        # tracks nprobe/nlist of the corpus, not the corpus. rn comes
+        # precomputed from encode time (see _encode).
+        probed = sorted(
+            r.bucket for r in q.select("bucket").distinct().collect()
+        )
+        c = (
+            self.spark.table(self.codes_table)
+            .filter(F.col("bucket").isin(probed))
+            .selectExpr(
+                f"{self.id_col} AS neighbor_id", "bucket",
+                f"{recon} AS rv", "rn",
+            )
         )
         adc = f"({x.dot_fold('qv', 'rv', x.SPARK)} / nullif(qn * rn, 0.0d))"
         scored = (

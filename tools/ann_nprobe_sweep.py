@@ -22,6 +22,14 @@ fixed" rule on the class docstring.
 
 Usage: python tools/ann_nprobe_sweep.py [mult ...]   (default 50 100)
 Prints one JSON line (redirect to ANN_NPROBE_r12.json).
+
+r16: ANN_SWEEP_SURFACES=ivf|pq|both selects the index family. ``pq``
+sweeps IncrementalIVFPQIndex (frozen coarse + PQ quantizers, bucketed
+8-byte codes, r16 probe pushdown) at the same multipliers: each
+(nlist, nprobe) point reports ADC-only recall@10, rerank=50 recall@10
+against the cold float table, and both latencies — the
+recall-vs-nprobe curve the r15 verdict asked for (redirect to
+ANN_NPROBE_PQ_r16.json).
 """
 
 from __future__ import annotations
@@ -35,6 +43,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 MULTS = [int(a) for a in sys.argv[1:]] or [50, 100]
+SURFACES = __import__("os").environ.get("ANN_SWEEP_SURFACES", "ivf")
 BASE_VECS = 2000  # one sf0.1-sized slice
 DIM = 64
 N_CLUSTERS = 16
@@ -140,25 +149,94 @@ def main() -> None:
             idx.drop()
             return points
 
-        pts16 = _sweep(16)
-        out["sweeps"][f"x{mult}"] = {
-            "corpus_vecs": n,
-            "nlist": 16,
-            "points": pts16,
-        }
-        # the recall gate (test_ann_recall.py floor, clustered regime)
-        r4 = next(p for p in pts16 if p["nprobe"] == 4)["recall_at_10"]
-        assert r4 >= 0.9, f"x{mult} recall@nprobe=4 {r4} below the 0.9 floor"
+        def _sweep_pq(nlist: int) -> list[dict]:
+            from dagster_etl_spark.operators.similarity import (
+                IncrementalIVFPQIndex,
+            )
 
-        if mult == MULTS[-1]:
-            # the nlist scaling rule, measured: same corpus, nlist=64,
-            # compare latency at the SAME nprobe/nlist fraction
-            pts64 = _sweep(64)
-            out["nlist_rule"][f"x{mult}"] = {
+            idx = IncrementalIVFPQIndex(
+                spark, f"sweep_pq_x{mult}_nl{nlist}", dim=DIM, nlist=nlist
+            )
+            slices = [
+                corpus.filter(
+                    (F.col("vec_id") >= s * BASE_VECS * 10)
+                    & (F.col("vec_id") < (s + 1) * BASE_VECS * 10)
+                )
+                for s in range((n + BASE_VECS * 10 - 1) // (BASE_VECS * 10))
+            ]
+            idx.init(slices[0])
+            for sl in slices[1:]:
+                idx.append(sl)
+            points = []
+            for nprobe in (1, 2, 4, 8, 16):
+                if nprobe > nlist:
+                    continue
+                row: dict = {"nprobe": nprobe}
+                for label, kwargs in (
+                    ("adc", {}),
+                    ("rerank", {"rerank": 50, "rerank_source": corpus}),
+                ):
+                    secs = []
+                    for _ in range(RUNS):
+                        t0 = time.perf_counter()
+                        idx.topk(queries, k=K, nprobe=nprobe, **kwargs).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                        secs.append(time.perf_counter() - t0)
+                    rows = idx.topk(queries, k=K, nprobe=nprobe, **kwargs).collect()
+                    recall = sum(
+                        (r.query_id, r.neighbor_id) in exact for r in rows
+                    ) / len(exact)
+                    row[f"recall_at_10_{label}"] = round(recall, 4)
+                    row[f"search_sec_{label}"] = round(min(secs), 3)
+                points.append(row)
+                print(
+                    f"# PQ x{mult} nlist={nlist} nprobe={nprobe}: "
+                    f"adc {row['recall_at_10_adc']:.3f} "
+                    f"{row['search_sec_adc']:.2f}s | rerank "
+                    f"{row['recall_at_10_rerank']:.3f} "
+                    f"{row['search_sec_rerank']:.2f}s",
+                    file=sys.stderr,
+                )
+            idx.drop()
+            return points
+
+        if SURFACES in ("ivf", "both"):
+            pts16 = _sweep(16)
+            out["sweeps"][f"x{mult}"] = {
                 "corpus_vecs": n,
-                "nlist16_points": pts16,
-                "nlist64_points": pts64,
+                "nlist": 16,
+                "points": pts16,
             }
+            # the recall gate (test_ann_recall.py floor, clustered regime)
+            r4 = next(p for p in pts16 if p["nprobe"] == 4)["recall_at_10"]
+            assert r4 >= 0.9, f"x{mult} recall@nprobe=4 {r4} below the 0.9 floor"
+
+            if mult == MULTS[-1]:
+                # the nlist scaling rule, measured: same corpus, nlist=64,
+                # compare latency at the SAME nprobe/nlist fraction
+                pts64 = _sweep(64)
+                out["nlist_rule"][f"x{mult}"] = {
+                    "corpus_vecs": n,
+                    "nlist16_points": pts16,
+                    "nlist64_points": pts64,
+                }
+
+        if SURFACES in ("pq", "both"):
+            pq16 = _sweep_pq(16)
+            out.setdefault("pq_sweeps", {})[f"x{mult}"] = {
+                "corpus_vecs": n,
+                "nlist": 16,
+                "points": pq16,
+            }
+            # rerank must recover what ADC quantization loses: gate the
+            # reranked recall at the same floor as the exact-probe IVF
+            rr4 = next(p for p in pq16 if p["nprobe"] == 4)[
+                "recall_at_10_rerank"
+            ]
+            assert rr4 >= 0.9, (
+                f"x{mult} PQ rerank recall@nprobe=4 {rr4} below 0.9"
+            )
 
     out["methodology"] = (
         "clustered vectors (16 separated spherical Gaussians, the "

@@ -197,6 +197,17 @@ QUERIES: dict[str, str] = {
     # multiclass langid: same law as the binary classifier (one
     # broadcast-join scan + per-doc aggregate), 5 sum measures
     "lang_classifier_scores": "cipher",
+    # r16: the incremental IVF-PQ rides the rotated embeddings like
+    # ivf_pq_ann_topk (quantizers freeze on the vec_id % 3 = 0 slice
+    # of the GROWN corpus; appends encode scan-local; the probe reads
+    # nprobe/nlist of the bucket-pruned codes — the r16 pushdown)
+    "ivf_pq_ann_incremental": "cipher",
+    # r16: the BPE merge-rank walk is scan-local like the WordPiece
+    # walk — the trend measures the bounded pair-merge fold's
+    # per-character constant, linear in corpus characters
+    "bpe_segment": "cipher",
+    # BPE-budgeted mixing: same law as the subword budget twin
+    "token_budget_mixture_bpe": "cipher",
 }
 
 
