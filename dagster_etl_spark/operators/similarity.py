@@ -676,16 +676,28 @@ def ivf_pq_topk(
         id_col, f"{bucket} AS bucket", *code_exprs
     )
     recon = pq_reconstruct_expr([f"code_{j}" for j in range(m)], books)
-    c = codes.selectExpr(
-        f"{id_col} AS neighbor_id", "bucket", f"{recon} AS rv"
-    ).selectExpr(
-        "neighbor_id", "bucket", "rv", f"{x.norm_fold('rv', x.SPARK)} AS rn"
-    )
     probe = _topn_centroid_buckets_expr("qv", cents, nprobe)
     q = (
         queries.selectExpr(f"{id_col} AS query_id", f"{vec_col} AS qv")
         .selectExpr("query_id", "qv", f"{x.norm_fold('qv', x.SPARK)} AS qn")
         .selectExpr("query_id", "qv", "qn", f"explode({probe}) AS bucket")
+    )
+    # PROBE PUSHDOWN (r16, same as IncrementalIVFPQIndex.topk): the
+    # probed bucket set is bounded (<= min(nlist, n_queries * nprobe));
+    # filtering the codes BEFORE the reconstruction projection keeps
+    # the dim-length ADC recon + norm fold off never-probed lists —
+    # at production shapes (nlist ~ 1024, nprobe ~ 32) that is the
+    # difference between reconstructing the corpus and reconstructing
+    # nprobe/nlist of it. Semantics-preserving: the bucket equi-join
+    # discards every filtered row anyway, and no float changes.
+    probed = sorted(r.bucket for r in q.select("bucket").distinct().collect())
+    c = (
+        codes.filter(F.col("bucket").isin(probed))
+        .selectExpr(f"{id_col} AS neighbor_id", "bucket", f"{recon} AS rv")
+        .selectExpr(
+            "neighbor_id", "bucket", "rv",
+            f"{x.norm_fold('rv', x.SPARK)} AS rn",
+        )
     )
     adc = f"({x.dot_fold('qv', 'rv', x.SPARK)} / nullif(qn * rn, 0.0d))"
     scored = (

@@ -533,7 +533,10 @@ BUILD_JOB_BUDGET = {
     "pq_ann_topk": 4,
     "pq_ann_rerank": 4,
     # centroid collect + one-pass codebook collect (multi-job under AQE)
-    "ivf_pq_ann_topk": 6,
+    # +1 in r16: the probe-pushdown's bounded probed-bucket collect
+    # (<= min(nlist, n_queries * nprobe) rows) — it keeps the ADC
+    # reconstruction off never-probed lists
+    "ivf_pq_ann_topk": 7,
     # the bounded nlist hash-centroid collect
     "filtered_ivf_ann_topk": 1,
     "hybrid_rrf_ivf": 1,
