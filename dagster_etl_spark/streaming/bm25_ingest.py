@@ -11,10 +11,16 @@ integer-for-integer — no matter how the stream chops it. The registered
 query therefore reuses the one-shot oracle unchanged.
 
 foreachBatch is the boundary because an ingest is a multi-table
-transaction-shaped step (append postings, append dfs, append totals);
-a replayed batch after a crash would re-append (at-least-once) — at
-scale the checkpointed batch id gates re-execution exactly as in the
-upsert sink docstring (streaming/sinks.py).
+transaction-shaped step (postings, dfs, totals). Since r16 the batch
+body is ``ingest_slice`` — the EXACTLY-ONCE slice-store path
+(streaming/slicestore.py): each batch stages into an overwrite-mode
+slice directory keyed by the checkpointed batch id and becomes visible
+at an atomic manifest commit, so a crash at ANY point replays into an
+identical state (kill/restart-tested in
+tests/test_streaming_recovery.py). ``compact_slices`` then folds the
+committed slices into the bucketed base tables post-stream, so the
+query-time plan is the same co-located probe as the batch-built
+index.
 
 Reference parity note: the reference is batch-only (SURVEY §2.7); this
 is the streaming generalization of its idempotent daily-reprocessing
@@ -61,7 +67,7 @@ def streaming_bm25_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        idx.ingest(batch_df)
+        idx.ingest_slice(batch_df, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(ingest_batch)
@@ -70,5 +76,6 @@ def streaming_bm25_ingest(
         .start()
     )
     q.awaitTermination()
+    idx.compact_slices()
     seeds = docs.filter(f"doc_id % {seed_mod} = 0").select("doc_id", "text")
     return idx.topk(seeds, k=k)

@@ -11,11 +11,15 @@ never re-found, so the accumulated pairs table equals the one-shot
 MinHash+LSH over the full corpus no matter how the stream chops it.
 
 foreachBatch is the right boundary because an ingest is a multi-table
-TRANSACTION-shaped step (append bands, append hashes, append pairs) —
-not a single streaming aggregation; the same pattern the upsert sink
-uses (streaming/sinks.py). A replayed batch after a crash would
-re-append (at-least-once); at scale the checkpointed batch id gates
-re-execution exactly as in the upsert sink docstring.
+TRANSACTION-shaped step (bands, hashes, pairs) — not a single
+streaming aggregation. Since r16 the batch body is ``ingest_slice`` —
+the EXACTLY-ONCE slice-store path (streaming/slicestore.py): each
+batch stages into an overwrite-mode slice directory keyed by the
+checkpointed batch id and becomes visible at an atomic manifest
+commit, so a crash at ANY point replays into an identical state
+(kill/restart-tested in tests/test_streaming_recovery.py);
+``compact_slices`` folds the committed slices into the bucketed base
+tables post-stream, restoring the co-located probe plan.
 
 Reference parity note: the reference is batch-only (SURVEY §2.7); its
 dedup story is idempotent daily reprocessing (etl/common/assets/
@@ -64,7 +68,7 @@ def streaming_neardup_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        idx.ingest(batch_df, threshold=threshold)
+        idx.ingest_slice(batch_df, batch_id, threshold=threshold)
 
     q = (
         stream.writeStream.foreachBatch(ingest_batch)
@@ -73,4 +77,5 @@ def streaming_neardup_ingest(
         .start()
     )
     q.awaitTermination()
+    idx.compact_slices()
     return idx.pairs()
