@@ -923,6 +923,16 @@ class IncrementalIVFPQIndex:
     float table) — exact-reranks the top candidates. Fully
     SQL-recomputable: the registered query's oracle restricts BOTH
     quantizer pools to the init slice and replays all three stages.
+
+    RECALL SIZING RULE (measured, ANN_NPROBE_PQ_r16): PQ bits per
+    vector (m * log2(ksub)) and the exact-rerank pool are the recall
+    dials, and they must scale with WITHIN-LIST density — in the
+    tight-cluster regime (exact top-k inside one dense cluster, PQ's
+    worst case) the class defaults (m=8, ksub=16 = 4 B/vector) tie out
+    at recall ~0.1 even reranked, while m=16, ksub=64 (12 B/vector,
+    still 21x under float32) with rerank=500 measures 0.958 at 20k
+    vectors. Hash-sampled codebooks trade training cost for ~4x the
+    codewords a trained k-means needs.
     """
 
     def __init__(
