@@ -129,7 +129,22 @@ def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
     )
     nq = queries.count()
 
-    idx = IncrementalIVFPQIndex(spark, "probe_growth_ivfpq")
+    # r16 knobs: the soak's probe-growth LAW is probe cost ~ corpus *
+    # nprobe/nlist at a frozen coarse quantizer — flat is impossible,
+    # the lever is the fraction. PROBE_IVFPQ_NLIST / PROBE_IVFPQ_NPROBE
+    # let a second soak line measure the lever directly (e.g. nlist=64
+    # at the same nprobe=8 probes 1/8 instead of 1/2 of the corpus, and
+    # the r16 bucket pushdown keeps the ADC reconstruction off the
+    # other 7/8 — num_buckets follows nlist so bucket pruning maps 1:1
+    # to lists).
+    import os as _os
+
+    nlist = int(_os.environ.get("PROBE_IVFPQ_NLIST", "16"))
+    nprobe = int(_os.environ.get("PROBE_IVFPQ_NPROBE", "8"))
+    idx = IncrementalIVFPQIndex(
+        spark, f"probe_growth_ivfpq_nl{nlist}", nlist=nlist,
+        num_buckets=max(8, nlist),
+    )
     idx.drop()
     days: list[dict] = []
     for d in range(DAYS):
@@ -145,9 +160,9 @@ def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
         compacted = None
         if (d + 1) % COMPACT_EVERY == 0:
             compacted = idx.compact()
-        idx.topk(queries, k=10, nprobe=8).count()  # warm
+        idx.topk(queries, k=10, nprobe=nprobe).count()  # warm
         t0 = time.perf_counter()
-        hits = idx.topk(queries, k=10, nprobe=8).count()
+        hits = idx.topk(queries, k=10, nprobe=nprobe).count()
         probe_s = time.perf_counter() - t0
         days.append(
             {
