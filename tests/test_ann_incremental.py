@@ -167,3 +167,34 @@ def test_ivfpq_incremental_slicing_invariance(spark):
     )
     assert two == four
     assert len(two) == 50
+
+
+def test_ivfpq_probe_pushdown_reaches_codes_scan(spark):
+    """r16 probe pushdown: the probed bucket set must land on the
+    codes-table SCAN as an In filter (bucket pruning + row-group
+    skipping), so the ADC reconstruction never runs on never-probed
+    lists. Pin the plan, not just the result: the filter must appear
+    below the probe join, on the scan side."""
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = IncrementalIVFPQIndex(spark, "ivfpq_push")
+    idx.init(emb)
+    # nprobe=2 of nlist=16: the probed union over 5 queries is at most
+    # 10 buckets — strictly fewer than nlist, so the In filter prunes
+    plan = (
+        idx.topk(emb.filter("vec_id < 5"), k=10, nprobe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    idx.drop()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(bucket" in p for p in pushed), (
+        "probed-bucket In filter did not reach any parquet scan: "
+        f"{pushed}"
+    )
