@@ -57,7 +57,7 @@ MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 100
 # island window + array rebuild; pack is one bucket window.
 EXCHANGE_BUDGET = {
     "gopher": 1,
-    "classifier": 3,
+    "classifier": 4,
     # the dedup stage's final plan carries the band/verify machinery
     # PLUS the connected-components fixpoint's checkpointed lineage
     # (each CC iteration contributes its own exchanges — the registered
@@ -107,9 +107,9 @@ def main() -> None:
         dedup_clusters,
         scrub_benchmark_spans,
     )
+    from dagster_etl_spark.functions import xdialect as x
     from dagster_etl_spark.operators.text import (
         chunk_docs,
-        gopher_quality,
         pack_chunks,
         quality_classifier_score,
     )
@@ -174,11 +174,19 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # 1 gopher: structural gate, keep survivors' text
+    # 1 gopher: structural gate — SCAN-LOCAL by construction (the
+    # flags are per-row expressions; joining gopher_quality back on
+    # doc_id would turn a 0-exchange filter into a corpus self-join
+    # that stops broadcasting at x100)
     def s_gopher(src):
-        flags = gopher_quality(src).select("doc_id", "keep")
+        from dagster_etl_spark.operators.text import (
+            _let_cols,
+            gopher_quality_exprs,
+        )
+
+        e = {"keep": gopher_quality_exprs("text", x.SPARK, tok="_t")["keep"]}
         return (
-            src.join(flags, on="doc_id")
+            src.selectExpr("doc_id", "text", "source", *_let_cols(e, "text", "_t"))
             .filter(F.col("keep") == 1)
             .select("doc_id", "text", "source")
         )
