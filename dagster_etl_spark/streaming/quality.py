@@ -41,30 +41,42 @@ from pyspark.sql import functions as F
 
 
 def streaming_quality_score(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    work_dir: str | None = None,
+    fail_at: tuple[int, str] | None = None,
 ) -> DataFrame:
     """Stream the documents fixture through the quality classifier in
-    ``n_files`` micro-batches, appending scored rows + per-batch keep
+    ``n_files`` micro-batches, writing scored rows + per-batch keep
     rates; returns the scored table, which equals the one-shot
     :func:`~dagster_etl_spark.operators.text.quality_classifier_score`
     over the full corpus bit-for-bit (frozen model, per-doc scores —
-    the registered query reuses the one-shot oracle unchanged)."""
+    the registered query reuses the one-shot oracle unchanged).
+
+    ``work_dir`` pins the scratch root so a SECOND call recovers from
+    the same checkpoint instead of rebuilding (the kill/restart test's
+    lever — the default scratch_dir() wipes on re-request).
+    ``fail_at=(batch_id, 'scored'|'rates')`` injects a crash after
+    that write, the same harness pattern as streaming/recovery.py."""
     from dagster_etl_spark.operators.text import quality_classifier_score
     from dagster_etl_spark.scratch import scratch_dir
     from dagster_etl_spark.sources.fixtures import load_table
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     docs = load_table(spark, sf_dir, "documents")
-    work = scratch_dir(f"stream_qclf_{sfx}")
+    fresh = work_dir is None
+    work = scratch_dir(f"stream_qclf_{sfx}") if fresh else work_dir
     in_dir = f"{work}/docs"
     out_dir = f"{work}/scored"
     obs_dir = f"{work}/keep_rates"
-    docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
-    schema = spark.read.parquet(in_dir).schema
-    from dagster_etl_spark.sources.lake import delete_path
+    if fresh:
+        docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+        from dagster_etl_spark.sources.lake import delete_path
 
-    delete_path(spark, out_dir)
-    delete_path(spark, obs_dir)
+        delete_path(spark, out_dir)
+        delete_path(spark, obs_dir)
+    schema = spark.read.parquet(in_dir).schema
 
     stream = (
         spark.readStream.schema(schema)
@@ -80,11 +92,15 @@ def streaming_quality_score(
         # dir name is NOT key=value form so the read below stays a plain
         # recursive file scan, no inferred partition column)
         scored.write.mode("overwrite").parquet(f"{out_dir}/b{batch_id}")
+        if fail_at is not None and fail_at == (batch_id, "scored"):
+            raise RuntimeError(f"injected kill at batch {batch_id} / scored")
         scored.agg(
             F.lit(batch_id).alias("batch_id"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
         ).write.mode("overwrite").parquet(f"{obs_dir}/b{batch_id}")
+        if fail_at is not None and fail_at == (batch_id, "rates"):
+            raise RuntimeError(f"injected kill at batch {batch_id} / rates")
 
     q = (
         stream.writeStream.foreachBatch(score_batch)

@@ -203,6 +203,57 @@ def test_neardup_uninterrupted_slice_ingest_equals_oneshot(spark, tmp_path):
     )
 
 
+def test_streaming_quality_score_kill_restart_equals_oneshot(spark, tmp_path):
+    """The stateless streaming scorer's recovery story (r15 ADVICE fix):
+    batch-keyed overwrite writes mean a crash BETWEEN the two writes of
+    a micro-batch (scored rows landed, keep-rate row did not) replays
+    into identical output — kill there, restart from the checkpoint,
+    and the recovered scored table equals the one-shot classifier
+    bit-for-bit with exactly one keep-rate row per batch."""
+    import os
+
+    from dagster_etl_spark.operators.text import quality_classifier_score
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.quality import streaming_quality_score
+
+    work = str(tmp_path / "qwork")
+    os.makedirs(work)
+    # seed pass wiring the pinned work dir: inject the kill after batch
+    # 1's scored write (the crash window the ADVICE flagged)
+    with pytest.raises(StreamingQueryException) as exc:
+        # first call with fresh=False requires the input staged; stage
+        # it by a tiny manual write matching the function's layout
+        docs = load_table(spark, SF_SMALL, "documents")
+        docs.repartition(N_FILES).write.mode("overwrite").parquet(
+            f"{work}/docs"
+        )
+        streaming_quality_score(
+            spark, SF_SMALL, work_dir=work, fail_at=(1, "scored")
+        )
+    assert "injected kill" in str(exc.value)
+
+    out = streaming_quality_score(spark, SF_SMALL, work_dir=work)
+    got = sorted(
+        (r.doc_id, r.n_feats, r.logit_scaled, r.prob_decile, r.keep)
+        for r in out.collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_feats, r.logit_scaled, r.prob_decile, r.keep)
+        for r in quality_classifier_score(
+            load_table(spark, SF_SMALL, "documents")
+        ).collect()
+    )
+    assert got == want
+    rates = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{work}/keep_rates")
+        .collect()
+    )
+    # exactly one rate row per non-empty batch, totals account for all
+    assert len({r.batch_id for r in rates}) == len(rates)
+    assert sum(r.n_docs for r in rates) == len(got)
+
+
 def test_manifest_commit_is_atomic_and_idempotent(tmp_path):
     """SliceStore unit-level: commit survives duplicate calls, the
     manifest never lists a slice that wasn't committed, and clear()
