@@ -32,11 +32,24 @@ def streaming_weighted_sample(
     group_col: str = "source",
     seed: int = 7,
     n_files: int = 4,
+    work_dir: str | None = None,
+    fail_at_batch: int | None = None,
 ) -> DataFrame:
     """Stream the documents fixture in ``n_files`` micro-batches,
     maintaining the per-group bottom-k ticket state in foreachBatch;
     return the final state — the exact weighted sample of the full
-    corpus (same oracle as the batch weighted_corpus_sample)."""
+    corpus (same oracle as the batch weighted_corpus_sample).
+
+    Replay safety (r16): the merge is IDEMPOTENT — tickets are pure
+    functions of (seed, id, weight) and the union dedups on (group,
+    id) before ranking, so a checkpoint-replayed batch (crash after
+    the state write, before Spark's checkpoint commit) re-merges its
+    own rows into an identical bottom-k. Without the dedup a replayed
+    row would enter the window TWICE and its duplicate could evict a
+    legitimate doc from the k. ``work_dir`` pins the scratch root so a
+    second call recovers from the same checkpoint;
+    ``fail_at_batch`` injects a crash in exactly that window
+    (tests/test_streaming_recovery.py)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -49,17 +62,27 @@ def streaming_weighted_sample(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", group_col, "n_chars"
     )
-    work = scratch_dir(f"stream_ws_{sfx}")
+    import os
+
+    fresh = work_dir is None
+    work = scratch_dir(f"stream_ws_{sfx}") if fresh else work_dir
     in_dir = f"{work}/docs"
-    docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+    # the state identity follows the WORK DIR (not just sf_dir): a
+    # pinned-work recovery call must find the same table the crashed
+    # run wrote, and two different work dirs must never collide on a
+    # leftover warehouse location
+    wid = hashlib.md5(work.encode()).hexdigest()[:8]
+    state_table = f"ws_state_{wid}"
+    recovering = (not fresh) and os.path.isdir(f"{work}/ckpt")
+    if fresh:
+        docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+    if not recovering:
+        spark.sql(f"DROP TABLE IF EXISTS {state_table}")
+        from dagster_etl_spark.sources.lake import delete_path
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        delete_path(spark, f"{warehouse}/{state_table}")
     schema = spark.read.parquet(in_dir).schema
-
-    state_table = f"ws_state_{sfx}"
-    spark.sql(f"DROP TABLE IF EXISTS {state_table}")
-    from dagster_etl_spark.sources.lake import delete_path
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    delete_path(spark, f"{warehouse}/{state_table}")
 
     key = _ticket_expr("doc_id", weight_expr, seed, x.SPARK)
 
@@ -72,6 +95,11 @@ def streaming_weighted_sample(
         )
         if s.catalog.tableExists(state_table):
             keyed = s.table(state_table).drop("sample_rank").unionByName(keyed)
+        # replay absorption: a checkpoint-replayed batch's rows are
+        # already in the state — dedup on identity before ranking so
+        # the re-merge is a fixpoint (tickets are deterministic, so
+        # duplicates are bit-identical rows)
+        keyed = keyed.dropDuplicates([group_col, "doc_id"])
         w = Window.partitionBy(group_col).orderBy("ticket", "doc_id")
         merged = (
             keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
@@ -85,6 +113,10 @@ def streaming_weighted_sample(
         s.createDataFrame(rows, merged.schema).write.mode(
             "overwrite"
         ).saveAsTable(state_table)
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            # the at-least-once window: state written, checkpoint not
+            # committed — the restart replays this batch
+            raise RuntimeError(f"injected kill at batch {batch_id}")
 
     stream = (
         spark.readStream.schema(schema)

@@ -254,6 +254,50 @@ def test_streaming_quality_score_kill_restart_equals_oneshot(spark, tmp_path):
     assert sum(r.n_docs for r in rates) == len(got)
 
 
+def test_streaming_weighted_sample_replay_does_not_evict(spark, tmp_path):
+    """The r16 replay-absorption fix, proven by a real kill/restart:
+    crash AFTER batch 1's state write but BEFORE the checkpoint commit,
+    restart — the replayed batch re-merges its own rows. Without the
+    (group, id) dedup before ranking, the replayed duplicates would
+    occupy two window slots each and could evict legitimate docs from
+    the bottom-k; with it the recovered state is bit-identical to the
+    batch operator over the full corpus."""
+    import os
+
+    from dagster_etl_spark.operators.sampling import weighted_sample_topk
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.weighted_sample import (
+        streaming_weighted_sample,
+    )
+
+    work = str(tmp_path / "wswork")
+    os.makedirs(work)
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    docs.repartition(N_FILES).write.mode("overwrite").parquet(f"{work}/docs")
+
+    with pytest.raises(StreamingQueryException) as exc:
+        streaming_weighted_sample(
+            spark, SF_SMALL, work_dir=work, fail_at_batch=1
+        )
+    assert "injected kill" in str(exc.value)
+
+    got_df = streaming_weighted_sample(spark, SF_SMALL, work_dir=work)
+    got = sorted(
+        (r.source, r.doc_id, r.ticket, r.sample_rank)
+        for r in got_df.collect()
+    )
+    want = sorted(
+        (r.source, r.doc_id, r.ticket, r.sample_rank)
+        for r in weighted_sample_topk(
+            docs, weight_expr="1 + n_chars % 8", k=20,
+            group_col="source", seed=7,
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
 def test_manifest_commit_is_atomic_and_idempotent(tmp_path):
     """SliceStore unit-level: commit survives duplicate calls, the
     manifest never lists a slice that wasn't committed, and clear()
