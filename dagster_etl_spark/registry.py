@@ -76,93 +76,20 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 16: generated FROM the artifacts, not memory. Fronts the
-    # first 50 of the 56 pre-declared r16 heads from _NEXT_ROTATION_HEADS
-    # as checked at the r15 boundary (the 47 r13 names that aged out of
-    # the r15 window, in CORRECTNESS_r13.json artifact order, + the first
-    # 3 mid-r15 registrations with ALLCHECK_r15-green rows at all 3 SFs
-    # but no driver row). The remaining 6 mid-r15 registrations are
-    # never-seen names (excused by the staleness test's all_seen clause)
-    # and front the r17 rotation: see _NEXT_ROTATION_HEADS below, which
+    # round 17: generated FROM the artifacts, not memory. Fronts the
+    # first 50 of the 58 pre-declared r17 heads from _NEXT_ROTATION_HEADS
+    # as checked at the r16 boundary (the 6 mid-r15 registrations that
+    # never had a driver row, then the 50 CORRECTNESS_r14.json names in
+    # artifact order — the stalest rows in the fleet once CORRECTNESS_r16
+    # landed — then the 2 mid-r16 registrations). The 8 overflow names
+    # front the r18 rotation: see _NEXT_ROTATION_HEADS below, which
     # tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
     # derives from the artifacts instead of trusting a comment.
-    # Disjointness vs CORRECTNESS_r15.json (the newest artifact) is
+    # Disjointness vs CORRECTNESS_r16.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the registry
     # grows: len(registry) - 50 >= 50 (pinned by
     # tests/test_plans.py::test_registry_keeps_rotation_headroom).
-    "large_order_customers",
-    "supplier_diversity",
-    "rich_customers_without_low_orders",
-    "events_json_flatten",
-    "customer_priority_baskets",
-    "streaming_windowed_counts",
-    "streaming_user_sessions",
-    "streaming_dedup_counts",
-    "streaming_segment_stats",
-    "streaming_attribution_join",
-    "asof_purchase_prior_view",
-    "packed_sequences",
-    "semantic_dedup",
-    "contamination_score",
-    "decontaminate_bloom_gate",
-    "pq_ann_topk",
-    "pq_ann_rerank",
-    "ivf_pq_ann_topk",
-    "ivf_pq_ann_incremental",
-    "streaming_decontaminate",
-    "dbt_incremental_orders",
-    "cycle_time_stats_bucketed",
-    "duplicate_ngram_spans",
-    "image_dhash_groups",
-    "epoch_shuffle_order",
-    "top_customers",
-    "curation_pipeline_v2",
-    "priority_wip",
-    "minhash_neardup",
-    "exact_dedup",
-    "clean_corpus",
-    "doc_stats",
-    "curation_pipeline",
-    "compacted_scan",
-    "ngram_jaccard_pairs",
-    "simhash_neardup",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "quantized_ann_topk",
-    "media_decode_stats",
-    "audio_feature_stats",
-    "media_resize_stats",
-    "equipment_unpivot",
-    "funnel_conversion",
-    "cohort_retention",
-    "table_diff_reconcile",
-    "value_percentiles_exact",
-    "quality_classifier_score",
-    "subword_segment",
-    "token_budget_mixture_subword",
-)
-
-# Pre-declared rotation heads for the NEXT round (r14), in
-# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
-# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
-# most recent driver row (r11) will be the oldest in the fleet. This
-# tuple is CHECKED, not advisory:
-# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
-# recomputes it as registry - (newest CORRECTNESS file UNION the
-# current 50-slot window) -- any query registered mid-round without
-# being appended here fails the suite, turning the manual
-# pre-declaration discipline into an invariant. Mid-round registrations
-# must be APPENDED here (and swept via ALLCHECK) so they front the next
-# rotation too.
-_NEXT_ROTATION_HEADS: tuple[str, ...] = (
-    # r17 heads: first the 6 mid-r15 registrations that did not fit the
-    # 50-slot r16 window above (never driver-checked — the most urgent
-    # names in the fleet), then the 50 CORRECTNESS_r14.json names in
-    # artifact order, whose most recent driver row (r14) will be the
-    # oldest once CORRECTNESS_r16 lands. Mid-r16 registrations must be
-    # APPENDED here (and swept via ALLCHECK) so they front the next
-    # rotation too.
     "kn_bigram_surprisal",
     "quality_gate_composite",
     "packed_sequences_subword",
@@ -213,13 +140,82 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "training_order_pipeline",
     "token_budget_mixture",
     "streaming_weighted_sample",
-    "self_repetition_removal",
+)
+
+# Pre-declared rotation heads for the NEXT round (r14), in
+# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
+# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
+# most recent driver row (r11) will be the oldest in the fleet. This
+# tuple is CHECKED, not advisory:
+# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
+# recomputes it as registry - (newest CORRECTNESS file UNION the
+# current 50-slot window) -- any query registered mid-round without
+# being appended here fails the suite, turning the manual
+# pre-declaration discipline into an invariant. Mid-round registrations
+# must be APPENDED here (and swept via ALLCHECK) so they front the next
+# rotation too.
+_NEXT_ROTATION_HEADS: tuple[str, ...] = (
+    # r18 heads: the 8 r17 overflow names that did not fit the 50-slot
+    # r17 window above, then the remaining registered names with no row
+    # in CORRECTNESS_r16.json and not in the current window, in registry
+    # order. Mid-r17 registrations must be APPENDED here (and swept via
+    # ALLCHECK) so they front the next rotation too.
     "zorder_span_stats",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "ivf_ann_recall",
+    "containment_neardup",
+    "hybrid_rrf_retrieval",
+    "hybrid_rrf_ivf",
+    "media_metadata",
+    "media_frame_sample",
+    "media_features",
+    "wip_aggregate",
     "wip_aggregate_approx",
     "priority_wip_approx",
+    "priority_wip_join",
+    "cycle_time_stats",
+    "equipment_pivot",
+    "item_master_enrich",
+    "order_rank_window",
+    "events_lag",
+    "sessionize",
+    "customers_without_urgent_orders",
+    "validation_report",
+    "pricing_summary",
+    "regional_revenue",
+    "customer_segment_setops",
+    "rolling_customer_spend",
+    "events_json_percentiles",
+    "shipping_priority",
+    "returned_item_customers",
+    "late_shipment_priority",
+    "priority_shipping_mix",
+    "promo_revenue_share",
+    "revenue_cube",
+    "approx_distinct_gate",
+    "approx_quantile_gate",
+    "latest_order_per_customer",
+    "scd2_user_event_type",
+    "salted_join_revenue",
+    "top_revenue_suppliers",
+    "sole_failed_supplier",
+    "streaming_bm25_ingest",
+    "streaming_drift_monitor",
     "dedup_lines",
     "dedup_survivors",
-    # mid-r16 registrations (ALLCHECK-swept; no driver row yet)
+    "url_dedup",
+    "self_repetition_removal",
+    "bm25_topk_docs",
+    "dedup_substrings",
+    "bm25_incremental",
+    "ccnet_surprisal_buckets",
+    "dsir_select",
+    "corpus_drift_tv",
+    "surprisal_incremental",
+    "corpus_drift_incremental",
+    "bigram_surprisal_buckets",
+    "dsir_incremental",
     "bpe_segment",
     "token_budget_mixture_bpe",
 )
