@@ -1037,13 +1037,18 @@ class IncrementalIVFPQIndex:
 
     def append(self, vectors: DataFrame) -> None:
         """Ingest a slice: encode ONLY the new rows against the frozen
-        quantizers and append into the bucketed codes layout."""
+        quantizers and append into the bucketed codes layout.
+
+        Pre-r16 codes tables (written before encode-time ``rn``) are
+        handled in place: the encoded slice drops its rn column so the
+        append schema matches, and :meth:`topk` recomputes rn in-plan
+        for such tables (r16 ADVICE — no forced rebuild)."""
         from dagster_etl_spark.sources.bucketed import append_bucketed
 
-        append_bucketed(
-            self._encode(vectors, self._centroids(), self._books()),
-            self.codes_table,
-        )
+        coded = self._encode(vectors, self._centroids(), self._books())
+        if "rn" not in self.spark.table(self.codes_table).columns:
+            coded = coded.drop("rn")
+        append_bucketed(coded, self.codes_table)
 
     def topk(
         self,
@@ -1082,12 +1087,21 @@ class IncrementalIVFPQIndex:
         probed = sorted(
             r.bucket for r in q.select("bucket").distinct().collect()
         )
+        codes = self.spark.table(self.codes_table)
+        # Pre-r16 codes tables lack the encode-time rn column (r16
+        # ADVICE): recompute it in-plan from the same reconstruction —
+        # identical fold, identical value, just paid per probe instead
+        # of once at ingest.
+        rn_expr = (
+            "rn" if "rn" in codes.columns
+            else x.norm_fold(f"({recon})", x.SPARK)
+        )
         c = (
-            self.spark.table(self.codes_table)
+            codes
             .filter(F.col("bucket").isin(probed))
             .selectExpr(
                 f"{self.id_col} AS neighbor_id", "bucket",
-                f"{recon} AS rv", "rn",
+                f"{recon} AS rv", f"{rn_expr} AS rn",
             )
         )
         adc = f"({x.dot_fold('qv', 'rv', x.SPARK)} / nullif(qn * rn, 0.0d))"

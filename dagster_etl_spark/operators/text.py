@@ -997,7 +997,7 @@ class IncrementalBM25Index:
         self,
         queries: DataFrame,
         k: int = 10,
-        push_terms: int | None = 2_000,
+        push_terms: int | None = 20_000,
         isin_terms: int = 256,
     ) -> DataFrame:
         """Fixed-point BM25 top-k against the standing index.
@@ -1020,7 +1020,11 @@ class IncrementalBM25Index:
         isin() bloats plan strings/codegen and degrades parquet IN
         pushdown): up to ``isin_terms`` the set goes in as an IN
         literal (parquet row-group stats skip + bucket pruning at the
-        scan itself); between that and ``push_terms`` it becomes a
+        scan itself); between that and ``push_terms`` (default 20k —
+        the broadcast semi-join branch has no plan-string problem, so
+        ``isin_terms`` is the only literal-IN cutoff; r16 ADVICE
+        restored the 2k–20k window a too-cautious default had silently
+        demoted to a full corpus scan) it becomes a
         broadcast LEFT SEMI join on the term set — no giant plan
         string, rows drop at the first post-scan stage with zero
         corpus-side shuffle. Semantics-preserving by construction

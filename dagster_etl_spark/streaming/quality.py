@@ -65,11 +65,19 @@ def streaming_quality_score(
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     docs = load_table(spark, sf_dir, "documents")
-    fresh = work_dir is None
-    work = scratch_dir(f"stream_qclf_{sfx}") if fresh else work_dir
+    work = scratch_dir(f"stream_qclf_{sfx}") if work_dir is None else work_dir
     in_dir = f"{work}/docs"
     out_dir = f"{work}/scored"
     obs_dir = f"{work}/keep_rates"
+    # Freshness is a property of the WORK DIR, not of who named it
+    # (r16 ADVICE): a pinned work_dir whose docs staging doesn't exist
+    # yet is a FIRST call and must stage, not fail reading {work}/docs;
+    # one whose staging exists is a recovery call and must not restage.
+    # (scratch_dir() wipes on re-request, so the default path is always
+    # fresh by construction.)
+    from dagster_etl_spark.sources.lake import check_exists
+
+    fresh = not check_exists(spark, in_dir)
     if fresh:
         docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
         from dagster_etl_spark.sources.lake import delete_path

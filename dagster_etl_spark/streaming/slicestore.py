@@ -63,7 +63,21 @@ def _local(path: str) -> str:
 
 
 class SliceStore:
-    """Per-index slice region with an atomically replaced manifest."""
+    """Per-index slice region with an atomically replaced manifest.
+
+    WRITER CONCURRENCY (r16 ADVICE): :meth:`commit` is a
+    read-modify-write of the whole manifest, and ``foreachBatch``
+    serializes batches only WITHIN one stream — two streams sharing an
+    index root would otherwise race and silently drop each other's
+    committed slice ids. Locally, :meth:`commit` therefore takes an
+    exclusive ``flock`` on ``.manifest.lock`` for the read→replace
+    span, making concurrent committers serialize instead of clobber.
+    On a real cluster the manifest replace maps to a metastore /
+    conditional-put transaction (see module docstring) whose CAS
+    provides the same serialization; the intended deployment remains
+    ONE ingesting stream per index — the lock turns an accidental
+    second writer from silent data loss into correct (if contended)
+    behavior."""
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -87,19 +101,26 @@ class SliceStore:
         write-temp + ``os.replace``: a crash during commit leaves either
         the old manifest or the new one, never a torn file. This is the
         single commit point — every component of the slice must be
-        fully staged before calling."""
-        slices = set(self.committed())
-        slices.add(int(slice_id))
+        fully staged before calling. The read→replace span holds an
+        exclusive flock (class docstring: writer concurrency) so a
+        second writer on the same root serializes instead of dropping
+        this commit's ids."""
+        import fcntl
+
         d = os.path.dirname(self._manifest)
         os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump({"slices": sorted(slices)}, f)
-            os.replace(tmp, self._manifest)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        with open(os.path.join(d, ".manifest.lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            slices = set(self.committed())
+            slices.add(int(slice_id))
+            fd, tmp = tempfile.mkstemp(dir=d, prefix=".manifest_")
+            try:
+                with os.fdopen(fd, "w") as f:
+                    json.dump({"slices": sorted(slices)}, f)
+                os.replace(tmp, self._manifest)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
 
     # -- slice data -------------------------------------------------------
 

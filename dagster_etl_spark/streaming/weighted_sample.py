@@ -64,16 +64,21 @@ def streaming_weighted_sample(
     )
     import os
 
-    fresh = work_dir is None
-    work = scratch_dir(f"stream_ws_{sfx}") if fresh else work_dir
+    work = scratch_dir(f"stream_ws_{sfx}") if work_dir is None else work_dir
     in_dir = f"{work}/docs"
+    # Freshness is a property of the WORK DIR, not of who named it
+    # (r16 ADVICE): a pinned work_dir with no docs staging yet is a
+    # FIRST call and must stage; one with staging present must not.
+    # (scratch_dir() wipes on re-request, so the default path is
+    # always fresh by construction.)
+    fresh = not os.path.isdir(in_dir)
     # the state identity follows the WORK DIR (not just sf_dir): a
     # pinned-work recovery call must find the same table the crashed
     # run wrote, and two different work dirs must never collide on a
     # leftover warehouse location
     wid = hashlib.md5(work.encode()).hexdigest()[:8]
     state_table = f"ws_state_{wid}"
-    recovering = (not fresh) and os.path.isdir(f"{work}/ckpt")
+    recovering = os.path.isdir(f"{work}/ckpt")
     if fresh:
         docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
     if not recovering:

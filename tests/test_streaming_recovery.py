@@ -218,15 +218,12 @@ def test_streaming_quality_score_kill_restart_equals_oneshot(spark, tmp_path):
 
     work = str(tmp_path / "qwork")
     os.makedirs(work)
-    # seed pass wiring the pinned work dir: inject the kill after batch
-    # 1's scored write (the crash window the ADVICE flagged)
+    # first call on a PINNED work dir stages its own input (r16 ADVICE
+    # fix: freshness derives from {work}/docs existing, not from
+    # work_dir being None — no manual replication of the internal
+    # layout); inject the kill after batch 1's scored write (the crash
+    # window the original ADVICE flagged)
     with pytest.raises(StreamingQueryException) as exc:
-        # first call with fresh=False requires the input staged; stage
-        # it by a tiny manual write matching the function's layout
-        docs = load_table(spark, SF_SMALL, "documents")
-        docs.repartition(N_FILES).write.mode("overwrite").parquet(
-            f"{work}/docs"
-        )
         streaming_quality_score(
             spark, SF_SMALL, work_dir=work, fail_at=(1, "scored")
         )
@@ -275,8 +272,8 @@ def test_streaming_weighted_sample_replay_does_not_evict(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    docs.repartition(N_FILES).write.mode("overwrite").parquet(f"{work}/docs")
-
+    # no manual staging: the first pinned-work call stages {work}/docs
+    # itself (r16 ADVICE fix — freshness derives from the dir existing)
     with pytest.raises(StreamingQueryException) as exc:
         streaming_weighted_sample(
             spark, SF_SMALL, work_dir=work, fail_at_batch=1
@@ -319,3 +316,19 @@ def test_manifest_commit_is_atomic_and_idempotent(tmp_path):
     assert leftovers == []
     store.clear()
     assert store.committed() == []
+
+
+def test_manifest_commit_serializes_concurrent_writers(tmp_path):
+    """r16 ADVICE: commit is a read-modify-write of the whole manifest;
+    two streams sharing an index root must serialize (flock), not drop
+    each other's committed ids. Hammer the same store from threads —
+    every id must survive."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dagster_etl_spark.streaming.slicestore import SliceStore
+
+    store = SliceStore(str(tmp_path / "region"))
+    ids = list(range(64))
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(store.commit, ids))
+    assert store.committed() == ids
