@@ -924,15 +924,23 @@ class IncrementalIVFPQIndex:
     SQL-recomputable: the registered query's oracle restricts BOTH
     quantizer pools to the init slice and replays all three stages.
 
-    RECALL SIZING RULE (measured, ANN_NPROBE_PQ_r16): PQ bits per
-    vector (m * log2(ksub)) and the exact-rerank pool are the recall
-    dials, and they must scale with WITHIN-LIST density — in the
-    tight-cluster regime (exact top-k inside one dense cluster, PQ's
-    worst case) the class defaults (m=8, ksub=16 = 4 B/vector) tie out
-    at recall ~0.1 even reranked, while m=16, ksub=64 (12 B/vector,
-    still 21x under float32) with rerank=500 measures 0.958 at 20k
-    vectors. Hash-sampled codebooks trade training cost for ~4x the
-    codewords a trained k-means needs.
+    RECALL SIZING RULE (measured, ANN_NPROBE_PQ_r16; class DEFAULTS
+    since r17 — the r16 verdict's "low-recall defaults" defect): PQ
+    bits per vector (m * log2(ksub)) and the exact-rerank pool are the
+    recall dials, and they must scale with WITHIN-LIST density — in
+    the tight-cluster regime (exact top-k inside one dense cluster,
+    PQ's worst case) the pre-r17 defaults (m=8, ksub=16 = 4 B/vector)
+    tie out at recall ~0.1 even reranked, while m=16, ksub=64
+    (12 B/vector, still 21x under float32) with the density-scaled
+    rerank pool max(500, corpus // 200) measures 0.958 at 20k vectors
+    and holds 0.83–0.91 at x50/x100. Those measured values ARE the
+    defaults now: m=16, ksub=64, and ``topk(rerank=None)`` derives the
+    density-scaled pool from the standing codes count
+    (tests/test_ann_recall.py gates >= 0.8 in the tight-cluster
+    regime). Pass the small geometry explicitly where gate-scale cost
+    matters more than recall (the registered oracle queries do).
+    Hash-sampled codebooks trade training cost for ~4x the codewords a
+    trained k-means needs.
     """
 
     def __init__(
@@ -941,8 +949,8 @@ class IncrementalIVFPQIndex:
         name: str,
         dim: int = 64,
         nlist: int = 16,
-        m: int = 8,
-        ksub: int = 16,
+        m: int = 16,
+        ksub: int = 64,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         num_buckets: int = 8,
@@ -1055,17 +1063,25 @@ class IncrementalIVFPQIndex:
         queries: DataFrame,
         k: int = 10,
         nprobe: int = 8,
-        rerank: int = 50,
+        rerank: int | None = None,
         rerank_source: DataFrame | None = None,
     ) -> DataFrame:
         """IVF-PQ search over everything ingested so far. With
         ``rerank_source`` (the cold float table) the top ``rerank``
         ADC candidates are exact-rescored; without it the ADC ranking
         itself is returned (columns query_id, neighbor_id, adc/cosine,
-        rank)."""
+        rank).
+
+        ``rerank=None`` applies the measured density-scaling rule
+        (ANN_NPROBE_PQ_r16): pool = max(500, standing_codes // 200) —
+        one bounded count agg on the codes table, paid only when a
+        rerank_source is given. Pass an explicit int to pin it."""
         cents = self._centroids()
         books = self._books()
         self.spark.catalog.refreshTable(self.codes_table)
+        if rerank is None and rerank_source is not None:
+            n_codes = self.spark.table(self.codes_table).count()
+            rerank = max(500, n_codes // 200)
         recon = pq_reconstruct_expr(
             [f"code_{j}" for j in range(self.m)], books
         )

@@ -1626,15 +1626,11 @@ class IncrementalUnigramLM:
             self.id_col, f"CAST({x.xsize('_t', x.SPARK)} AS BIGINT) AS dl", "_t"
         )
 
-    def ingest(self, docs: DataFrame) -> None:
-        """Absorb one slice: append its term counts and a totals row.
-        O(slice); standing tables are append-only (compact() collapses
-        the per-append files)."""
-        from dagster_etl_spark.sources.bucketed import (
-            append_bucketed,
-            write_bucketed,
-        )
-
+    def _encode(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(counts, totals) for one slice — one tokenize pass, the same
+        expressions whether the slice arrives via the batch ``ingest``
+        or the exactly-once ``ingest_slice`` (determinism is what makes
+        a replayed slice rewrite identical rows)."""
         g = pin(self._tokenized(docs).filter("dl > 0"))
         counts = g.select(F.explode("_t").alias("term")).groupBy("term").agg(
             F.count(F.lit(1)).cast("long").alias("ct")
@@ -1643,6 +1639,88 @@ class IncrementalUnigramLM:
             F.sum("dl").cast("long").alias("n_total"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
         )
+        return counts, totals
+
+    def _slice_store(self):
+        """Slice region for exactly-once streaming ingest (see
+        streaming/slicestore.py). Lives next to the base tables in the
+        warehouse so drop()/rebuild semantics match."""
+        from dagster_etl_spark.streaming.slicestore import SliceStore
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        return SliceStore(f"{warehouse}/{self.counts_table.lower()}__slices")
+
+    def ingest_slice(self, docs: DataFrame, slice_id: int, fault_hook=None) -> bool:
+        """Exactly-once ingest of one checkpoint-identified micro-batch
+        (``slice_id`` = the foreachBatch batch id) — the r17 closure of
+        the replay double-count window the r16 verdict flagged:
+        ``streaming/drift_monitor.py`` used the plain-append ``ingest``
+        inside foreachBatch, so a checkpoint-replayed batch
+        double-counted the standing LM. Same protocol as
+        IncrementalBM25Index.ingest_slice: components land in
+        overwrite-mode slice directories (a replay rewrites identical
+        rows — _encode is deterministic), the slice becomes visible at
+        the atomic manifest commit, and a replay of a committed slice
+        returns False and applies nothing.
+
+        ``fault_hook(label)`` is a test-only injection point called
+        after each staging step and after the commit."""
+        store = self._slice_store()
+        if store.is_committed(slice_id):
+            return False
+        hook = fault_hook or (lambda _label: None)
+        counts, totals = self._encode(docs)
+        store.write("counts", slice_id, counts)
+        hook("staged_counts")
+        store.write("totals", slice_id, totals)
+        hook("staged_totals")
+        store.commit(slice_id)
+        hook("post_commit")
+        return True
+
+    def compact_slices(self) -> int:
+        """Fold committed slice deltas into the bucketed base tables and
+        clear the region (same contract and caveat as the BM25 fold:
+        locally run once post-stream; in production this fold is one
+        ACID table commit). Returns the number of slices folded."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        store = self._slice_store()
+        n = len(store.committed())
+        if n == 0:
+            return 0
+        counts = store.read(self.spark, "counts")
+        totals = store.read(self.spark, "totals")
+        first = not self.spark.catalog.tableExists(self.counts_table)
+        if first:
+            from dagster_etl_spark.sources.lake import delete_path
+
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(self.spark, f"{warehouse}/{self.totals_table.lower()}")
+            write_bucketed(
+                counts, self.counts_table, ["term"], num_buckets=self.num_buckets
+            )
+            totals.write.mode("overwrite").saveAsTable(self.totals_table)
+        else:
+            append_bucketed(counts, self.counts_table)
+            totals.write.mode("append").saveAsTable(self.totals_table)
+        store.clear()
+        return n
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Absorb one slice: append its term counts and a totals row.
+        O(slice); standing tables are append-only (compact() collapses
+        the per-append files). Batch-grain path — inside foreachBatch
+        use :meth:`ingest_slice`, which is idempotent under replay."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        counts, totals = self._encode(docs)
         first = not self.spark.catalog.tableExists(self.counts_table)
         if first:
             from dagster_etl_spark.sources.lake import delete_path
@@ -1660,12 +1738,36 @@ class IncrementalUnigramLM:
         )
 
     def _standing(self) -> tuple[DataFrame, DataFrame]:
-        for t in (self.counts_table, self.totals_table):
-            self.spark.catalog.refreshTable(t)
-        ct = self.spark.table(self.counts_table).groupBy("term").agg(
+        """Summed standing state = bucketed base tables ∪ committed
+        slice deltas (the BM25 _state pattern): with no slice region
+        this is exactly the plain refreshed table read, and slice
+        deltas ride along unbucketed until compact_slices folds them."""
+        store = self._slice_store()
+        parts: list[DataFrame] = []
+        for t, comp in (
+            (self.counts_table, "counts"),
+            (self.totals_table, "totals"),
+        ):
+            base = None
+            if self.spark.catalog.tableExists(t):
+                self.spark.catalog.refreshTable(t)
+                base = self.spark.table(t)
+            delta = store.read(self.spark, comp)
+            if base is not None and delta is not None:
+                parts.append(base.unionByName(delta))
+            elif base is not None:
+                parts.append(base)
+            elif delta is not None:
+                parts.append(delta)
+            else:
+                raise ValueError(
+                    f"IncrementalUnigramLM: no state for {t} — neither a "
+                    "base table nor a committed slice exists"
+                )
+        ct = parts[0].groupBy("term").agg(
             F.sum("ct").cast("long").alias("ct")
         )
-        tot = self.spark.table(self.totals_table).agg(
+        tot = parts[1].agg(
             F.sum("n_total").cast("long").alias("n_total"),
             F.sum("n_docs").cast("long").alias("n_docs"),
         )
@@ -1790,6 +1892,7 @@ class IncrementalUnigramLM:
     def drop(self) -> None:
         for t in (self.counts_table, self.totals_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self._slice_store().clear()
 
 
 def bigram_surprisal_buckets(
@@ -2012,14 +2115,10 @@ class IncrementalDSIRModel:
             )
         )
 
-    def ingest(self, docs: DataFrame) -> None:
-        """Absorb one slice: append its per-bucket target/raw counts
-        and a totals row. O(slice), append-only."""
-        from dagster_etl_spark.sources.bucketed import (
-            append_bucketed,
-            write_bucketed,
-        )
-
+    def _encode(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(counts, totals) for one slice — one feature pass, shared by
+        the batch ``ingest`` and the exactly-once ``ingest_slice``
+        (deterministic, so a replayed slice rewrites identical rows)."""
         is_t = F.col(self.lang_col) == self.target_lang
         ex = pin(self._features(docs))
         counts = ex.groupBy("fb").agg(
@@ -2030,6 +2129,76 @@ class IncrementalDSIRModel:
             F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("t_tot"),
             F.sum(F.when(is_t, 0).otherwise(1)).cast("long").alias("r_tot"),
         )
+        return counts, totals
+
+    def _slice_store(self):
+        """Slice region for exactly-once streaming ingest (see
+        streaming/slicestore.py)."""
+        from dagster_etl_spark.streaming.slicestore import SliceStore
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        return SliceStore(f"{warehouse}/{self.counts_table.lower()}__slices")
+
+    def ingest_slice(self, docs: DataFrame, slice_id: int, fault_hook=None) -> bool:
+        """Exactly-once ingest of one checkpoint-identified micro-batch
+        — same protocol as IncrementalUnigramLM.ingest_slice (r17: the
+        last two streamed incremental indexes get the slice-store path,
+        closing the replay double-count window for foreachBatch-fed
+        DSIR importance models)."""
+        store = self._slice_store()
+        if store.is_committed(slice_id):
+            return False
+        hook = fault_hook or (lambda _label: None)
+        counts, totals = self._encode(docs)
+        store.write("counts", slice_id, counts)
+        hook("staged_counts")
+        store.write("totals", slice_id, totals)
+        hook("staged_totals")
+        store.commit(slice_id)
+        hook("post_commit")
+        return True
+
+    def compact_slices(self) -> int:
+        """Fold committed slice deltas into the bucketed base tables
+        and clear the region (post-stream, one fold — see the BM25
+        compact_slices caveat). Returns the number of slices folded."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        store = self._slice_store()
+        n = len(store.committed())
+        if n == 0:
+            return 0
+        counts = store.read(self.spark, "counts")
+        totals = store.read(self.spark, "totals")
+        first = not self.spark.catalog.tableExists(self.counts_table)
+        if first:
+            from dagster_etl_spark.sources.lake import delete_path
+
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            delete_path(self.spark, f"{warehouse}/{self.totals_table.lower()}")
+            write_bucketed(
+                counts, self.counts_table, ["fb"], num_buckets=self.num_buckets
+            )
+            totals.write.mode("overwrite").saveAsTable(self.totals_table)
+        else:
+            append_bucketed(counts, self.counts_table)
+            totals.write.mode("append").saveAsTable(self.totals_table)
+        store.clear()
+        return n
+
+    def ingest(self, docs: DataFrame) -> None:
+        """Absorb one slice: append its per-bucket target/raw counts
+        and a totals row. O(slice), append-only. Batch-grain path —
+        inside foreachBatch use :meth:`ingest_slice`."""
+        from dagster_etl_spark.sources.bucketed import (
+            append_bucketed,
+            write_bucketed,
+        )
+
+        counts, totals = self._encode(docs)
         first = not self.spark.catalog.tableExists(self.counts_table)
         if first:
             from dagster_etl_spark.sources.lake import delete_path
@@ -2046,6 +2215,42 @@ class IncrementalDSIRModel:
             self.totals_table
         )
 
+    def _standing(self) -> tuple[DataFrame, DataFrame]:
+        """Summed standing state = bucketed base tables ∪ committed
+        slice deltas (the BM25 _state pattern); plain refreshed table
+        read when no slice region exists."""
+        store = self._slice_store()
+        parts: list[DataFrame] = []
+        for t, comp in (
+            (self.counts_table, "counts"),
+            (self.totals_table, "totals"),
+        ):
+            base = None
+            if self.spark.catalog.tableExists(t):
+                self.spark.catalog.refreshTable(t)
+                base = self.spark.table(t)
+            delta = store.read(self.spark, comp)
+            if base is not None and delta is not None:
+                parts.append(base.unionByName(delta))
+            elif base is not None:
+                parts.append(base)
+            elif delta is not None:
+                parts.append(delta)
+            else:
+                raise ValueError(
+                    f"IncrementalDSIRModel: no state for {t} — neither a "
+                    "base table nor a committed slice exists"
+                )
+        st = parts[0].groupBy("fb").agg(
+            F.sum("ct").cast("long").alias("ct"),
+            F.sum("cr").cast("long").alias("cr"),
+        )
+        tot = parts[1].agg(
+            F.sum("t_tot").cast("long").alias("t_tot"),
+            F.sum("r_tot").cast("long").alias("r_tot"),
+        )
+        return st, tot
+
     def select(self, docs: DataFrame, k: int = 25) -> DataFrame:
         """Score ``docs``'s candidates (lang != target) against the
         standing model and keep weight >= the k-th largest — identical
@@ -2053,16 +2258,7 @@ class IncrementalDSIRModel:
         (ct, cr, totals) read from the summed state."""
         from pyspark.sql.window import Window
 
-        for t in (self.counts_table, self.totals_table):
-            self.spark.catalog.refreshTable(t)
-        st = self.spark.table(self.counts_table).groupBy("fb").agg(
-            F.sum("ct").cast("long").alias("ct"),
-            F.sum("cr").cast("long").alias("cr"),
-        )
-        tot = self.spark.table(self.totals_table).agg(
-            F.sum("t_tot").cast("long").alias("t_tot"),
-            F.sum("r_tot").cast("long").alias("r_tot"),
-        )
+        st, tot = self._standing()
         qlog = x.floor_log2_ratio(
             f"(COALESCE(ct, 0) + 1) * (r_tot + {self.n_buckets})",
             f"(COALESCE(cr, 0) + 1) * (t_tot + {self.n_buckets})",
@@ -2105,6 +2301,7 @@ class IncrementalDSIRModel:
     def drop(self) -> None:
         for t in (self.counts_table, self.totals_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self._slice_store().clear()
 
 
 # -- fastText-shape quality classifier ----------------------------------------

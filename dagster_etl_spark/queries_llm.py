@@ -956,7 +956,13 @@ def q_ivf_pq_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = IncrementalIVFPQIndex(spark, f"ivfpq_inc_{sfx}", dim=EMB_DIM)
+    # gate-scale geometry pinned EXPLICITLY (m=8/ksub=16 matches the
+    # oracle and keeps the sweep cheap); the class defaults are the
+    # measured production sizing m=16/ksub=64 + density-scaled rerank
+    # (ANN_NPROBE_PQ_r16), recall-gated in tests/test_ann_recall.py
+    idx = IncrementalIVFPQIndex(
+        spark, f"ivfpq_inc_{sfx}", dim=EMB_DIM, nlist=16, m=8, ksub=16
+    )
     idx.init(emb.filter("vec_id % 3 = 0"))
     idx.append(emb.filter("vec_id % 3 = 1"))
     idx.append(emb.filter("vec_id % 3 = 2"))

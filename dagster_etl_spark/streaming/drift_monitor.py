@@ -22,9 +22,15 @@ Two guarantees, split by surface:
   [0,1] bounds) rather than oracle-hashed.
 
 foreachBatch is the boundary for the same reason as the BM25 ingest:
-an ingest is a multi-table append step; a replayed batch would
-re-append (at-least-once), gated at scale by the checkpointed batch id
-exactly as in streaming/sinks.py.
+an ingest is a multi-table append step and Structured Streaming gives
+at-least-once delivery to foreachBatch. Since r17 the batch body is
+``ingest_slice`` — the EXACTLY-ONCE slice-store path
+(streaming/slicestore.py): a replayed batch rewrites its own slice
+directory with identical rows and a replay of a committed slice is a
+no-op, so a crash at ANY point recovers to state bit-identical to an
+uninterrupted run (kill/restart-tested in
+tests/test_streaming_recovery.py — this closed the r16 verdict's
+"replay double-counts the standing LM" window).
 
 Reference parity note: the reference is batch-only (SURVEY §2.7); this
 generalizes its daily-reprocessing contract to a continuously fed
@@ -43,23 +49,38 @@ def streaming_drift_ingest(
     sf_dir: str,
     n_files: int = 4,
     slice_col: str = "lang",
+    work_dir: str | None = None,
+    fail_at: tuple[int, str] | None = None,
 ) -> DataFrame:
     """Stream the documents fixture through the incremental LM in
-    ``n_files`` micro-batches, then return the standing-state drift of
-    the full corpus per slice — exactly corpus_drift_tv's output."""
+    ``n_files`` micro-batches (exactly-once via ingest_slice), then
+    return the standing-state drift of the full corpus per slice —
+    exactly corpus_drift_tv's output.
+
+    ``work_dir`` pins the scratch root so a second call recovers from
+    the same checkpoint (freshness derives from {work}/docs existing,
+    the r16-ADVICE convention); ``fail_at=(batch_id, hook_label)``
+    injects a crash at that ingest_slice fault hook — hook labels:
+    staged_counts, staged_totals, post_commit."""
     from dagster_etl_spark.operators.text import IncrementalUnigramLM
     from dagster_etl_spark.scratch import scratch_dir
     from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.sources.lake import check_exists
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     docs = load_table(spark, sf_dir, "documents")
-    work = scratch_dir(f"stream_drift_{sfx}")
+    work = scratch_dir(f"stream_drift_{sfx}") if work_dir is None else work_dir
     in_dir = f"{work}/docs"
-    docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+    fresh = not check_exists(spark, in_dir)
+    # LM identity follows the work dir: a pinned-work recovery call
+    # must find the crashed run's slice region, and two work dirs must
+    # never collide on leftover standing state
+    wid = hashlib.md5(work.encode()).hexdigest()[:8]
+    lm = IncrementalUnigramLM(spark, f"sdrift_{wid}")
+    if fresh:
+        docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
+        lm.drop()  # fresh rebuild (correctness surface)
     schema = spark.read.parquet(in_dir).schema
-
-    lm = IncrementalUnigramLM(spark, f"sdrift_{sfx}")
-    lm.drop()  # fresh rebuild each call (correctness surface)
 
     stream = (
         spark.readStream.schema(schema)
@@ -70,7 +91,14 @@ def streaming_drift_ingest(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        lm.ingest(batch_df)
+
+        def hook(label: str) -> None:
+            if fail_at is not None and fail_at == (batch_id, label):
+                raise RuntimeError(
+                    f"injected kill at batch {batch_id} / {label}"
+                )
+
+        lm.ingest_slice(batch_df, batch_id, fault_hook=hook)
 
     q = (
         stream.writeStream.foreachBatch(ingest_batch)
@@ -79,6 +107,7 @@ def streaming_drift_ingest(
         .start()
     )
     q.awaitTermination()
+    lm.compact_slices()
     return lm.drift(docs, slice_col=slice_col)
 
 

@@ -144,7 +144,7 @@ def test_ivfpq_incremental_slicing_invariance(spark):
     q = emb.filter("vec_id < 5")
 
     def run(name: str, slices) -> set:
-        idx = IncrementalIVFPQIndex(spark, name)
+        idx = IncrementalIVFPQIndex(spark, name, m=8, ksub=16)
         idx.init(emb.filter("vec_id % 3 = 0"))
         for cond in slices:
             idx.append(emb.filter(cond))
@@ -180,7 +180,7 @@ def test_ivfpq_probe_pushdown_reaches_codes_scan(spark):
     from tests.conftest import SF_SMALL
 
     emb = load_table(spark, SF_SMALL, "embeddings")
-    idx = IncrementalIVFPQIndex(spark, "ivfpq_push")
+    idx = IncrementalIVFPQIndex(spark, "ivfpq_push", m=8, ksub=16)
     idx.init(emb)
     # nprobe=2 of nlist=16: the probed union over 5 queries is at most
     # 10 buckets — strictly fewer than nlist, so the In filter prunes
@@ -217,7 +217,7 @@ def test_ivfpq_pre_r16_codes_table_without_rn_still_works(spark):
     rest = emb.filter("vec_id % 3 <> 0")
     q = emb.filter("vec_id < 5")
 
-    new = IncrementalIVFPQIndex(spark, "ivfpq_rn_new")
+    new = IncrementalIVFPQIndex(spark, "ivfpq_rn_new", m=8, ksub=16)
     new.init(init_slice)
     new.append(rest)
     want = {
@@ -226,7 +226,7 @@ def test_ivfpq_pre_r16_codes_table_without_rn_still_works(spark):
     }
     new.drop()
 
-    old = IncrementalIVFPQIndex(spark, "ivfpq_rn_old")
+    old = IncrementalIVFPQIndex(spark, "ivfpq_rn_old", m=8, ksub=16)
     old.init(init_slice)
     # strip rn in place: the pre-r16 on-disk schema
     legacy = spark.table(old.codes_table).drop("rn").localCheckpoint()

@@ -127,6 +127,58 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert recall >= 0.8, recall
 
 
+def test_ivfpq_class_defaults_hit_recall_gate_tight_clusters(spark):
+    """r17 (r16 verdict task 4): IncrementalIVFPQIndex's class defaults
+    must BE the measured sizing rule (ANN_NPROBE_PQ_r16) — m=16,
+    ksub=64, density-scaled rerank — not document it. Gate: recall@10
+    >= 0.8 on the tight-cluster regime (exact top-k inside one dense
+    cluster, PQ's worst case — the regime where the old m=8/ksub=16
+    defaults tied out at ~0.1). Also pin that the defaults beat the old
+    geometry on the same fixture, so a future defaults change reruns
+    the measurement instead of silently regressing it."""
+    import numpy as np
+
+    from dagster_etl_spark.operators.similarity import (
+        IncrementalIVFPQIndex,
+        cosine_topk,
+    )
+
+    dim, n_clusters, per_cluster = 64, 16, 120
+    rng = np.random.default_rng(4321)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = centers.repeat(per_cluster, axis=0) + 0.05 * rng.normal(
+        size=(n_clusters * per_cluster, dim)
+    )
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    ).cache()
+    q_ids = [int(i * len(vecs) / 8) for i in range(8)]
+    queries = corpus.filter(corpus.vec_id.isin(q_ids)).cache()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, corpus, dim=dim, k=K).collect()
+    }
+
+    def recall(idx_kwargs, topk_kwargs) -> float:
+        idx = IncrementalIVFPQIndex(spark, "t_pq_defaults", dim=dim, **idx_kwargs)
+        idx.init(corpus)
+        rows = idx.topk(
+            queries, k=K, nprobe=4, rerank_source=corpus, **topk_kwargs
+        ).collect()
+        idx.drop()
+        return sum((r.query_id, r.neighbor_id) in exact for r in rows) / len(exact)
+
+    # class defaults: m=16/ksub=64, rerank=None -> density-scaled pool
+    got_default = recall({}, {})
+    # the pre-r17 geometry on the identical fixture
+    got_old = recall({"m": 8, "ksub": 16}, {"rerank": 50})
+    assert got_default >= 0.8, (got_default, got_old)
+    assert got_default > got_old, (got_default, got_old)
+
+
 def test_zero_and_null_vectors_do_not_abort(spark):
     """A crawl corpus will contain zero-norm (padding/failed-encode)
     and NULL embeddings; cosine must yield NULL for them under ANSI

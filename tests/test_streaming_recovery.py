@@ -203,6 +203,125 @@ def test_neardup_uninterrupted_slice_ingest_equals_oneshot(spark, tmp_path):
     )
 
 
+def test_unigram_lm_kill_restart_equals_oneshot(spark, tmp_path):
+    """r17 (r16 verdict task 3): the standing LM's foreachBatch path is
+    exactly-once. Kill mid-staging on one run and in the
+    committed/checkpoint-uncommitted window on another; after restart
+    score AND drift over the full corpus equal the one-shot operators
+    integer-for-integer — the plain-append path would double-count the
+    replayed batch's term mass and shift every surprisal."""
+    from dagster_etl_spark.operators.text import (
+        IncrementalUnigramLM,
+        ccnet_surprisal_buckets,
+        corpus_drift_tv,
+    )
+
+    docs = _docs(spark)
+    in_dir = _drop_dir(spark, docs, tmp_path)
+    lm = IncrementalUnigramLM(spark, "rcv_ulm")
+    lm.drop()
+
+    # mid-staging kill: counts staged, totals not, manifest uncommitted
+    _run_expect_fault(
+        spark, in_dir, str(tmp_path / "ckpt"), lm.ingest_slice,
+        fail_at=(2, "staged_counts"),
+    )
+    committed = lm._slice_store().committed()
+    assert 2 not in committed and len(committed) >= 1
+
+    # restart replays batch 2; then kill batch 3 post-commit
+    _run_expect_fault(
+        spark, in_dir, str(tmp_path / "ckpt"), lm.ingest_slice,
+        fail_at=(3, "post_commit"),
+    )
+    assert 3 in lm._slice_store().committed()
+
+    # final restart: the replay of committed slice 3 must be a no-op
+    _run(spark, in_dir, str(tmp_path / "ckpt"), lm.ingest_slice)
+    assert lm._slice_store().committed() == list(range(N_FILES))
+
+    got_s = _rows(lm.score(docs))
+    want_s = _rows(ccnet_surprisal_buckets(docs))
+    assert got_s == want_s and len(want_s) > 0
+    got_d = _rows(lm.drift(docs))
+    want_d = _rows(corpus_drift_tv(docs))
+    assert got_d == want_d and len(want_d) > 0
+
+    # fold into the bucketed base; answers unchanged, region cleared
+    assert lm.compact_slices() == N_FILES
+    assert lm._slice_store().committed() == []
+    assert _rows(lm.score(docs)) == want_s
+    assert _rows(lm.drift(docs)) == want_d
+    lm.drop()
+
+
+@pytest.mark.parametrize(
+    "fail_at", [(2, "staged_counts"), (1, "post_commit")]
+)
+def test_dsir_kill_restart_equals_oneshot(spark, tmp_path, fail_at):
+    """r17: the DSIR importance model's exactly-once ingest — kill
+    mid-staging / post-commit, restart, and select() over the full
+    corpus equals the one-shot dsir_select (a double-counted replay
+    would shift the per-bucket log-ratios and re-rank the selection)."""
+    from dagster_etl_spark.operators.text import (
+        IncrementalDSIRModel,
+        dsir_select,
+    )
+
+    docs = _docs(spark)
+    in_dir = _drop_dir(spark, docs, tmp_path)
+    m = IncrementalDSIRModel(spark, f"rcv_dsir_{fail_at[0]}_{fail_at[1]}")
+    m.drop()
+
+    _run_expect_fault(
+        spark, in_dir, str(tmp_path / "ckpt"), m.ingest_slice, fail_at
+    )
+    _run(spark, in_dir, str(tmp_path / "ckpt"), m.ingest_slice)
+    assert m._slice_store().committed() == list(range(N_FILES))
+
+    got = sorted(
+        (r.doc_id, r.n_features, r.weight_q) for r in m.select(docs).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_features, r.weight_q)
+        for r in dsir_select(docs).collect()
+    )
+    assert got == want and len(want) > 0
+
+    assert m.compact_slices() == N_FILES
+    assert sorted(
+        (r.doc_id, r.n_features, r.weight_q) for r in m.select(docs).collect()
+    ) == want
+    m.drop()
+
+
+def test_streaming_drift_ingest_kill_restart_equals_oneshot(spark, tmp_path):
+    """End-to-end: the registered streaming drift monitor itself killed
+    inside foreachBatch (post-commit — the at-least-once window that
+    used to double-count the standing LM, r16 verdict defect #1) and
+    restarted from the same pinned work dir; the recovered drift table
+    equals the uninterrupted one-shot corpus_drift_tv exactly."""
+    import os
+
+    from dagster_etl_spark.operators.text import corpus_drift_tv
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.drift_monitor import (
+        streaming_drift_ingest,
+    )
+
+    work = str(tmp_path / "driftwork")
+    os.makedirs(work)
+    with pytest.raises(StreamingQueryException) as exc:
+        streaming_drift_ingest(
+            spark, SF_SMALL, work_dir=work, fail_at=(1, "post_commit")
+        )
+    assert "injected kill" in str(exc.value)
+
+    got = _rows(streaming_drift_ingest(spark, SF_SMALL, work_dir=work))
+    want = _rows(corpus_drift_tv(load_table(spark, SF_SMALL, "documents")))
+    assert got == want and len(want) > 0
+
+
 def test_streaming_quality_score_kill_restart_equals_oneshot(spark, tmp_path):
     """The stateless streaming scorer's recovery story (r15 ADVICE fix):
     batch-keyed overwrite writes mean a crash BETWEEN the two writes of
