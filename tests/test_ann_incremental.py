@@ -200,6 +200,97 @@ def test_ivfpq_probe_pushdown_reaches_codes_scan(spark):
     )
 
 
+def test_ivfpq_rebucket_degenerate_equals_fresh_init(spark):
+    """r17 (r16 verdict task 5): rebucket must assign exactly what a
+    fresh init at the new nlist would. Degenerate cadence makes that
+    an exact table property: init on the FULL corpus at nlist=8, then
+    rebucket(corpus, 16) — centroids, bucket assignments, codes, and
+    search must all equal a fresh init(corpus) at nlist=16 (same
+    codebook pool, same centroid pool, same hash rules)."""
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.bucketed import bucket_spec
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter("vec_id < 5")
+
+    a = IncrementalIVFPQIndex(spark, "ivfpq_rb_a", nlist=8, m=8, ksub=16)
+    a.init(emb)
+    a.rebucket(emb, 16)
+    assert a.nlist == 16
+
+    b = IncrementalIVFPQIndex(spark, "ivfpq_rb_b", nlist=16, m=8, ksub=16)
+    b.init(emb)
+
+    rows = lambda t: sorted(tuple(r) for r in spark.table(t).collect())  # noqa: E731
+    assert rows(a.centroids_table) == rows(b.centroids_table)
+    assert rows(a.codes_table) == rows(b.codes_table)
+    assert bucket_spec(spark, a.codes_table) == bucket_spec(spark, b.codes_table)
+    got = sorted(tuple(r) for r in a.topk(q, k=10, nprobe=4).collect())
+    want = sorted(tuple(r) for r in b.topk(q, k=10, nprobe=4).collect())
+    assert got == want and len(got) == 50
+    a.drop()
+    b.drop()
+
+
+def test_ivfpq_rebucket_appended_index_invariants(spark):
+    """The grown-index case the lever exists for: init on a slice,
+    append the rest, rebucket to a larger nlist. Codes and rn must be
+    carried over untouched (the expensive PQ encode is NOT recomputed),
+    full-probe search must be bit-identical before and after (it
+    depends only on codes + rn), appends against the NEW geometry keep
+    working, and a partial float table must refuse the swap."""
+    import pytest as _pytest
+
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter("vec_id < 5")
+    idx = IncrementalIVFPQIndex(spark, "ivfpq_rb_g", nlist=4, m=8, ksub=16)
+    idx.init(emb.filter("vec_id % 3 = 0"))
+    idx.append(emb.filter("vec_id % 3 <> 0"))
+
+    code_cols = [f"code_{j}" for j in range(idx.m)] + ["rn"]
+    before_codes = sorted(
+        tuple(r) for r in spark.table(idx.codes_table)
+        .select("vec_id", *code_cols).collect()
+    )
+    before_full = sorted(
+        tuple(r) for r in idx.topk(q, k=10, nprobe=4).collect()
+    )
+
+    with _pytest.raises(ValueError, match="float table covers"):
+        idx.rebucket(emb.filter("vec_id % 2 = 0"), 16)
+
+    idx.rebucket(emb, 16)
+    after_codes = sorted(
+        tuple(r) for r in spark.table(idx.codes_table)
+        .select("vec_id", *code_cols).collect()
+    )
+    assert after_codes == before_codes  # PQ state untouched
+    assert spark.table(idx.centroids_table).count() == 16
+    # full probe sees every list regardless of geometry -> identical
+    after_full = sorted(
+        tuple(r) for r in idx.topk(q, k=10, nprobe=16).collect()
+    )
+    assert after_full == before_full
+    # the index keeps living: append encodes against the new centroids
+    n0 = spark.table(idx.codes_table).count()
+    extra = emb.selectExpr("vec_id + 1000000 AS vec_id", "embedding").limit(7)
+    idx.append(extra)
+    assert spark.table(idx.codes_table).count() == n0 + 7
+    bad = (
+        spark.table(idx.codes_table)
+        .filter("bucket < 0 OR bucket >= 16")
+        .count()
+    )
+    assert bad == 0
+    idx.drop()
+
+
 def test_ivfpq_pre_r16_codes_table_without_rn_still_works(spark):
     """r16 ADVICE: a codes table persisted BEFORE the encode-time rn
     column must keep working — topk recomputes rn in-plan (identical
