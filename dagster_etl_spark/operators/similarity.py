@@ -1207,8 +1207,11 @@ class IncrementalIVFPQIndex:
         bucket = f"{_topn_centroid_buckets_expr(self.vec_col, cents, 1)}[0]"
         assign = spread(vectors).selectExpr(self.id_col, f"{bucket} AS bucket")
         self.spark.catalog.refreshTable(self.codes_table)
+        cols = self.spark.table(self.codes_table).columns
         codes = self.spark.table(self.codes_table).drop("bucket")
-        recoded = codes.join(assign, on=self.id_col)
+        # re-select in the original column order: the swapped-in table
+        # must be schema-identical to what a fresh init writes
+        recoded = codes.join(assign, on=self.id_col).select(*cols)
         # uuid-suffixed staging: after the rename the LIVE table keeps
         # the staging path (in-memory catalog semantics), so a fixed
         # staging name would collide with its own previous swap
