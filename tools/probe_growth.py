@@ -141,9 +141,16 @@ def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
 
     nlist = int(_os.environ.get("PROBE_IVFPQ_NLIST", "16"))
     nprobe = int(_os.environ.get("PROBE_IVFPQ_NPROBE", "8"))
+    # r17: PROBE_IVFPQ_REBUCKET=<nlist'> runs the re-bucketing
+    # compaction AFTER the last day and measures one more probe pair —
+    # the lever the r16 soak identified (nlist) applied in place via
+    # rebucket() instead of a full rebuild
+    rebucket_to = int(_os.environ.get("PROBE_IVFPQ_REBUCKET", "0"))
+    # geometry pinned to the r14-r16 soak artifacts (m=8/ksub=16);
+    # class defaults moved to the measured recall sizing in r17
     idx = IncrementalIVFPQIndex(
         spark, f"probe_growth_ivfpq_nl{nlist}", nlist=nlist,
-        num_buckets=max(8, nlist),
+        m=8, ksub=16, num_buckets=max(8, nlist),
     )
     idx.drop()
     days: list[dict] = []
@@ -174,6 +181,29 @@ def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
                 "compacted": {k: list(v) for k, v in compacted.items()}
                 if compacted
                 else None,
+            }
+        )
+        print(f"# ivfpq {days[-1]}", file=sys.stderr)
+    if rebucket_to:
+        # the grown index re-buckets to the bigger geometry in place:
+        # num_buckets stays as constructed (bucket pruning still maps
+        # to the In() pushdown; the nlist' lever is the probed FRACTION)
+        grown = all_rot.filter(F.col("vec_id") < DAYS * ne)
+        t0 = time.perf_counter()
+        idx.rebucket(grown, rebucket_to)
+        rb_s = time.perf_counter() - t0
+        idx.topk(queries, k=10, nprobe=nprobe).count()  # warm
+        t0 = time.perf_counter()
+        hits = idx.topk(queries, k=10, nprobe=nprobe).count()
+        probe_s = time.perf_counter() - t0
+        days.append(
+            {
+                "day": f"rebucket_to_{rebucket_to}",
+                "corpus_docs": DAYS * ne,
+                "ingest_sec": round(rb_s, 3),
+                "probe_sec": round(probe_s, 3),
+                "probe_hits": hits,
+                "compacted": None,
             }
         )
         print(f"# ivfpq {days[-1]}", file=sys.stderr)
@@ -385,11 +415,15 @@ def main() -> None:
         }
     if SURFACES in ("ivfpq", "both"):
         pq_days, n_queries = _ivfpq_series(spark, SF_DIR)
+        daily = [d for d in pq_days if isinstance(d["day"], int)]
         out["ivfpq"] = {
             "query_vectors": n_queries,
             "series": pq_days,
-            "summary": _summary(pq_days),
+            "summary": _summary(daily),
         }
+        rb = [d for d in pq_days if not isinstance(d["day"], int)]
+        if rb:
+            out["ivfpq"]["rebucket"] = rb[0]
     if SURFACES == "bm25":
         bm_days, n_q = _bm25_series(spark, docs, n)
         out["bm25"] = {
