@@ -1176,6 +1176,115 @@ def connected_components(
     return track(labels).selectExpr("node AS doc_id", "label AS cluster_id")
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the r16 verdict's task-6 challenger to
+    :func:`connected_components`' label-propagation + pointer-jumping.
+    Same contract: (doc_id, cluster_id) with cluster_id = min doc id
+    of the component, only over nodes that appear in ``pairs``.
+
+    Per round, two edge-rewrite steps, each ONE aggregate + ONE
+    co-keyed join (no separate label table, no label self-join):
+
+    * LARGE-STAR: for every center c (edges symmetrized), connect each
+      strictly-larger neighbor to m = min(N(c) ∪ {c}). Strictly-larger
+      keeps it a contraction (no edge ping-pong) while m pulls whole
+      neighborhoods toward the component minimum.
+    * SMALL-STAR: direct edges larger -> smaller; for every center h,
+      connect h and all its smaller neighbors to their minimum.
+
+    Both steps preserve connectivity exactly (every rewritten edge
+    stays within its component, and reachability to the minimum is
+    monotone), and the fixpoint is the star forest rooted at component
+    minima — read the labels straight off the final edge set. The
+    edge set CONTRACTS as it goes (duplicate rewrites collapse in the
+    canonical-form distinct), which is the structural difference from
+    label propagation: propagation carries a row per NODE per round
+    plus the full static edge set through two joins; the stars carry
+    only the shrinking edge set.
+
+    Fixpoint = a round that changes nothing (edge count stable AND the
+    set unchanged — subtract-limit-1 probe, same discipline as the
+    propagation form's changed-count). Raises after ``max_iter``
+    rounds like its sibling. Lineage: localCheckpoint every
+    ``checkpoint_every`` rounds (same 100 TB reliable-checkpoint note
+    as :func:`connected_components`)."""
+    edges = (
+        pairs.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
+        .filter("a <> b")
+        .selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for it in range(max_iter):
+        # LARGE-STAR over the symmetrized view
+        sym = edges.selectExpr("u AS c", "v AS n").unionByName(
+            edges.selectExpr("v AS c", "u AS n")
+        )
+        mins = sym.groupBy("c").agg(
+            F.least(F.min("n"), F.col("c")).alias("m")
+        )
+        ls = (
+            sym.join(mins, on="c")
+            .filter("n > c")
+            .selectExpr("least(n, m) AS u", "greatest(n, m) AS v")
+            .filter("u <> v")
+            .distinct()
+        )
+        # SMALL-STAR over larger->smaller edges (canonical (u, v) has
+        # u < v, so v is the larger endpoint = the center)
+        smins = ls.groupBy("v").agg(F.min("u").alias("m"))
+        ss = (
+            ls.join(smins, on="v")
+            # one pass emits both rewrites: each smaller neighbor u and
+            # the center v both connect to the center's minimum
+            .selectExpr("explode(array(u, v)) AS n", "m")
+            .selectExpr("least(n, m) AS u", "greatest(n, m) AS v")
+            .filter("u <> v")
+            .distinct()
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ss = ss.localCheckpoint(eager=True)
+        else:
+            ss = ss.persist()
+        changed = (
+            ss.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(ss).limit(1).count()
+        )
+        edges.unpersist()
+        edges = ss
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint in "
+            f"{max_iter} rounds — raise max_iter"
+        )
+    # star forest: every edge is (root=u, node=v) with u the component
+    # min (roots never appear as v); label nodes off the edges, and
+    # every input node with no surviving edge (roots; self-loop-only
+    # nodes, which the propagation form also labels) labels itself
+    labeled = edges.selectExpr("v AS doc_id", "u AS cluster_id")
+    all_nodes = (
+        pairs.selectExpr(f"explode(array({id_a}, {id_b})) AS doc_id")
+        .distinct()
+    )
+    return track(
+        all_nodes.join(labeled, on="doc_id", how="left").selectExpr(
+            "doc_id", "coalesce(cluster_id, doc_id) AS cluster_id"
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     text_col: str = "text",

@@ -55,30 +55,39 @@ NLIST, M, KSUB = 16, 8, 16
 NPROBE, RERANK, K = 8, 50, 10
 
 
-def _probe_sql(emb_path: str, cent: str, books: str, codes: str) -> str:
+def _probe_sql(
+    emb_path: str, cent: str, codes: str,
+    books: list[list[list[float]]],
+) -> str:
     """The three-stage standing-index search in DuckDB SQL, reading
     the COMMITTED state (no quantizer re-derivation): probe ranking by
     max dot against the stored centroids (ties cidx DESC — the same
     rule as _topn_centroid_buckets_expr's struct sort), reconstruction
-    via per-subspace codebook lookups on the stored codes, ADC with
-    the STORED rn, top-RERANK, exact-cosine rerank, top-K."""
+    via LITERAL codebook lookups on the stored codes (the exact plan
+    shape Spark's pq_reconstruct_expr uses — handing DuckDB the same
+    constant-folding opportunity instead of a join-aggregate), ADC
+    with the STORED rn, top-RERANK, exact-cosine rerank, top-K."""
     from dagster_etl_spark.functions import xdialect as x
 
-    ds = DIM // M
     qdot = x.dot_chain("q.embedding", "c.cv", DIM, x.DUCK)
     adc_dot = x.dot_chain("q.embedding", "r.rv", DIM, x.DUCK)
     qn = x.norm_chain("q.embedding", DIM, x.DUCK)
     cos = x.cosine("q2.embedding", "n.embedding", DIM, x.DUCK)
-    unpivot = " ".join(
-        f"WHEN {j} THEN code_{j}" for j in range(M)
-    )
+    # rv as m per-subspace literal lookups, concatenated — the DuckDB
+    # twin of pq_reconstruct_expr's plan-constant form
+    rv_parts = []
+    for j, book in enumerate(books):
+        lits = ", ".join(
+            "[" + ", ".join(f"CAST({v!r} AS FLOAT)" for v in w) + "]"
+            for w in book
+        )
+        rv_parts.append(f"([{lits}])[code_{j} + 1]")
+    rv = "flatten([" + ", ".join(rv_parts) + "])"
     return f"""
 WITH emb AS (
   SELECT * FROM read_parquet('{emb_path}/*.parquet')
 ), cents AS (
   SELECT cidx, cv FROM read_parquet('{cent}/*.parquet')
-), cb AS (
-  SELECT j, cidx, subvec FROM read_parquet('{books}/*.parquet')
 ), codes AS (
   SELECT * FROM read_parquet('{codes}/*.parquet')
 ), iprobe AS (
@@ -89,20 +98,14 @@ WITH emb AS (
            ) AS r
     FROM emb q CROSS JOIN cents c WHERE q.vec_id < 5
   ) WHERE r <= {NPROBE}
-), cl AS (
+), recon AS (
   -- probed-bucket restriction pushed into the reconstruction, the
   -- same pruning Spark's In(bucket) scan pushdown gives idx.topk —
   -- without it DuckDB reconstructs never-probed lists and the pairing
   -- is unfair against it
-  SELECT vec_id, bucket, rn, t.j,
-         CASE t.j {unpivot} END AS cidx
-  FROM codes CROSS JOIN (SELECT UNNEST(range({M})) AS j) t
+  SELECT vec_id, bucket, rn, {rv} AS rv
+  FROM codes
   WHERE bucket IN (SELECT bucket FROM iprobe)
-), recon AS (
-  SELECT cl.vec_id, cl.bucket, cl.rn,
-         flatten(list(cb.subvec ORDER BY cl.j)) AS rv
-  FROM cl JOIN cb ON cb.j = cl.j AND cb.cidx = cl.cidx
-  GROUP BY cl.vec_id, cl.bucket, cl.rn
 ), adc_scored AS (
   SELECT p.query_id, r.vec_id AS neighbor_id,
          ({adc_dot} / nullif({qn} * r.rn, 0.0)) AS adc
@@ -188,8 +191,8 @@ def main() -> None:
         sql = _probe_sql(
             emb_path,
             f"{warehouse}/{idx.centroids_table.lower()}",
-            f"{warehouse}/{idx.codebooks_table.lower()}",
             f"{warehouse}/{idx.codes_table.lower()}",
+            idx._books(),
         )
         con = duckdb.connect()
 
@@ -206,6 +209,9 @@ def main() -> None:
                 f"spark={len(spark_rows)}", file=sys.stderr,
             )
 
+        import os
+
+        load1 = round(os.getloadavg()[0], 2)
         _noop(spark_probe())  # warm
         ducks: list[float] = []
         sparks: list[float] = []
@@ -228,6 +234,7 @@ def main() -> None:
             "spark_spread_sec": round(max(sparks) - min(sparks), 3),
             "verified_identical_rows": verified,
             "rows": len(spark_rows),
+            "loadavg_at_start": load1,
         }
         print(f"# {k_mult}x {out['mults'][f'x{k_mult}']}", file=sys.stderr)
         idx.drop()
