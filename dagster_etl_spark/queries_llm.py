@@ -972,6 +972,38 @@ def q_ivf_pq_ann_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_pq_ann_rebucket",
+    oracle=_ivf_pq_oracle(),
+    tags=("llm", "similarity", "sketch", "incremental", "layout"),
+    doc="nlist re-bucketing compaction (r17 — the in-place growth path "
+    "for a standing IVF-PQ index whose corpus outgrew its init-time "
+    "geometry): build at nlist=8, rebucket(corpus, 16) — new coarse "
+    "centroids from the accumulated corpus, every code row re-assigned "
+    "in one distributed pass, PQ codes/rn carried over untouched — "
+    "then search. In the degenerate cadence (init on the full corpus) "
+    "the re-bucketed index is table-for-table identical to a fresh "
+    "init at nlist=16, so the oracle is EXACTLY the fresh-init "
+    "three-stage IVF-PQ replay (same as ivf_pq_ann_topk's), making "
+    "the maintenance operation itself hash-gated.",
+)
+def q_ivf_pq_ann_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = IncrementalIVFPQIndex(
+        spark, f"ivfpq_rb_{sfx}", dim=EMB_DIM, nlist=8, m=8, ksub=16
+    )
+    idx.init(emb)
+    idx.rebucket(emb, 16)
+    return idx.topk(
+        emb.filter("vec_id < 5"), k=10, nprobe=8, rerank=50, rerank_source=emb
+    )
+
+
+@register(
     "ivf_pq_ann_topk",
     oracle=_ivf_pq_oracle(),
     tags=("llm", "similarity", "sketch"),

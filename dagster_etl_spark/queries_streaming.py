@@ -382,3 +382,31 @@ def q_streaming_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.streaming.quality import streaming_quality_score
 
     return streaming_quality_score(spark, sf_dir)
+
+
+def _dsir_stream_oracle() -> str:
+    from dagster_etl_spark.operators.text import dsir_select_oracle_sql
+
+    return dsir_select_oracle_sql()
+
+
+@register(
+    "streaming_dsir_ingest",
+    oracle=_dsir_stream_oracle(),
+    tags=("streaming", "text", "sampling", "incremental"),
+    doc="Exactly-once streaming DSIR ingest (r17 — the last streamed "
+    "incremental index on the slice store): documents arrive as 4 "
+    "micro-batches, each absorbed into the standing "
+    "IncrementalDSIRModel via ingest_slice inside foreachBatch "
+    "(overwrite-mode slice staging + atomic manifest commit, so a "
+    "checkpoint-replayed batch cannot double-count the importance "
+    "model — kill/restart-proven in tests/test_streaming_recovery). "
+    "Counts and totals are additive with smoothing and the k-th- "
+    "largest threshold applied at probe time, so the post-stream "
+    "selection equals the one-shot dsir_select integer-for-integer — "
+    "same oracle, hash-exact.",
+)
+def q_streaming_dsir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dagster_etl_spark.streaming.dsir_ingest import streaming_dsir_ingest
+
+    return streaming_dsir_ingest(spark, sf_dir)

@@ -218,6 +218,9 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "dsir_incremental",
     "bpe_segment",
     "token_budget_mixture_bpe",
+    # mid-r17 registrations (ALLCHECK-swept; no driver row yet)
+    "ivf_pq_ann_rebucket",
+    "streaming_dsir_ingest",
 )
 
 

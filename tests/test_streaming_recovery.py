@@ -322,6 +322,29 @@ def test_streaming_drift_ingest_kill_restart_equals_oneshot(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_streaming_dsir_ingest_kill_restart_equals_oneshot(spark, tmp_path):
+    """End-to-end for the registered streaming DSIR query: kill inside
+    foreachBatch post-commit, restart from the same pinned work dir;
+    the recovered selection equals the one-shot dsir_select exactly."""
+    import os
+
+    from dagster_etl_spark.operators.text import dsir_select
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.dsir_ingest import streaming_dsir_ingest
+
+    work = str(tmp_path / "dsirwork")
+    os.makedirs(work)
+    with pytest.raises(StreamingQueryException) as exc:
+        streaming_dsir_ingest(
+            spark, SF_SMALL, work_dir=work, fail_at=(1, "post_commit")
+        )
+    assert "injected kill" in str(exc.value)
+
+    got = _rows(streaming_dsir_ingest(spark, SF_SMALL, work_dir=work))
+    want = _rows(dsir_select(load_table(spark, SF_SMALL, "documents")))
+    assert got == want and len(want) > 0
+
+
 def test_streaming_quality_score_kill_restart_equals_oneshot(spark, tmp_path):
     """The stateless streaming scorer's recovery story (r15 ADVICE fix):
     batch-keyed overwrite writes mean a crash BETWEEN the two writes of
