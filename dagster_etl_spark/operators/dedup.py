@@ -1190,6 +1190,18 @@ def connected_components_star(
     Same contract: (doc_id, cluster_id) with cluster_id = min doc id
     of the component, only over nodes that appear in ``pairs``.
 
+    PROBE OUTCOME (CCPROBE_r17, tools/cc_probe.py): on the realistic
+    near-dup graph (LSH pairs over the cipher corpus — many small
+    components) AND on a 2000-node chain (the diameter worst case),
+    label propagation WINS — the stars' per-round machinery (two
+    rewrite steps + a set-equality fixpoint probe) costs more jobs
+    than propagation's hop+jump, and near-dup graphs converge in 2-3
+    rounds either way, so round COUNT never differentiates them. The
+    propagation form stays the paired implementation inside
+    dedup_clusters / curation; this form is kept as the measured
+    alternative (its edge-contraction shape wins only when the edge
+    set dwarfs the node set — not the near-dup regime).
+
     Per round, two edge-rewrite steps, each ONE aggregate + ONE
     co-keyed join (no separate label table, no label self-join):
 
