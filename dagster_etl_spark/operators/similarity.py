@@ -501,7 +501,22 @@ def _pq_code_expr(vec_col: str, book: list[list[float]], j: int, ds: int) -> str
         )
         chains.append(f"({terms})")
     arr = f"array({', '.join(chains)})"
-    return f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+    # argmin as ONE fold over the distance array (r17): the previous
+    # array_position(arr, array_min(arr)) form embedded the ksub-chain
+    # array TWICE per subspace — 2x the expression tree Catalyst
+    # analyzes and janino compiles, and tree size is what dominates the
+    # ~25 s scale-independent build constant (probe-pair rebuild_sec is
+    # flat across x10..x100). Strict < keeps the FIRST minimum on exact
+    # ties — identical selection to array_position's first-match, so
+    # codes (and every oracle) are unchanged value-for-value.
+    return (
+        f"aggregate({arr}, "
+        f"named_struct('b', CAST('Infinity' AS DOUBLE), 'i', -1, 'k', 0), "
+        f"(acc, x) -> IF(x < acc.b, "
+        f"named_struct('b', x, 'i', acc.k, 'k', acc.k + 1), "
+        f"named_struct('b', acc.b, 'i', acc.i, 'k', acc.k + 1)), "
+        f"acc -> CAST(acc.i AS INT))"
+    )
 
 
 def pq_reconstruct_expr(code_cols: list[str], books: list[list[list[float]]]) -> str:
