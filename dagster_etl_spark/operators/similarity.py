@@ -501,22 +501,69 @@ def _pq_code_expr(vec_col: str, book: list[list[float]], j: int, ds: int) -> str
         )
         chains.append(f"({terms})")
     arr = f"array({', '.join(chains)})"
-    # argmin as ONE fold over the distance array (r17): the previous
-    # array_position(arr, array_min(arr)) form embedded the ksub-chain
-    # array TWICE per subspace — 2x the expression tree Catalyst
-    # analyzes and janino compiles, and tree size is what dominates the
-    # ~25 s scale-independent build constant (probe-pair rebuild_sec is
-    # flat across x10..x100). Strict < keeps the FIRST minimum on exact
-    # ties — identical selection to array_position's first-match, so
-    # codes (and every oracle) are unchanged value-for-value.
-    return (
-        f"aggregate({arr}, "
-        f"named_struct('b', CAST('Infinity' AS DOUBLE), 'i', -1, 'k', 0), "
-        f"(acc, x) -> IF(x < acc.b, "
-        f"named_struct('b', x, 'i', acc.k, 'k', acc.k + 1), "
-        f"named_struct('b', acc.b, 'i', acc.i, 'k', acc.k + 1)), "
-        f"acc -> CAST(acc.i AS INT))"
-    )
+    return f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+
+
+def _pq_dist_array_expr(
+    vec_col: str, book: list[list[float]], j: int, ds: int
+) -> str:
+    """The ksub-element squared-distance array for subspace ``j`` —
+    the shared first stage of the staged encode below."""
+    base = j * ds
+    chains = []
+    for w in book:
+        terms = " + ".join(
+            f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
+            f"CAST({w[t]!r} AS DOUBLE)) * "
+            f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
+            f"CAST({w[t]!r} AS DOUBLE))"
+            for t in range(ds)
+        )
+        chains.append(f"({terms})")
+    return f"array({', '.join(chains)})"
+
+
+def pq_codes_staged(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    ds: int,
+    vec_col: str,
+    carry: list[tuple[str, str]],
+) -> DataFrame:
+    """Two-projection PQ encode (r17): stage 1 evaluates each
+    subspace's ksub-chain distance array ONCE into a column (plus the
+    ``carry`` (expr, name) passthroughs); stage 2 reads the code off
+    each array column with primitive array_position/array_min.
+
+    Why two stages instead of one expression per code: the single
+    expression ``array_position(arr, array_min(arr))`` embeds the
+    chain array TWICE per subspace — double the tree Catalyst analyzes
+    and janino compiles, and that tree size is what makes the build
+    constant scale-independent (~25 s whatever the corpus; probe-pair
+    rebuild_sec is flat across x10..x100). A lambda-fold argmin keeps
+    one copy of the tree but pays a per-element struct allocation at
+    RUNTIME — measured 3.7x single-process at x100, worse than the 3.0x
+    it replaced (the same 66 us/row alloc-churn lesson as the struct
+    sort this docstring's sibling already records). The staged split
+    gets both: the array appears once in the tree (compile), is
+    materialized once per row as a plain column (runtime), and the
+    argmin runs primitive array ops over the column ref. Catalyst's
+    CollapseProject keeps the two projections separate because the
+    array columns are non-cheap and referenced twice (SPARK-36718),
+    and both stages still fuse into one WholeStageCodegen.
+
+    Values are identical to the single-expression form: same chains,
+    same array_position first-match tie rule — every oracle unchanged."""
+    dist_exprs = [
+        f"{_pq_dist_array_expr(vec_col, book, j, ds)} AS _d{j}"
+        for j, book in enumerate(books)
+    ]
+    s1 = df.selectExpr(*[f"{e} AS {n}" for e, n in carry], *dist_exprs)
+    code_exprs = [
+        f"CAST(array_position(_d{j}, array_min(_d{j})) - 1 AS INT) AS code_{j}"
+        for j in range(len(books))
+    ]
+    return s1.selectExpr(*[n for _, n in carry], *code_exprs)
 
 
 def pq_reconstruct_expr(code_cols: list[str], books: list[list[list[float]]]) -> str:
@@ -547,11 +594,9 @@ def pq_encode(
     cold storage for reranking."""
     m = len(books)
     ds = dim // m
-    exprs = [
-        f"{_pq_code_expr(vec_col, book, j, ds)} AS code_{j}"
-        for j, book in enumerate(books)
-    ]
-    return spread(corpus).selectExpr(id_col, *exprs)
+    return pq_codes_staged(
+        spread(corpus), books, ds, vec_col, [(id_col, id_col)]
+    )
 
 
 def pq_cosine_topk(
@@ -683,12 +728,9 @@ def ivf_pq_topk(
     books = pq_codebooks(corpus, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col)
     ds = dim // m
     bucket = f"{_topn_centroid_buckets_expr(vec_col, cents, 1)}[0]"
-    code_exprs = [
-        f"{_pq_code_expr(vec_col, book, j, ds)} AS code_{j}"
-        for j, book in enumerate(books)
-    ]
-    codes = spread(corpus).selectExpr(
-        id_col, f"{bucket} AS bucket", *code_exprs
+    codes = pq_codes_staged(
+        spread(corpus), books, ds, vec_col,
+        [(id_col, id_col), (bucket, "bucket")],
     )
     recon = pq_reconstruct_expr([f"code_{j}" for j in range(m)], books)
     probe = _topn_centroid_buckets_expr("qv", cents, nprobe)
@@ -1038,12 +1080,9 @@ class IncrementalIVFPQIndex:
         projection against the frozen-state literals."""
         ds = self.dim // self.m
         bucket = f"{_topn_centroid_buckets_expr(self.vec_col, cents, 1)}[0]"
-        code_exprs = [
-            f"{_pq_code_expr(self.vec_col, book, j, ds)} AS code_{j}"
-            for j, book in enumerate(books)
-        ]
-        coded = spread(vectors).selectExpr(
-            self.id_col, f"{bucket} AS bucket", *code_exprs
+        coded = pq_codes_staged(
+            spread(vectors), books, ds, self.vec_col,
+            [(self.id_col, self.id_col), (bucket, "bucket")],
         )
         # Reconstruction norm PRE-COMPUTED at encode time (r16, the
         # ivfpq half of the BM25-pushdown lesson): rn is a pure
