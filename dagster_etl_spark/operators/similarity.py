@@ -1024,6 +1024,42 @@ class IncrementalIVFPQIndex:
         self.vec_col = vec_col
         self.num_buckets = num_buckets
 
+    @classmethod
+    def sized_for(
+        cls,
+        spark,
+        name: str,
+        n_vectors: int,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IncrementalIVFPQIndex":
+        """Geometry derived from corpus size — the measured sizing
+        rules as a constructor (r16 verdict task 4's alternative form):
+
+        * m=16, ksub=64 — the recall-measured PQ bits
+          (ANN_NPROBE_PQ_r16: 0.83–0.96 recall with density-scaled
+          rerank vs ~0.1 at 4 B/vector in the tight-cluster regime);
+          m is clamped to dim (ds >= 1 subspace width);
+        * nlist ~ n_vectors / 1000, clamped to [16, 4096] and rounded
+          to a power of two — the soak-measured probe-growth lever
+          (PROBEGROWTH_r16/_REBUCKET30_r17: ~1k vectors/list keeps the
+          fixed probe flat-to-falling as the corpus grows; an index
+          that outgrows its nlist re-buckets in place via
+          :meth:`rebucket` at the same rule);
+        * num_buckets follows nlist (bucket pruning maps 1:1 to
+          probed lists).
+
+        ``topk``'s rerank already density-scales by default."""
+        m = min(16, dim)
+        nlist = 16
+        while nlist < 4096 and nlist * 1000 < n_vectors:
+            nlist *= 2
+        return cls(
+            spark, name, dim=dim, nlist=nlist, m=m, ksub=64,
+            id_col=id_col, vec_col=vec_col, num_buckets=max(8, nlist),
+        )
+
     # -- frozen state (bounded collects: nlist + m*ksub rows) --
 
     def _centroids(self) -> list[list[float]]:

@@ -200,6 +200,37 @@ def test_ivfpq_probe_pushdown_reaches_codes_scan(spark):
     )
 
 
+def test_ivfpq_sized_for_applies_measured_rules(spark):
+    """sized_for derives the full geometry from corpus stats: the
+    recall-measured PQ bits (m=16/ksub=64), the ~1k-vectors-per-list
+    nlist rule (power of two, clamped [16, 4096]), and num_buckets
+    following nlist. A built sized index must search correctly."""
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+    from tests.conftest import SF_SMALL
+
+    cases = {
+        5_000: 16,       # below the rule's floor
+        60_000: 64,      # the soak's measured operating point
+        1_000_000: 1024,
+        10_000_000: 4096,  # clamped ceiling
+        1_000_000_000: 4096,
+    }
+    for n, want_nlist in cases.items():
+        idx = IncrementalIVFPQIndex.sized_for(spark, "t_sized", n)
+        assert (idx.nlist, idx.m, idx.ksub) == (want_nlist, 16, 64), n
+        assert idx.num_buckets == max(8, want_nlist)
+    # dim clamp: m never exceeds dim
+    assert IncrementalIVFPQIndex.sized_for(spark, "t_sized", 10_000, dim=8).m == 8
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    idx = IncrementalIVFPQIndex.sized_for(spark, "t_sized_live", emb.count())
+    idx.init(emb)
+    got = idx.topk(emb.filter("vec_id < 3"), k=5, nprobe=4, rerank_source=emb)
+    assert got.count() == 15
+    idx.drop()
+
+
 def test_ivfpq_rebucket_degenerate_equals_fresh_init(spark):
     """r17 (r16 verdict task 5): rebucket must assign exactly what a
     fresh init at the new nlist would. Degenerate cadence makes that
