@@ -1140,13 +1140,74 @@ class IncrementalIVFPQIndex:
         Pre-r16 codes tables (written before encode-time ``rn``) are
         handled in place: the encoded slice drops its rn column so the
         append schema matches, and :meth:`topk` recomputes rn in-plan
-        for such tables (r16 ADVICE — no forced rebuild)."""
+        for such tables (r16 ADVICE — no forced rebuild). Batch-grain
+        path — inside foreachBatch use :meth:`ingest_slice`, which is
+        idempotent under checkpoint replay."""
         from dagster_etl_spark.sources.bucketed import append_bucketed
 
         coded = self._encode(vectors, self._centroids(), self._books())
         if "rn" not in self.spark.table(self.codes_table).columns:
             coded = coded.drop("rn")
         append_bucketed(coded, self.codes_table)
+
+    def _slice_store(self):
+        """Slice region for exactly-once streaming ingest (see
+        streaming/slicestore.py)."""
+        from dagster_etl_spark.streaming.slicestore import SliceStore
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        return SliceStore(f"{warehouse}/{self.codes_table.lower()}__slices")
+
+    def ingest_slice(self, vectors: DataFrame, slice_id: int, fault_hook=None) -> bool:
+        """Exactly-once ingest of one checkpoint-identified micro-batch
+        — the ANN member of the slice-store family (r17; BM25, near-dup,
+        unigram-LM and DSIR got theirs in r16-r17): a standing embedding
+        store fed by a stream must not double-encode a checkpoint-
+        replayed batch. Requires :meth:`init` to have frozen the
+        quantizers first (encode is a pure function of them, so a replay
+        rewrites identical code rows). Same protocol as the others:
+        overwrite-mode slice staging, atomic manifest commit, committed
+        replays return False and apply nothing."""
+        store = self._slice_store()
+        if store.is_committed(slice_id):
+            return False
+        hook = fault_hook or (lambda _label: None)
+        coded = self._encode(vectors, self._centroids(), self._books())
+        store.write("codes", slice_id, coded)
+        hook("staged_codes")
+        store.commit(slice_id)
+        hook("post_commit")
+        return True
+
+    def compact_slices(self) -> int:
+        """Fold committed slice deltas into the bucketed codes table
+        and clear the region (post-stream, one fold — see the BM25
+        compact_slices caveat). Returns the number of slices folded."""
+        from dagster_etl_spark.sources.bucketed import append_bucketed
+
+        store = self._slice_store()
+        n = len(store.committed())
+        if n == 0:
+            return 0
+        delta = store.read(self.spark, "codes")
+        if "rn" not in self.spark.table(self.codes_table).columns:
+            delta = delta.drop("rn")
+        append_bucketed(delta, self.codes_table)
+        store.clear()
+        return n
+
+    def _codes(self) -> DataFrame:
+        """Standing codes = bucketed base table ∪ committed slice
+        deltas (plain refreshed read when no slice region exists —
+        the pre-slice co-located plan is unchanged)."""
+        self.spark.catalog.refreshTable(self.codes_table)
+        base = self.spark.table(self.codes_table)
+        delta = self._slice_store().read(self.spark, "codes")
+        if delta is None:
+            return base
+        if "rn" not in base.columns:
+            delta = delta.drop("rn")
+        return base.unionByName(delta)
 
     def topk(
         self,
@@ -1168,10 +1229,9 @@ class IncrementalIVFPQIndex:
         rerank_source is given. Pass an explicit int to pin it."""
         cents = self._centroids()
         books = self._books()
-        self.spark.catalog.refreshTable(self.codes_table)
+        all_codes = self._codes()  # base ∪ committed slice deltas
         if rerank is None and rerank_source is not None:
-            n_codes = self.spark.table(self.codes_table).count()
-            rerank = max(500, n_codes // 200)
+            rerank = max(500, all_codes.count() // 200)
         recon = pq_reconstruct_expr(
             [f"code_{j}" for j in range(self.m)], books
         )
@@ -1193,7 +1253,7 @@ class IncrementalIVFPQIndex:
         probed = sorted(
             r.bucket for r in q.select("bucket").distinct().collect()
         )
-        codes = self.spark.table(self.codes_table)
+        codes = all_codes
         # Pre-r16 codes tables lack the encode-time rn column (r16
         # ADVICE): recompute it in-plan from the same reconstruction —
         # identical fold, identical value, just paid per probe instead
@@ -1296,6 +1356,9 @@ class IncrementalIVFPQIndex:
         )
         bucket = f"{_topn_centroid_buckets_expr(self.vec_col, cents, 1)}[0]"
         assign = spread(vectors).selectExpr(self.id_col, f"{bucket} AS bucket")
+        # fold any committed slice deltas into the base first: the swap
+        # rewrites the WHOLE codes table, so the region must be empty
+        self.compact_slices()
         self.spark.catalog.refreshTable(self.codes_table)
         cols = self.spark.table(self.codes_table).columns
         codes = self.spark.table(self.codes_table).drop("bucket")
@@ -1335,6 +1398,7 @@ class IncrementalIVFPQIndex:
     def drop(self) -> None:
         for t in (self.centroids_table, self.codebooks_table, self.codes_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self._slice_store().clear()
 
 
 # -- Hybrid retrieval: BM25 (x) cosine via Reciprocal Rank Fusion --------------

@@ -322,6 +322,52 @@ def test_streaming_drift_ingest_kill_restart_equals_oneshot(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.parametrize("fail_at", [(2, "staged_codes"), (1, "post_commit")])
+def test_ivfpq_kill_restart_equals_oneshot(spark, tmp_path, fail_at):
+    """r17: the ANN member of the slice-store family — a standing
+    IVF-PQ store fed by a stream must not double-encode a replayed
+    batch (a plain append would duplicate code rows and corrupt every
+    ADC ranking). Freeze the quantizers on an init slice, stream the
+    rest with a kill mid-staging / post-commit, restart; the recovered
+    search equals the uninterrupted batch-built index exactly, and the
+    post-stream fold preserves it."""
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    init_slice = emb.filter("vec_id % 5 = 0")
+    rest = emb.filter("vec_id % 5 <> 0")
+    in_dir = str(tmp_path / "vecs")
+    rest.repartition(N_FILES).write.mode("overwrite").parquet(in_dir)
+    q = emb.filter("vec_id < 5")
+
+    name = f"rcv_ivfpq_{fail_at[0]}_{fail_at[1]}"
+    idx = IncrementalIVFPQIndex(spark, name, m=8, ksub=16)
+    idx.drop()
+    idx.init(init_slice)
+
+    _run_expect_fault(
+        spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice, fail_at
+    )
+    _run(spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice)
+    assert idx._slice_store().committed() == list(range(N_FILES))
+
+    want_idx = IncrementalIVFPQIndex(spark, "rcv_ivfpq_want", m=8, ksub=16)
+    want_idx.drop()
+    want_idx.init(init_slice)
+    want_idx.append(rest)
+    want = _rows(want_idx.topk(q, k=10, rerank=50, rerank_source=emb))
+    got = _rows(idx.topk(q, k=10, rerank=50, rerank_source=emb))
+    assert got == want and len(want) == 50
+
+    # fold into the bucketed base; answer unchanged, region cleared
+    assert idx.compact_slices() == N_FILES
+    assert idx._slice_store().committed() == []
+    assert _rows(idx.topk(q, k=10, rerank=50, rerank_source=emb)) == want
+    idx.drop()
+    want_idx.drop()
+
+
 def test_streaming_dsir_ingest_kill_restart_equals_oneshot(spark, tmp_path):
     """End-to-end for the registered streaming DSIR query: kill inside
     foreachBatch post-commit, restart from the same pinned work dir;
