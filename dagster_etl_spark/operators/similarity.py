@@ -898,12 +898,54 @@ class IncrementalANNIndex:
     def append(self, vectors: DataFrame) -> None:
         """Ingest a slice: assign against the FROZEN centroids (one
         pass over the new rows only) and append into the bucketed
-        layout."""
+        layout. Batch-grain path — inside foreachBatch use
+        :meth:`ingest_slice`, which is idempotent under replay."""
         from dagster_etl_spark.sources.bucketed import append_bucketed
 
         append_bucketed(
             self._assign(vectors, self._centroids()), self.vectors_table
         )
+
+    def _slice_store(self):
+        """Slice region for exactly-once streaming ingest (see
+        streaming/slicestore.py)."""
+        from dagster_etl_spark.streaming.slicestore import SliceStore
+
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        return SliceStore(f"{warehouse}/{self.vectors_table.lower()}__slices")
+
+    def ingest_slice(self, vectors: DataFrame, slice_id: int, fault_hook=None) -> bool:
+        """Exactly-once ingest of one checkpoint-identified micro-batch
+        (r17 — with this the ENTIRE incremental-index family is slice-
+        store-backed: BM25, near-dup, unigram-LM, DSIR, IVF-PQ, and the
+        float IVF here). Requires :meth:`init` to have frozen the
+        quantizer first; assignment is a pure function of it, so a
+        replay rewrites identical rows. Committed replays return False
+        and apply nothing."""
+        store = self._slice_store()
+        if store.is_committed(slice_id):
+            return False
+        hook = fault_hook or (lambda _label: None)
+        assigned = self._assign(vectors, self._centroids())
+        store.write("vectors", slice_id, assigned)
+        hook("staged_vectors")
+        store.commit(slice_id)
+        hook("post_commit")
+        return True
+
+    def compact_slices(self) -> int:
+        """Fold committed slice deltas into the bucketed vectors table
+        and clear the region (post-stream, one fold — see the BM25
+        compact_slices caveat). Returns the number of slices folded."""
+        from dagster_etl_spark.sources.bucketed import append_bucketed
+
+        store = self._slice_store()
+        n = len(store.committed())
+        if n == 0:
+            return 0
+        append_bucketed(store.read(self.spark, "vectors"), self.vectors_table)
+        store.clear()
+        return n
 
     def topk(
         self, queries: DataFrame, k: int = 10, nprobe: int = 8
@@ -915,7 +957,11 @@ class IncrementalANNIndex:
         # refresh: appends from other sessions (foreachBatch clones)
         # don't invalidate this session's relation cache
         self.spark.catalog.refreshTable(self.vectors_table)
-        c = self.spark.table(self.vectors_table).select(
+        standing = self.spark.table(self.vectors_table)
+        delta = self._slice_store().read(self.spark, "vectors")
+        if delta is not None:
+            standing = standing.unionByName(delta)
+        c = standing.select(
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("cv"),
             "bucket",
@@ -948,6 +994,7 @@ class IncrementalANNIndex:
     def drop(self) -> None:
         for t in (self.centroids_table, self.vectors_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        self._slice_store().clear()
 
 
 class IncrementalIVFPQIndex:

@@ -322,6 +322,46 @@ def test_streaming_drift_ingest_kill_restart_equals_oneshot(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.parametrize("fail_at", [(2, "staged_vectors"), (1, "post_commit")])
+def test_float_ivf_kill_restart_equals_oneshot(spark, tmp_path, fail_at):
+    """r17: the float-IVF member of the slice-store family — same
+    contract as the IVF-PQ test below, on IncrementalANNIndex."""
+    from dagster_etl_spark.operators.similarity import IncrementalANNIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    init_slice = emb.filter("vec_id % 5 = 0")
+    rest = emb.filter("vec_id % 5 <> 0")
+    in_dir = str(tmp_path / "vecs")
+    rest.repartition(N_FILES).write.mode("overwrite").parquet(in_dir)
+    q = emb.filter("vec_id < 5")
+
+    name = f"rcv_fivf_{fail_at[0]}_{fail_at[1]}"
+    idx = IncrementalANNIndex(spark, name)
+    idx.drop()
+    idx.init(init_slice)
+
+    _run_expect_fault(
+        spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice, fail_at
+    )
+    _run(spark, in_dir, str(tmp_path / "ckpt"), idx.ingest_slice)
+    assert idx._slice_store().committed() == list(range(N_FILES))
+
+    want_idx = IncrementalANNIndex(spark, "rcv_fivf_want")
+    want_idx.drop()
+    want_idx.init(init_slice)
+    want_idx.append(rest)
+    want = _rows(want_idx.topk(q, k=10, nprobe=8))
+    got = _rows(idx.topk(q, k=10, nprobe=8))
+    assert got == want and len(want) == 50
+
+    assert idx.compact_slices() == N_FILES
+    assert idx._slice_store().committed() == []
+    assert _rows(idx.topk(q, k=10, nprobe=8)) == want
+    idx.drop()
+    want_idx.drop()
+
+
 @pytest.mark.parametrize("fail_at", [(2, "staged_codes"), (1, "post_commit")])
 def test_ivfpq_kill_restart_equals_oneshot(spark, tmp_path, fail_at):
     """r17: the ANN member of the slice-store family — a standing
