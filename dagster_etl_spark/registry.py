@@ -76,90 +76,22 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 17: generated FROM the artifacts, not memory. Fronts the
-    # first 50 of the 58 pre-declared r17 heads from _NEXT_ROTATION_HEADS
-    # as checked at the r16 boundary (the 6 mid-r15 registrations that
-    # never had a driver row, then the 50 CORRECTNESS_r14.json names in
-    # artifact order — the stalest rows in the fleet once CORRECTNESS_r16
-    # landed — then the 2 mid-r16 registrations). The 8 overflow names
-    # front the r18 rotation: see _NEXT_ROTATION_HEADS below, which
+    # round 18: generated FROM the artifacts, not memory. Fronts the
+    # first 50 of the 60 pre-declared r18 heads from _NEXT_ROTATION_HEADS
+    # as checked at the r17 boundary (the 8 r17 overflow names, then the
+    # registered names with no row in CORRECTNESS_r16.json and outside
+    # the r17 window, in artifact order). Includes all six queries the
+    # r17 staleness tripwire named (zorder_span_stats,
+    # wip_aggregate_approx, priority_wip_approx, dedup_lines,
+    # dedup_survivors, self_repetition_removal). The 10 overflow names
+    # front the r19 rotation: see _NEXT_ROTATION_HEADS below, which
     # tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
     # derives from the artifacts instead of trusting a comment.
-    # Disjointness vs CORRECTNESS_r16.json (the newest artifact) is
+    # Disjointness vs CORRECTNESS_r17.json (the newest artifact) is
     # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
     # Invariant that keeps perfect disjointness provable as the registry
     # grows: len(registry) - 50 >= 50 (pinned by
     # tests/test_plans.py::test_registry_keeps_rotation_headroom).
-    "kn_bigram_surprisal",
-    "quality_gate_composite",
-    "packed_sequences_subword",
-    "streaming_quality_score",
-    "scrub_benchmark_spans",
-    "lang_classifier_scores",
-    "user_event_type_map",
-    "fuzzy_part_pairs",
-    "major_suppliers",
-    "order_price_window_stats",
-    "lineitem_moment_stats",
-    "streaming_error_bursts",
-    "streaming_media_decode",
-    "value_band_range_join",
-    "event_rollup_multigrain",
-    "incremental_event_rollup",
-    "gap_filled_user_timeline",
-    "lang_id",
-    "doc_fingerprints",
-    "dedup_clusters",
-    "tfidf_top_terms",
-    "null_profile_orders",
-    "redact_pii",
-    "decontaminate_vs_benchmark",
-    "train_val_test_split",
-    "corpus_mixture",
-    "quality_deciles",
-    "corpus_bigram_counts",
-    "gopher_quality_flags",
-    "temperature_mixture",
-    "filtered_ann_topk",
-    "cross_corpus_neardup",
-    "filtered_ivf_ann_topk",
-    "minhash_estimate_gate",
-    "cross_corpus_neardup_incremental",
-    "cm_heavy_hitters",
-    "doc_chunks",
-    "stratified_event_sample",
-    "bigram_novelty",
-    "vocab_oov",
-    "winnow_fingerprints",
-    "cycle_time_stats_incremental",
-    "minhash_neardup_incremental",
-    "ivf_ann_incremental",
-    "streaming_neardup_ingest",
-    "audio_fingerprint_groups",
-    "weighted_corpus_sample",
-    "training_order_pipeline",
-    "token_budget_mixture",
-    "streaming_weighted_sample",
-)
-
-# Pre-declared rotation heads for the NEXT round (r14), in
-# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
-# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
-# most recent driver row (r11) will be the oldest in the fleet. This
-# tuple is CHECKED, not advisory:
-# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
-# recomputes it as registry - (newest CORRECTNESS file UNION the
-# current 50-slot window) -- any query registered mid-round without
-# being appended here fails the suite, turning the manual
-# pre-declaration discipline into an invariant. Mid-round registrations
-# must be APPENDED here (and swept via ALLCHECK) so they front the next
-# rotation too.
-_NEXT_ROTATION_HEADS: tuple[str, ...] = (
-    # r18 heads: the 8 r17 overflow names that did not fit the 50-slot
-    # r17 window above, then the remaining registered names with no row
-    # in CORRECTNESS_r16.json and not in the current window, in registry
-    # order. Mid-r17 registrations must be APPENDED here (and swept via
-    # ALLCHECK) so they front the next rotation too.
     "zorder_span_stats",
     "lsh_ann_topk",
     "ivf_ann_topk",
@@ -210,6 +142,28 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "dedup_substrings",
     "bm25_incremental",
     "ccnet_surprisal_buckets",
+)
+
+# Pre-declared rotation heads for the NEXT round (r14), in
+# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
+# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
+# most recent driver row (r11) will be the oldest in the fleet. This
+# tuple is CHECKED, not advisory:
+# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
+# recomputes it as registry - (newest CORRECTNESS file UNION the
+# current 50-slot window) -- any query registered mid-round without
+# being appended here fails the suite, turning the manual
+# pre-declaration discipline into an invariant. Mid-round registrations
+# must be APPENDED here (and swept via ALLCHECK) so they front the next
+# rotation too.
+_NEXT_ROTATION_HEADS: tuple[str, ...] = (
+    # r19 heads: the 10 r18 overflow names that did not fit the 50-slot
+    # r18 window above (including the two mid-r17 registrations
+    # ivf_pq_ann_rebucket / streaming_dsir_ingest, still awaiting their
+    # first driver row), then the remaining registered names with no row
+    # in CORRECTNESS_r17.json and not in the current window, in registry
+    # order. Mid-r18 registrations must be APPENDED here (and swept via
+    # ALLCHECK) so they front the next rotation too.
     "dsir_select",
     "corpus_drift_tv",
     "surprisal_incremental",
@@ -218,9 +172,58 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "dsir_incremental",
     "bpe_segment",
     "token_budget_mixture_bpe",
-    # mid-r17 registrations (ALLCHECK-swept; no driver row yet)
     "ivf_pq_ann_rebucket",
     "streaming_dsir_ingest",
+    "dbt_incremental_orders",
+    "compacted_scan",
+    "ngram_jaccard_pairs",
+    "minhash_neardup",
+    "simhash_neardup",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "semantic_dedup",
+    "pq_ann_rerank",
+    "pq_ann_topk",
+    "ivf_pq_ann_incremental",
+    "ivf_pq_ann_topk",
+    "quantized_ann_topk",
+    "media_decode_stats",
+    "audio_feature_stats",
+    "media_resize_stats",
+    "image_dhash_groups",
+    "priority_wip",
+    "cycle_time_stats_bucketed",
+    "equipment_unpivot",
+    "top_customers",
+    "large_order_customers",
+    "supplier_diversity",
+    "rich_customers_without_low_orders",
+    "events_json_flatten",
+    "customer_priority_baskets",
+    "funnel_conversion",
+    "cohort_retention",
+    "table_diff_reconcile",
+    "value_percentiles_exact",
+    "streaming_windowed_counts",
+    "streaming_user_sessions",
+    "streaming_dedup_counts",
+    "streaming_segment_stats",
+    "streaming_attribution_join",
+    "streaming_decontaminate",
+    "asof_purchase_prior_view",
+    "doc_stats",
+    "exact_dedup",
+    "clean_corpus",
+    "contamination_score",
+    "decontaminate_bloom_gate",
+    "epoch_shuffle_order",
+    "packed_sequences",
+    "curation_pipeline",
+    "duplicate_ngram_spans",
+    "curation_pipeline_v2",
+    "quality_classifier_score",
+    "subword_segment",
+    "token_budget_mixture_subword",
 )
 
 
