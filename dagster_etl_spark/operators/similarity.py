@@ -997,6 +997,20 @@ class IncrementalANNIndex:
         self._slice_store().clear()
 
 
+def ivf_nlist_for(n_vectors: int) -> int:
+    """The measured IVF sizing rule as a function: nlist ~ n/1000,
+    rounded up to a power of two and clamped to [16, 4096]
+    (PROBEGROWTH_r16/_REBUCKET30_r17: ~1k vectors per list keeps a
+    fixed-nprobe probe flat-to-falling as the corpus grows). Shared by
+    :meth:`IncrementalIVFPQIndex.sized_for` (init-time geometry) and
+    :meth:`IncrementalIVFPQIndex.maybe_rebucket` (the growth trigger),
+    so the two ends of the index lifecycle stay on one rule."""
+    nlist = 16
+    while nlist < 4096 and nlist * 1000 < n_vectors:
+        nlist *= 2
+    return nlist
+
+
 class IncrementalIVFPQIndex:
     """Daily-cadence IVF-PQ — the incremental form of :func:`ivf_pq_topk`
     and the fourth member of the incremental family (next to
@@ -1099,9 +1113,7 @@ class IncrementalIVFPQIndex:
 
         ``topk``'s rerank already density-scales by default."""
         m = min(16, dim)
-        nlist = 16
-        while nlist < 4096 and nlist * 1000 < n_vectors:
-            nlist *= 2
+        nlist = ivf_nlist_for(n_vectors)
         return cls(
             spark, name, dim=dim, nlist=nlist, m=m, ksub=64,
             id_col=id_col, vec_col=vec_col, num_buckets=max(8, nlist),
@@ -1274,6 +1286,7 @@ class IncrementalIVFPQIndex:
         (ANN_NPROBE_PQ_r16): pool = max(500, standing_codes // 200) —
         one bounded count agg on the codes table, paid only when a
         rerank_source is given. Pass an explicit int to pin it."""
+        self.recover_rebucket()  # self-heal an interrupted swap (one stat)
         cents = self._centroids()
         books = self._books()
         all_codes = self._codes()  # base ∪ committed slice deltas
@@ -1363,7 +1376,9 @@ class IncrementalIVFPQIndex:
 
         return {self.codes_table: compact_bucketed(self.spark, self.codes_table)}
 
-    def rebucket(self, vectors: DataFrame, nlist: int) -> None:
+    def rebucket(
+        self, vectors: DataFrame, nlist: int, fault_hook=None
+    ) -> None:
         """nlist re-bucketing compaction (r16 verdict task 5): re-derive
         the IVF coarse centroids at a (typically larger) ``nlist`` from
         ``vectors`` — the accumulated cold float table — and re-assign
@@ -1392,12 +1407,39 @@ class IncrementalIVFPQIndex:
         Motivating measurement (PROBEGROWTH_r16): over a 30x corpus
         soak, probe cost grew 3.9x at nlist=16 but FELL 0.75x at
         nlist=64 — nlist is the probe-growth lever, and before this
-        method it froze at init."""
+        method it froze at init.
+
+        CRASH SAFETY (r18, r17 verdict task 5): the swap is a staged
+        roll-forward protocol, not bare DROP+RENAME. BOTH new tables
+        (re-bucketed codes AND the new centroids) are fully staged
+        under uuid-suffixed names first; then a one-file JSON MARKER
+        (atomic ``os.replace``, same pattern as the slice-store
+        manifest) records the staging names + new geometry; only then
+        do the catalog swaps run. A crash anywhere after the marker is
+        rolled FORWARD by :meth:`recover_rebucket` (called from
+        :meth:`topk` and on the next rebucket): whichever swaps did
+        not complete are completed from the staged tables, never
+        leaving the index without a codes table or with codes bucketed
+        against stale centroids. A crash BEFORE the marker leaves only
+        unreferenced staging tables (the live index untouched). On a
+        real cluster the marker+swap maps to a single ACID metastore
+        transaction (Iceberg/Delta commit); the in-memory catalog here
+        gets the same roll-forward story the honest way.
+
+        FILE-BUCKET RESCALE (r17 ADVICE): the staged codes table is
+        written at ``max(8, nlist)`` file buckets — sized_for's
+        "num_buckets follows nlist" rule — so bucket pruning keeps its
+        1:1 mapping to probed lists after growth instead of freezing
+        at init-time granularity."""
         import uuid
 
         from dagster_etl_spark.sources.bucketed import write_bucketed
-        from dagster_etl_spark.sources.lake import delete_path
 
+        hook = fault_hook or (lambda _label: None)
+        leftover = self._read_rb_marker()
+        if leftover is not None:
+            # finish a crashed predecessor before staging a new swap
+            self._complete_rebucket_swap(leftover)
         cents = hash_centroids(
             vectors, nlist, id_col=self.id_col, vec_col=self.vec_col
         )
@@ -1415,10 +1457,10 @@ class IncrementalIVFPQIndex:
         # uuid-suffixed staging: after the rename the LIVE table keeps
         # the staging path (in-memory catalog semantics), so a fixed
         # staging name would collide with its own previous swap
-        staging = f"{self.codes_table}__rb_{uuid.uuid4().hex[:8]}"
-        write_bucketed(
-            recoded, staging, ["bucket"], num_buckets=self.num_buckets
-        )
+        tag = uuid.uuid4().hex[:8]
+        staging = f"{self.codes_table}__rb_{tag}"
+        new_buckets = max(8, nlist)
+        write_bucketed(recoded, staging, ["bucket"], num_buckets=new_buckets)
         # the float table must cover every ingested id — an inner join
         # that silently dropped codes would corrupt the index; fail the
         # swap instead (two metadata-cheap counts on the small tables)
@@ -1430,22 +1472,135 @@ class IncrementalIVFPQIndex:
                 f"rebucket: float table covers {n_new} of {n_old} ingested "
                 "ids — pass the full accumulated vector table"
             )
-        self.spark.sql(f"DROP TABLE {self.codes_table}")
-        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {self.codes_table}")
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.centroids_table}")
-        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
-        delete_path(self.spark, f"{warehouse}/{self.centroids_table.lower()}")
+        cstaging = f"{self.centroids_table}__rb_{tag}"
         self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)], ["cidx", "cv"]
         ).selectExpr("cidx", "CAST(cv AS array<float>) AS cv").write.saveAsTable(
-            self.centroids_table
+            cstaging
         )
-        self.nlist = nlist
+        hook("staged")
+        self._write_rb_marker(
+            {
+                "codes_staging": staging,
+                "centroids_staging": cstaging,
+                "nlist": int(nlist),
+                "num_buckets": int(new_buckets),
+            }
+        )
+        hook("marker")
+        self._complete_rebucket_swap(self._read_rb_marker(), fault_hook=hook)
+        hook("post_swap")
+
+    # -- rebucket swap marker (roll-forward crash recovery) ---------------
+
+    def _rb_marker_path(self) -> str:
+        warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+        for scheme in ("file://", "file:"):
+            if warehouse.startswith(scheme):
+                warehouse = warehouse[len(scheme):]
+                break
+        import os
+
+        return os.path.join(
+            warehouse, f"{self.codes_table.lower()}__rb_marker.json"
+        )
+
+    def _read_rb_marker(self) -> dict | None:
+        import json
+
+        try:
+            with open(self._rb_marker_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_rb_marker(self, payload: dict) -> None:
+        import json
+        import os
+        import tempfile
+
+        path = self._rb_marker_path()
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".rb_marker_")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def _clear_rb_marker(self) -> None:
+        import contextlib
+        import os
+
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(self._rb_marker_path())
+
+    def _complete_rebucket_swap(self, marker: dict, fault_hook=None) -> None:
+        """Roll the marker's swaps FORWARD (idempotent): any staging
+        table still present is renamed into place (dropping whatever
+        live table it replaces); one already swapped by a crashed
+        attempt is left alone. Geometry is taken from the marker, and
+        the marker is cleared last — re-entering after a crash at any
+        line repeats only the remaining work. The fault hooks expose
+        the historically-unprotected windows (a crash AFTER the drop
+        but BEFORE the rename — the r17 verdict's "no codes table"
+        window) to the kill/restart tests."""
+        hook = fault_hook or (lambda _label: None)
+        for staging, live in (
+            (marker["codes_staging"], self.codes_table),
+            (marker["centroids_staging"], self.centroids_table),
+        ):
+            if self.spark.catalog.tableExists(staging):
+                self.spark.sql(f"DROP TABLE IF EXISTS {live}")
+                hook(f"pre_rename_{live}")
+                self.spark.sql(f"ALTER TABLE {staging} RENAME TO {live}")
+        self.nlist = int(marker["nlist"])
+        self.num_buckets = int(marker["num_buckets"])
+        self._clear_rb_marker()
+
+    def recover_rebucket(self) -> bool:
+        """Adopt an interrupted :meth:`rebucket`'s staged swap (r17
+        verdict task 5). Returns True when a marker was found and its
+        swaps completed; False when there was nothing to recover. Cheap
+        (one stat) — :meth:`topk` calls it on entry so a standing index
+        self-heals on first use after a crash, the same posture as the
+        slice store's replay."""
+        marker = self._read_rb_marker()
+        if marker is None:
+            return False
+        self._complete_rebucket_swap(marker)
+        return True
+
+    def maybe_rebucket(
+        self, vectors: DataFrame, max_per_list: int = 2000
+    ) -> int | None:
+        """Compaction-cadence auto-trigger (r17 verdict task 4): when
+        the standing codes have outgrown the geometry — more than
+        ``max_per_list`` vectors per list, i.e. 2x the ~1k/list sizing
+        rule — re-bucket to :func:`ivf_nlist_for`'s geometry for the
+        CURRENT size. Call it where compaction already runs (end of an
+        ingest day / post-stream); it costs one count when the index is
+        healthy and returns None, or the new nlist after re-bucketing.
+        The 2x threshold gives hysteresis: the trigger fires only after
+        a full doubling past the rule, so daily calls never thrash."""
+        self.recover_rebucket()
+        n = self._codes().count()
+        if n <= self.nlist * max_per_list:
+            return None
+        target = ivf_nlist_for(n)
+        if target <= self.nlist:
+            return None
+        self.rebucket(vectors, target)
+        return target
 
     def drop(self) -> None:
         for t in (self.centroids_table, self.codebooks_table, self.codes_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
         self._slice_store().clear()
+        self._clear_rb_marker()
 
 
 # -- Hybrid retrieval: BM25 (x) cosine via Reciprocal Rank Fusion --------------

@@ -75,6 +75,19 @@ def check_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def staged_complete(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` is a FULLY-COMMITTED parquet directory: the
+    ``_SUCCESS`` marker Spark's FileOutputCommitter writes at job
+    commit must be present, not just the directory. Bare-existence
+    probes (r17 ADVICE) treat a crash-torn partial staging write as
+    fully staged, and a recovery call then streams a partial corpus —
+    silently diverging from the one-shot oracle. Callers that see
+    False re-stage with mode("overwrite"), which atomically replaces
+    any partial output."""
+    fs, hpath, _ = _hadoop_fs(spark, f"{path}/_SUCCESS")
+    return bool(fs.exists(hpath))
+
+
 def delete_path(spark: SparkSession, path: str) -> bool:
     """Recursive delete (reference: s3.py:320-332)."""
     fs, hpath, _ = _hadoop_fs(spark, path)

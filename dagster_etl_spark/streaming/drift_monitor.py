@@ -58,20 +58,21 @@ def streaming_drift_ingest(
     exactly corpus_drift_tv's output.
 
     ``work_dir`` pins the scratch root so a second call recovers from
-    the same checkpoint (freshness derives from {work}/docs existing,
+    the same checkpoint (freshness derives from {work}/docs being
+    fully committed — its parquet _SUCCESS marker,
     the r16-ADVICE convention); ``fail_at=(batch_id, hook_label)``
     injects a crash at that ingest_slice fault hook — hook labels:
     staged_counts, staged_totals, post_commit."""
     from dagster_etl_spark.operators.text import IncrementalUnigramLM
     from dagster_etl_spark.scratch import scratch_dir
     from dagster_etl_spark.sources.fixtures import load_table
-    from dagster_etl_spark.sources.lake import check_exists
+    from dagster_etl_spark.sources.lake import staged_complete
 
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     docs = load_table(spark, sf_dir, "documents")
     work = scratch_dir(f"stream_drift_{sfx}") if work_dir is None else work_dir
     in_dir = f"{work}/docs"
-    fresh = not check_exists(spark, in_dir)
+    fresh = not staged_complete(spark, in_dir)
     # LM identity follows the work dir: a pinned-work recovery call
     # must find the crashed run's slice region, and two work dirs must
     # never collide on leftover standing state

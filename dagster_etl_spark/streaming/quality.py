@@ -75,9 +75,9 @@ def streaming_quality_score(
     # one whose staging exists is a recovery call and must not restage.
     # (scratch_dir() wipes on re-request, so the default path is always
     # fresh by construction.)
-    from dagster_etl_spark.sources.lake import check_exists
+    from dagster_etl_spark.sources.lake import staged_complete
 
-    fresh = not check_exists(spark, in_dir)
+    fresh = not staged_complete(spark, in_dir)
     if fresh:
         docs.repartition(n_files).write.mode("overwrite").parquet(in_dir)
         from dagster_etl_spark.sources.lake import delete_path

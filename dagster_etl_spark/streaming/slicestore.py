@@ -142,16 +142,32 @@ class SliceStore:
         """Union of the COMMITTED slices of ``component`` (None when no
         slice has committed). Staged-but-uncommitted directories are
         deliberately invisible — they are a crashed attempt's leftovers
-        until their replay commits them."""
+        until their replay commits them.
+
+        A committed slice id whose component directory is ABSENT is an
+        error, not a filter (r17 ADVICE): every ``ingest_slice`` stages
+        all components before the manifest commit, so a missing dir
+        means the slice data was deleted out from under the manifest —
+        silently reading a smaller standing state would be data loss
+        dressed as success."""
         ids = self.committed()
-        paths = [
-            self.slice_path(component, i)
-            for i in ids
-            if os.path.isdir(_local(self.slice_path(component, i)))
-        ]
-        if not paths:
+        if not ids:
             return None
-        return spark.read.parquet(*paths)
+        missing = [
+            i
+            for i in ids
+            if not os.path.isdir(_local(self.slice_path(component, i)))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"slice store {self.root!r}: manifest-committed slice(s) "
+                f"{missing} have no {component!r} directory — slice data "
+                "was removed outside the store (manifest and data are "
+                "out of sync)"
+            )
+        return spark.read.parquet(
+            *[self.slice_path(component, i) for i in ids]
+        )
 
     def clear(self) -> None:
         """Drop the whole slice region (after compaction folds it into

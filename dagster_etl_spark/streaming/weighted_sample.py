@@ -69,9 +69,11 @@ def streaming_weighted_sample(
     # Freshness is a property of the WORK DIR, not of who named it
     # (r16 ADVICE): a pinned work_dir with no docs staging yet is a
     # FIRST call and must stage; one with staging present must not.
-    # (scratch_dir() wipes on re-request, so the default path is
-    # always fresh by construction.)
-    fresh = not os.path.isdir(in_dir)
+    # Gate on the parquet _SUCCESS marker, not bare dir existence
+    # (r17 ADVICE): a crash mid-staging leaves a partial dir that a
+    # recovery call must re-stage, not trust. (scratch_dir() wipes on
+    # re-request, so the default path is always fresh by construction.)
+    fresh = not os.path.isfile(os.path.join(in_dir, "_SUCCESS"))
     # the state identity follows the WORK DIR (not just sf_dir): a
     # pinned-work recovery call must find the same table the crashed
     # run wrote, and two different work dirs must never collide on a

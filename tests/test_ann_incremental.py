@@ -250,8 +250,14 @@ def test_ivfpq_rebucket_degenerate_equals_fresh_init(spark):
     a.init(emb)
     a.rebucket(emb, 16)
     assert a.nlist == 16
+    # r18 (r17 ADVICE): rebucket rescales file buckets to sized_for's
+    # "num_buckets follows nlist" rule, so the fresh-init comparator
+    # must be constructed at the same rule for spec equality
+    assert a.num_buckets == 16
 
-    b = IncrementalIVFPQIndex(spark, "ivfpq_rb_b", nlist=16, m=8, ksub=16)
+    b = IncrementalIVFPQIndex(
+        spark, "ivfpq_rb_b", nlist=16, m=8, ksub=16, num_buckets=16
+    )
     b.init(emb)
 
     rows = lambda t: sorted(tuple(r) for r in spark.table(t).collect())  # noqa: E731
@@ -363,3 +369,112 @@ def test_ivfpq_pre_r16_codes_table_without_rn_still_works(spark):
     }
     old.drop()
     assert got == want and len(got) == 50
+
+
+def test_ivfpq_rebucket_crash_windows_roll_forward(spark):
+    """r18 (r17 verdict task 5): the rebucket swap is crash-safe at
+    EVERY window, including the historically-unprotected span between
+    `DROP TABLE codes` and the staging rename. Inject a crash at each
+    fault hook, then open a FRESH handle (init-time geometry, as a
+    restarted process would) and search: recover_rebucket must roll the
+    staged swap forward on first use, leaving results identical to an
+    uninterrupted rebucket and the geometry at the marker's nlist.
+    A crash BEFORE the marker ("staged") must leave the live index
+    untouched and re-runnable."""
+    from dagster_etl_spark.operators.similarity import IncrementalIVFPQIndex
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter("vec_id < 5")
+
+    ref = IncrementalIVFPQIndex(spark, "ivfpq_rbc_ref", nlist=8, m=8, ksub=16)
+    ref.init(emb)
+    ref.rebucket(emb, 16)
+    # name-independent outputs: centroids/codebooks derive from the
+    # data alone, so every recovered index must reproduce these rows
+    want = sorted(tuple(r) for r in ref.topk(q, k=10, nprobe=16).collect())
+    ref.drop()
+
+    # crash AFTER the marker: roll forward on next use
+    for i, label_of in enumerate(
+        (
+            lambda name: "marker",
+            lambda name: f"pre_rename_{name}_ivfpq_codes",
+            lambda name: f"pre_rename_{name}_ivfpq_centroids",
+        )
+    ):
+        name = f"ivfpq_rbc_{i}"
+        label = label_of(name)
+        idx = IncrementalIVFPQIndex(spark, name, nlist=8, m=8, ksub=16)
+        idx.init(emb)
+
+        def boom(lab, _kill=label):
+            if lab == _kill:
+                raise RuntimeError(f"injected kill at {_kill}")
+
+        with pytest.raises(RuntimeError, match="injected kill"):
+            idx.rebucket(emb, 16, fault_hook=boom)
+        # the no-codes-table window is real at pre_rename_codes: prove
+        # recovery heals it through the ordinary read path alone
+        fresh = IncrementalIVFPQIndex(spark, name, nlist=8, m=8, ksub=16)
+        got = sorted(tuple(r) for r in fresh.topk(q, k=10, nprobe=16).collect())
+        assert got == want, f"crash at {label} not rolled forward"
+        assert fresh.nlist == 16 and fresh.num_buckets == 16
+        assert fresh._read_rb_marker() is None  # marker consumed
+        fresh.drop()
+
+    # crash BEFORE the marker: live index untouched, rebucket re-runs
+    idx = IncrementalIVFPQIndex(spark, "ivfpq_rbc_pre", nlist=8, m=8, ksub=16)
+    idx.init(emb)
+    pre = sorted(tuple(r) for r in idx.topk(q, k=10, nprobe=8).collect())
+    with pytest.raises(RuntimeError, match="injected kill"):
+        idx.rebucket(
+            emb, 16,
+            fault_hook=lambda lab: (_ for _ in ()).throw(
+                RuntimeError("injected kill")
+            ) if lab == "staged" else None,
+        )
+    fresh = IncrementalIVFPQIndex(spark, "ivfpq_rbc_pre", nlist=8, m=8, ksub=16)
+    assert fresh.recover_rebucket() is False  # nothing committed
+    assert sorted(tuple(r) for r in fresh.topk(q, k=10, nprobe=8).collect()) == pre
+    fresh.rebucket(emb, 16)  # the retry completes normally
+    assert sorted(tuple(r) for r in fresh.topk(q, k=10, nprobe=16).collect()) == want
+    fresh.drop()
+
+
+def test_ivfpq_maybe_rebucket_trigger(spark):
+    """r18 (r17 verdict task 4): the auto-trigger fires only past the
+    2x-per-list crossing and re-buckets to ivf_nlist_for's geometry;
+    a healthy index pays one count and is left alone."""
+    from dagster_etl_spark.operators.similarity import (
+        IncrementalIVFPQIndex,
+        ivf_nlist_for,
+    )
+    from dagster_etl_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n = emb.count()
+    # init deliberately UNDER-bucketed (nlist=4, below the sizing
+    # rule's floor of 16) so the rule has headroom to grow at fixture
+    # scale; ivf_nlist_for(n) >= 16 > 4 for any corpus
+    idx = IncrementalIVFPQIndex(spark, "ivfpq_auto", nlist=4, m=8, ksub=16)
+    idx.init(emb)
+    # healthy at the default 2k-per-list budget -> one count, no-op
+    assert n <= 4 * 2000  # fixture-scale precondition for the no-op leg
+    assert idx.maybe_rebucket(emb) is None
+    assert idx.nlist == 4
+    # force the crossing with a tiny per-list budget: target follows
+    # the shared sizing rule, geometry and spec actually change
+    target = ivf_nlist_for(n)
+    per_list = max(1, n // 32)  # n / nlist(4) > per_list -> fires
+    fired = idx.maybe_rebucket(emb, max_per_list=per_list)
+    assert fired == target and idx.nlist == target
+    assert idx.num_buckets == max(8, target)
+    assert spark.table(idx.centroids_table).count() == target
+    # second call at the same size is a no-op (hysteresis: target
+    # no longer exceeds the standing nlist)
+    assert idx.maybe_rebucket(emb, max_per_list=per_list) is None
+    # the re-bucketed index still searches
+    got = idx.topk(emb.filter("vec_id < 3"), k=5, nprobe=target)
+    assert got.count() == 15
+    idx.drop()

@@ -211,10 +211,14 @@ def test_connected_components_bounded_lineage(spark):
     # several rounds ran; with checkpoint_every=2 the final plan hangs
     # off a scan of checkpointed data with at most ~2 rounds above it —
     # each round is 2 joins (hop + pointer-jump), so <= 4 of those plus
-    # the edge symmetrization join layers, never `iterations` deep
+    # the edge symmetrization join layers, never `iterations` deep.
+    # r18: the trivial-pair pre-contraction contributes a CONSTANT 3
+    # more (two degree semi-joins + the core anti-join) hanging off the
+    # checkpointed pair list — still iteration-independent, which is
+    # the property this test pins
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
-    assert plan.count("Join") <= 6
+    assert plan.count("Join") <= 9
 
 
 def test_chunk_docs_window_stride_semantics(spark):
@@ -1955,3 +1959,79 @@ def test_scrub_benchmark_spans_excises_quote_keeps_doc(spark):
         r.doc_id for r in contaminated_ids(train, bench, n=k).collect()
     }
     assert dropped == {1}
+
+
+def test_dedup_clusters_exact_collapse_is_equivalence_preserving(spark):
+    """r18 (r17 verdict task 3): collapsing exact-duplicate groups to
+    one representative before MinHash must produce the IDENTICAL
+    clustering — identical texts always pair at Jaccard 1.0, so the
+    contraction only removes the quadratic clique edges. Pin the
+    equivalence on a corpus engineered with the tricky shapes: a
+    3-doc exact group, an exact group bridged to a near-dup, identical
+    SHORT docs (below the shingle-eligibility filter — must stay
+    separate singletons), and plain singletons."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy dog again and once"
+    rows = [
+        Row(doc_id=1, text=base),          # exact group {1, 4, 7}
+        Row(doc_id=2, text="aa bb"),       # short (< k tokens), identical to 5
+        Row(doc_id=3, text="totally unrelated content words here"),
+        Row(doc_id=4, text=base),
+        Row(doc_id=5, text="aa bb"),       # must NOT merge with 2
+        Row(doc_id=6, text=near),          # near-dup bridge to the group
+        Row(doc_id=7, text=base),
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.5)
+    with_collapse = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(df, collapse_exact=True, **kw).collect()
+    }
+    without = {
+        (r.doc_id, r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(df, collapse_exact=False, **kw).collect()
+    }
+    assert with_collapse == without
+    labels = {d: c for d, c, _ in with_collapse}
+    assert labels[1] == labels[4] == labels[7] == 1  # exact group
+    assert labels[6] == 1  # near-dup joined the group's component
+    assert labels[2] == 2 and labels[5] == 5  # short identicals separate
+    assert labels[3] == 3
+
+
+def test_connected_components_precontract_matches_plain(spark):
+    """The trivial-pair split must be invisible in the output: isolated
+    pairs, a chain, a clique sharing a node with an isolated-looking
+    pair, and duplicate input pairs (which inflate degrees — routed to
+    the loop, the safe direction)."""
+    from pyspark.sql import Row
+
+    from dagster_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2),    # isolated pair -> trivial
+            Row(id_a=3, id_b=4),    # duplicated below -> NOT trivial
+            Row(id_a=3, id_b=4),
+            Row(id_a=10, id_b=11),  # chain 10-11-12
+            Row(id_a=11, id_b=12),
+            Row(id_a=20, id_b=21),  # triangle
+            Row(id_a=21, id_b=22),
+            Row(id_a=20, id_b=22),
+        ]
+    )
+    fast = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, precontract_trivial=True).collect()
+    }
+    plain = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, precontract_trivial=False).collect()
+    }
+    assert fast == plain
+    assert (2, 1) in fast and (4, 3) in fast and (12, 10) in fast
+    assert (22, 20) in fast

@@ -256,6 +256,27 @@ def test_aqe_splits_skewed_join_and_salting_beats_disabled_aqe(spark):
         # 7.2M rows vs ~450k — that shows up as a MULTIPLE, never as
         # five percent — so fail hard only outside the band.
         assert salted_s < plain_s * 1.05, (plains, salteds, load_seen)
+        # Structural companion (r17 ADVICE): the band alone cannot
+        # catch a regression that degenerates salted_join to the PLAIN
+        # join — then salted_s ~= plain_s sits comfortably inside it.
+        # Timing-free teeth: the salted plan must SHUFFLE on the salt
+        # column (hot-key rows split across `salt` partitions by
+        # construction); if _salt ever drops out of the exchange
+        # partitioning, salting is off no matter what the clock says.
+        import re as _re
+
+        splan = (
+            salted_join(large8, small, on=["k"], salt=16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert _re.search(r"hashpartitioning\([^)]*_salt", splan), splan[:2000]
+        # Strict standalone mode (r17 ADVICE): the >15% win claim is
+        # measured OUTSIDE the suite's in-process contention. Run
+        #   SPARK_GRAFT_SKEW_STRICT=1 python -m pytest \
+        #       tests/test_partitions_skew.py -k salted
+        # on an idle box to hold the gate at the claimed multiple.
+        if os.environ.get("SPARK_GRAFT_SKEW_STRICT") == "1":
+            assert salted_s < plain_s * 0.9, (plains, salteds, load_seen)
     finally:
         for k, v in saved.items():
             if v is None:

@@ -560,3 +560,57 @@ def test_manifest_commit_serializes_concurrent_writers(tmp_path):
     with ThreadPoolExecutor(max_workers=8) as ex:
         list(ex.map(store.commit, ids))
     assert store.committed() == ids
+
+
+def test_partial_staging_dir_is_restaged_not_trusted(spark, tmp_path):
+    """r17 ADVICE: a crash DURING the first pinned-work-dir call's
+    corpus staging leaves a partial {work}/docs parquet dir with no
+    _SUCCESS marker. The freshness probe must treat that as NOT staged
+    (re-stage with overwrite) rather than stream a partial corpus and
+    silently diverge from the one-shot oracle. Simulate the torn write
+    directly: a docs dir holding a real-but-partial parquet file and
+    no marker, then run the pinned-work-dir query end to end."""
+    import os
+
+    from dagster_etl_spark.operators.text import dsir_select
+    from dagster_etl_spark.sources.fixtures import load_table
+    from dagster_etl_spark.streaming.dsir_ingest import streaming_dsir_ingest
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    work = str(tmp_path / "tornwork")
+    in_dir = os.path.join(work, "docs")
+    # the torn state: one committed-looking part file, HALF the corpus,
+    # and no _SUCCESS (FileOutputCommitter writes the marker only at
+    # job commit — a mid-staging crash leaves exactly this shape)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(
+        in_dir
+    )
+    os.unlink(os.path.join(in_dir, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(in_dir, "_SUCCESS"))
+
+    got = _rows(streaming_dsir_ingest(spark, SF_SMALL, work_dir=work))
+    want = _rows(dsir_select(docs))
+    assert got == want and len(want) > 0
+    # and the re-staged dir is now fully committed
+    assert os.path.exists(os.path.join(in_dir, "_SUCCESS"))
+
+
+def test_slicestore_read_raises_on_missing_committed_slice(spark, tmp_path):
+    """r17 ADVICE: a manifest-committed slice whose component directory
+    was deleted out from under the store must surface as an error, not
+    silently read as a smaller standing state."""
+    import shutil
+
+    from dagster_etl_spark.streaming.slicestore import SliceStore
+
+    store = SliceStore(str(tmp_path / "slices"))
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    store.write("counts", 0, df)
+    store.commit(0)
+    store.write("counts", 1, df.selectExpr("id + 5 AS id", "id AS v"))
+    store.commit(1)
+    assert store.read(spark, "counts").count() == 10
+
+    shutil.rmtree(store.slice_path("counts", 1))
+    with pytest.raises(FileNotFoundError, match="manifest-committed"):
+        store.read(spark, "counts")

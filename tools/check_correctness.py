@@ -80,9 +80,18 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     report: dict[str, dict] = {}
+    # Load context (r17 verdict task 6): gate seconds are used for
+    # round-over-round plan triage but swing ~6x under sweep-time load
+    # (kn_bigram_surprisal 2.25s -> 14.64s, code unchanged). Record the
+    # 1-min loadavg at sweep start AND per query so a slow row can be
+    # adjudicated as contention vs plan regression from the artifact.
+    import os as _os
+
+    sweep_load = round(_os.getloadavg()[0], 2)
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        load1 = round(_os.getloadavg()[0], 2)
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -143,6 +152,7 @@ def main() -> int:
                         "spark_rows": len(sdf),
                         "oracle_rows": len(exact),
                         "sec": elapsed,
+                        "load1": load1,
                     }
                 continue
             print(f"ok?  {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
@@ -194,6 +204,7 @@ def main() -> int:
                 "spark_rows": len(sdf),
                 "oracle_rows": len(odf),
                 "sec": elapsed,
+                "load1": load1,
             }
     spark.stop()
     if JSON_OUT and MERGE and Path(JSON_OUT).exists():
@@ -209,6 +220,7 @@ def main() -> int:
         n_pass = sum(1 for r in report.values() if r["status"] == "PASS")
         payload = {
             "sf_dir": SF_DIR,
+            "loadavg_at_start": sweep_load,
             "total": len(report),
             "pass": n_pass,
             "rows_only": sum(1 for r in report.values() if r["status"] == "ROWS_ONLY"),

@@ -136,6 +136,8 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 
 def main() -> None:
+    import os
+
     import duckdb
     from pyspark.sql import functions as F
 
@@ -144,6 +146,15 @@ def main() -> None:
     from dagster_etl_spark.session import get_spark
     from dagster_etl_spark.sources.fixtures import load_table
     from tools.scale_trend_llm import _rot_embeddings
+
+    # EXTERNAL idleness, captured before any Spark work (r17 verdict
+    # "What's wrong"): the per-mult loadavg_at_start below is read
+    # right after this tool's OWN 32-core build phase, so it mostly
+    # records the build's decaying 1-min load, not contention — the
+    # r17 artifact's 12-18 readings were largely self-inflicted. This
+    # launch-time reading is the number the "re-confirm idle" task
+    # asks for.
+    load_external = round(os.getloadavg()[0], 2)
 
     spark = get_spark("probe-pair-ivfpq")
     from dagster_etl_spark.streaming.slicestore import _local
@@ -159,6 +170,7 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "geometry": {"nlist": NLIST, "m": M, "ksub": KSUB,
                      "nprobe": NPROBE, "rerank": RERANK, "k": K},
+        "loadavg_external_at_launch": load_external,
         "mults": {},
     }
     for k_mult in MULTS:
