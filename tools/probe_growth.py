@@ -146,6 +146,13 @@ def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
     # the lever the r16 soak identified (nlist) applied in place via
     # rebucket() instead of a full rebuild
     rebucket_to = int(_os.environ.get("PROBE_IVFPQ_REBUCKET", "0"))
+    # r18 (r17 verdict task 4): PROBE_IVFPQ_AUTO=<max_per_list> runs
+    # maybe_rebucket() at the DAILY compaction cadence — the policy
+    # hook itself, not a manual day-30 trigger. The soak then shows
+    # the rebucket firing AT the measured crossing (codes/nlist >
+    # max_per_list) and the probe curve flattening with no manual
+    # intervention; non-firing days record the one-count check cost.
+    auto_per_list = int(_os.environ.get("PROBE_IVFPQ_AUTO", "0"))
     # geometry pinned to the r14-r16 soak artifacts (m=8/ksub=16);
     # class defaults moved to the measured recall sizing in r17
     idx = IncrementalIVFPQIndex(
@@ -167,22 +174,33 @@ def _ivfpq_series(spark, sf_dir: str) -> tuple[list[dict], int]:
         compacted = None
         if (d + 1) % COMPACT_EVERY == 0:
             compacted = idx.compact()
+        auto_fired = None
+        auto_s = 0.0
+        if auto_per_list:
+            grown = all_rot.filter(F.col("vec_id") < (d + 1) * ne)
+            t0 = time.perf_counter()
+            auto_fired = idx.maybe_rebucket(grown, max_per_list=auto_per_list)
+            auto_s = time.perf_counter() - t0
         idx.topk(queries, k=10, nprobe=nprobe).count()  # warm
         t0 = time.perf_counter()
         hits = idx.topk(queries, k=10, nprobe=nprobe).count()
         probe_s = time.perf_counter() - t0
-        days.append(
-            {
-                "day": d + 1,
-                "corpus_docs": (d + 1) * ne,
-                "ingest_sec": round(append_s, 3),
-                "probe_sec": round(probe_s, 3),
-                "probe_hits": hits,
-                "compacted": {k: list(v) for k, v in compacted.items()}
-                if compacted
-                else None,
-            }
-        )
+        day_row = {
+            "day": d + 1,
+            "corpus_docs": (d + 1) * ne,
+            "ingest_sec": round(append_s, 3),
+            "probe_sec": round(probe_s, 3),
+            "probe_hits": hits,
+            "compacted": {k: list(v) for k, v in compacted.items()}
+            if compacted
+            else None,
+        }
+        if auto_per_list:
+            day_row["nlist"] = idx.nlist
+            day_row["auto_rebucket_sec"] = round(auto_s, 3)
+            if auto_fired:
+                day_row["auto_rebucket_fired_to"] = auto_fired
+        days.append(day_row)
         print(f"# ivfpq {days[-1]}", file=sys.stderr)
     if rebucket_to:
         # the grown index re-buckets to the bigger geometry in place:

@@ -62,8 +62,14 @@ EXCHANGE_BUDGET = {
     # PLUS the connected-components fixpoint's checkpointed lineage
     # (each CC iteration contributes its own exchanges — the registered
     # dedup_clusters query is excluded from the test_plans audit for
-    # the same reason); 30 covers the bounded-iteration worst case
-    "dedup": 30,
+    # the same reason); 30 covered the bounded-iteration worst case
+    # pre-r18. r18 adds the exact-dup collapse (md5 group + rep joins)
+    # and the trivial-pair pre-contraction (degree agg + semi/anti
+    # joins) — ~7 more SMALL-side exchanges that remove the quadratic
+    # clique volume and the isolated-pair fraction from every fixpoint
+    # round; the budget tracks the new constant, the WALL is the
+    # number that must fall (see SCALETREND_CURATION_X200_r18)
+    "dedup": 40,
     "decontaminate": 8,
     "pack": 3,
 }
