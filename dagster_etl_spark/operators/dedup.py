@@ -1065,7 +1065,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_every: int = 3,
-    precontract_trivial: bool = True,
+    precontract_trivial: bool = False,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups: iterative min-label
     propagation to a fixpoint. Returns (doc_id, cluster_id) with
@@ -1084,21 +1084,29 @@ def connected_components(
     If ``max_iter`` rounds pass without a fixpoint the function raises
     rather than return a wrong clustering.
 
-    TRIVIAL-COMPONENT PRE-CONTRACTION (r18, r17 verdict task 3): in a
-    near-dup graph most components are ISOLATED PAIRS — two docs that
-    match each other and nothing else. Those need no fixpoint at all
-    (label = the smaller endpoint, by definition of the contract), yet
-    the loop previously dragged every one of them through every
-    round's two joins + aggregate. With ``precontract_trivial`` the
-    edge set is split first: a pair both of whose endpoints have
-    degree 1 is labeled directly (one degree aggregate + two
-    semi-joins), and ONLY the remaining core graph enters the
-    iterative loop — the per-round shuffle volume drops by the
-    trivial fraction (measured 60-80% of LSH pair sets). The split is
-    exact: a degree-1-both pair IS its whole component, so its label
-    (min endpoint) equals what propagation would assign, and no node
-    in it can appear in the core. Duplicate input pairs only inflate
-    degrees, which routes them to the loop — the safe direction.
+    TRIVIAL-COMPONENT PRE-CONTRACTION (r18, r17 verdict task 3;
+    default OFF — probe outcome below): a pair both of whose
+    endpoints have degree 1 IS its whole component and needs no
+    fixpoint — ``precontract_trivial`` labels those directly (one
+    degree aggregate + two semi-joins) and sends only the chained
+    core through the loop. The split is exact (property-tested
+    against the plain path): the trivial label — the smaller endpoint
+    — equals what propagation would assign, no trivial node can
+    appear in the core, and duplicate input pairs only inflate
+    degrees, which routes them to the loop (the safe direction).
+
+    PROBE OUTCOME (DEDUPABLATE_X200_r18, the honest-ablation sibling
+    of CCPROBE_r17): trivial pairs are REAL — 87% of the sf0.1 LSH
+    pair set (223/256) — but the wall win is not. Where the pair set
+    is small, the fixpoint is cheap with or without the split; on the
+    x200 cipher curation graph, where CC time IS material, pairs sit
+    in large cross-copy components (digit-heavy shingles match across
+    letter-translated copies) and the trivial fraction collapses —
+    the ablation measured precontract-only at 30.5 s vs 29.7 s
+    baseline (no win, the split machinery costs what it saves) while
+    the exact-dup collapse alone took the stage to 16.8 s. Default
+    False; turn it on for graphs known to be isolated-pair-heavy AT
+    VOLUME, a regime neither fixture axis produces.
 
     Lineage is truncated with ``localCheckpoint`` every
     ``checkpoint_every`` rounds: persist() alone keeps the full
@@ -1352,6 +1360,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     collapse_exact: bool = True,
+    precontract_trivial: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
     """End-to-end near-dup clustering: MinHash pairs -> connected
@@ -1371,10 +1380,11 @@ def dedup_clusters(
     identical texts have identical shingle-hash sets, so they always
     band together and verify at Jaccard 1.0 >= any threshold <= 1 —
     the collapsed clustering is the identical partition with
-    quadratic-in-g pair volume removed. The contraction composes with
-    the CC-side trivial-pair split: cliques vanish here, isolated
-    pairs short-circuit there, and only the genuinely-chained core
-    pays fixpoint rounds."""
+    quadratic-in-g pair volume removed. The CC-side trivial-pair split
+    (``precontract_trivial``) is available but default-off — the
+    DEDUPABLATE_X200_r18 ablation measured the collapse as the whole
+    win (dedup stage 29.7 -> 16.8 s) and the split as a wash on the
+    corpora the fixtures produce (see connected_components)."""
     if collapse_exact and threshold <= 1.0:
         k = minhash_kwargs.get("k", 3)
         tok_n = x.xsize(x.tokens(text_col, x.SPARK), x.SPARK)
@@ -1392,9 +1402,9 @@ def dedup_clusters(
             rep_docs, text_col=text_col, id_col=id_col,
             threshold=threshold, **minhash_kwargs,
         )
-        comp = connected_components(pairs).selectExpr(
-            "doc_id AS __rep", "cluster_id"
-        )
+        comp = connected_components(
+            pairs, precontract_trivial=precontract_trivial
+        ).selectExpr("doc_id AS __rep", "cluster_id")
         # expand: every doc inherits its representative's label; a rep
         # with no near-dup partner labels its whole exact group by
         # itself (= the group's min id — the clique's label)
@@ -1406,7 +1416,9 @@ def dedup_clusters(
             df, text_col=text_col, id_col=id_col,
             threshold=threshold, **minhash_kwargs,
         )
-        labels = connected_components(pairs)
+        labels = connected_components(
+            pairs, precontract_trivial=precontract_trivial
+        )
     all_docs = df.select(F.col(id_col).alias("doc_id"))
     clustered = all_docs.join(labels, on="doc_id", how="left").selectExpr(
         "doc_id", "coalesce(cluster_id, doc_id) AS cluster_id"

@@ -212,13 +212,12 @@ def test_connected_components_bounded_lineage(spark):
     # off a scan of checkpointed data with at most ~2 rounds above it —
     # each round is 2 joins (hop + pointer-jump), so <= 4 of those plus
     # the edge symmetrization join layers, never `iterations` deep.
-    # r18: the trivial-pair pre-contraction contributes a CONSTANT 3
-    # more (two degree semi-joins + the core anti-join) hanging off the
-    # checkpointed pair list — still iteration-independent, which is
-    # the property this test pins
+    # (precontract_trivial would add a constant 3 — two degree
+    # semi-joins + the core anti-join — but it is default-off after
+    # the DEDUPABLATE_X200_r18 ablation)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
-    assert plan.count("Join") <= 9
+    assert plan.count("Join") <= 6
 
 
 def test_chunk_docs_window_stride_semantics(spark):

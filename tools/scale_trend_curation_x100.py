@@ -63,13 +63,11 @@ EXCHANGE_BUDGET = {
     # (each CC iteration contributes its own exchanges — the registered
     # dedup_clusters query is excluded from the test_plans audit for
     # the same reason); 30 covered the bounded-iteration worst case
-    # pre-r18. r18 adds the exact-dup collapse (md5 group + rep joins)
-    # and the trivial-pair pre-contraction (degree agg + semi/anti
-    # joins) — ~7 more SMALL-side exchanges that remove the quadratic
-    # clique volume and the isolated-pair fraction from every fixpoint
-    # round; the budget tracks the new constant, the WALL is the
-    # number that must fall (see SCALETREND_CURATION_X200_r18)
-    "dedup": 40,
+    # pre-r18. r18's exact-dup collapse (md5 group + rep joins) adds
+    # ~1-2 SMALL-side exchanges that remove the quadratic clique
+    # volume from every fixpoint round (x200 measured 31 exchanges,
+    # stage wall 32.7 -> 16.8 s; ablation in DEDUPABLATE_X200_r18)
+    "dedup": 34,
     "decontaminate": 8,
     "pack": 3,
 }
@@ -210,9 +208,22 @@ def main() -> None:
 
     run_stage("classifier", "gopher_kept", "clf_kept", s_classifier)
 
-    # 3 dedup: near-dup clusters, min-id canonical survivor
+    # 3 dedup: near-dup clusters, min-id canonical survivor.
+    # CURATION_DEDUP_COLLAPSE / CURATION_DEDUP_PRECONTRACT toggle the
+    # r18 contractions independently for the ablation artifact
+    # (DEDUPABLATE_X200_r18) — results are contraction-invariant
+    # (property-tested), only the walls move. Defaults FOLLOW the
+    # library defaults (collapse on, precontract off per the ablation).
+    import os as _os
+
+    _collapse = _os.environ.get("CURATION_DEDUP_COLLAPSE", "1") == "1"
+    _precontract = _os.environ.get("CURATION_DEDUP_PRECONTRACT", "0") == "1"
+
     def s_dedup(src):
-        cl = dedup_clusters(src, threshold=0.5)
+        cl = dedup_clusters(
+            src, threshold=0.5,
+            collapse_exact=_collapse, precontract_trivial=_precontract,
+        )
         return (
             src.join(cl.filter("is_canonical").select("doc_id"), on="doc_id")
             .select("doc_id", "text", "source")
