@@ -1204,6 +1204,7 @@ class IncrementalIVFPQIndex:
         idempotent under checkpoint replay."""
         from dagster_etl_spark.sources.bucketed import append_bucketed
 
+        self.recover_rebucket()  # don't append onto a half-swapped index
         coded = self._encode(vectors, self._centroids(), self._books())
         if "rn" not in self.spark.table(self.codes_table).columns:
             coded = coded.drop("rn")
@@ -1227,6 +1228,7 @@ class IncrementalIVFPQIndex:
         rewrites identical code rows). Same protocol as the others:
         overwrite-mode slice staging, atomic manifest commit, committed
         replays return False and apply nothing."""
+        self.recover_rebucket()  # uniform self-heal (see append/topk)
         store = self._slice_store()
         if store.is_committed(slice_id):
             return False
@@ -1244,6 +1246,7 @@ class IncrementalIVFPQIndex:
         compact_slices caveat). Returns the number of slices folded."""
         from dagster_etl_spark.sources.bucketed import append_bucketed
 
+        self.recover_rebucket()  # uniform self-heal (see append/topk)
         store = self._slice_store()
         n = len(store.committed())
         if n == 0:

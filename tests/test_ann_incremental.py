@@ -415,9 +415,18 @@ def test_ivfpq_rebucket_crash_windows_roll_forward(spark):
         with pytest.raises(RuntimeError, match="injected kill"):
             idx.rebucket(emb, 16, fault_hook=boom)
         # the no-codes-table window is real at pre_rename_codes: prove
-        # recovery heals it through the ordinary read path alone
+        # recovery heals it through the ordinary entry points alone
         fresh = IncrementalIVFPQIndex(spark, name, nlist=8, m=8, ksub=16)
-        got = sorted(tuple(r) for r in fresh.topk(q, k=10, nprobe=16).collect())
+        if i == 1:
+            # the WRITE path must self-heal too (an ingest job can be
+            # the first thing to touch the index after a crash); an
+            # empty slice exercises the recovery guard without
+            # perturbing the expected result rows
+            fresh.append(emb.filter("vec_id < 0"))
+            assert fresh.nlist == 16  # recovery ran before the encode
+        got = sorted(
+            tuple(r) for r in fresh.topk(q, k=10, nprobe=16).collect()
+        )
         assert got == want, f"crash at {label} not rolled forward"
         assert fresh.nlist == 16 and fresh.num_buckets == 16
         assert fresh._read_rb_marker() is None  # marker consumed
