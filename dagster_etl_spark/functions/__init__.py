@@ -10,6 +10,55 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# --- py4j round-trip economics (r18 optimization round) -------------------
+# Composing Column expressions costs one driver<->JVM round trip per
+# operator (~0.2-0.5 ms each on this host; F.col + two arithmetic ops
+# measured ~3-5 ms). A query built from dozens of Column ops spends
+# 100-200 ms of every build in py4j chatter, which bench.py pays on
+# every timed sample (the bench rebuilds the DataFrame per run, like
+# any real driver program does). A single ``F.expr("...")`` ships the
+# whole subexpression in ONE round trip and parses it JVM-side (~0.4 ms
+# measured for a full CASE WHEN chain) into the IDENTICAL Catalyst
+# tree. The helpers below therefore have *_sql twins, and the Column
+# helpers take str = SQL expression and fast-path through one F.expr.
+# This is driver-side constant overhead (guide §7.3: planning/driver
+# time is real wall time); it does not change any plan or result —
+# equivalence is hash-gated by every touched query's DuckDB oracle.
+
+
+def scaled_long_sql(expr_sql: str, scale: int = 2) -> str:
+    """SQL-string twin of :func:`scaled_long` — parses to the identical
+    sign-adjusted CAST tree (``D`` suffixes keep the literals DOUBLE,
+    matching ``F.lit(0.5)``)."""
+    s = f"(({expr_sql}) * {float(10 ** scale)!r}D)"
+    return f"CAST((CASE WHEN {s} >= 0 THEN {s} + 0.5D ELSE {s} - 0.5D END) AS BIGINT)"
+
+
+def money_sum_sql(expr_sql: str, scale: int = 2) -> str:
+    """SQL-string twin of :func:`money_sum` (same op sequence: exact
+    BIGINT sum, one cast to double, one divide)."""
+    return (
+        f"CAST(SUM({scaled_long_sql(expr_sql, scale)}) AS DOUBLE)"
+        f" / {float(10 ** scale)!r}D"
+    )
+
+
+def flag_sql(cond_sql: str) -> str:
+    """SQL-string twin of :func:`flag`."""
+    return f"(CASE WHEN {cond_sql} THEN 1 ELSE 0 END)"
+
+
+def sql_str_literal(value: str) -> str:
+    """Escape a Python string as a SQL single-quoted literal
+    (quote-doubling: valid in both Spark SQL and ANSI engines)."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
+def sql_in_list(col_sql: str, values) -> str:
+    """``col IN (...)`` predicate with escaped string literals."""
+    items = ", ".join(sql_str_literal(v) for v in values)
+    return f"{col_sql} IN ({items})"
+
 
 def scaled_long(col: Column | str, scale: int = 2) -> Column:
     """``round(col * 10^scale)`` as BIGINT — the fixed-point form of a
@@ -27,9 +76,15 @@ def scaled_long(col: Column | str, scale: int = 2) -> Column:
     and 6. Valid while ``|col| * 10^scale < 2^52`` (beyond that the
     +0.5 add can tie-round; such values are already whole doubles) —
     far looser than the int64 SUM bound documented in money_sum.
+
+    A ``str`` argument is treated as a SQL expression and built in ONE
+    py4j round trip (identical tree — see the module note above); a
+    ``Column`` keeps the composed form for callers holding opaque
+    Column objects.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    scaled = c * float(10 ** scale)
+    if isinstance(col, str):
+        return F.expr(scaled_long_sql(col, scale))
+    scaled = col * float(10 ** scale)
     return (
         F.when(scaled >= 0, scaled + F.lit(0.5))
         .otherwise(scaled - F.lit(0.5))
@@ -62,7 +117,10 @@ def money_sum(col: Column | str, alias: str | None = None, scale: int = 2) -> Co
     the source and float64 in-flight (reference: docker/init-scripts/
     01_create_tables.sql:33-35, etl/utils/parquet.py:15-26).
     """
-    out = F.sum(scaled_long(col, scale)).cast("double") / float(10 ** scale)
+    if isinstance(col, str):
+        out = F.expr(money_sum_sql(col, scale))
+    else:
+        out = F.sum(scaled_long(col, scale)).cast("double") / float(10 ** scale)
     return out.alias(alias) if alias else out
 
 
@@ -100,26 +158,37 @@ def twostage_money_sums(
     ``money`` alias plus ``count_alias``.
     """
     partials = [
-        F.sum(scaled_long(c, s)).alias(f"_p_{a}") for a, (c, s) in money.items()
+        (
+            F.expr(f"SUM({scaled_long_sql(c, s)})")
+            if isinstance(c, str)
+            else F.sum(scaled_long(c, s))
+        ).alias(f"_p_{a}")
+        for a, (c, s) in money.items()
     ]
-    stage1 = df.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(
-        *partials, F.count(F.lit(1)).alias("_p_n")
+    stage1 = df.groupBy(*keys, F.expr("spark_partition_id()").alias("_pid")).agg(
+        *partials, F.expr("COUNT(1)").alias("_p_n")
     )
     finals = [
-        (
-            F.sum(F.col(f"_p_{a}").cast("decimal(38,0)")).cast("double")
-            / float(10 ** s)
+        F.expr(
+            f"CAST(SUM(CAST(`_p_{a}` AS DECIMAL(38,0))) AS DOUBLE)"
+            f" / {float(10 ** s)!r}D"
         ).alias(a)
         for a, (_, s) in money.items()
     ]
-    return stage1.groupBy(*keys).agg(*finals, F.sum("_p_n").alias(count_alias))
+    return stage1.groupBy(*keys).agg(
+        *finals, F.expr("SUM(`_p_n`)").alias(count_alias)
+    )
 
 
 def exact_avg(col: Column | str, alias: str | None = None, scale: int = 2) -> Column:
     """Reproducible mean: exact fixed-point sum / count, divided in
     double (oracle twin: ``scaled_sum_sql(c) / COUNT(c)``)."""
-    c = F.col(col) if isinstance(col, str) else col
-    out = (F.sum(scaled_long(c, scale)).cast("double") / float(10 ** scale)) / F.count(c)
+    if isinstance(col, str):
+        out = F.expr(f"({money_sum_sql(col, scale)}) / COUNT({col})")
+    else:
+        out = (
+            F.sum(scaled_long(col, scale)).cast("double") / float(10 ** scale)
+        ) / F.count(col)
     return out.alias(alias) if alias else out
 
 

@@ -77,31 +77,35 @@ def cycle_time_join_stats(
     """
     if fact_filter is not None:
         fact = fact.filter(fact_filter)
-    f = fact.filter(F.col(end_col).isNotNull()).select(
-        F.col(fact_key).alias("__fk"),
-        F.unix_timestamp(F.col(end_col)).alias("__end"),
+    # single-string filters/projections: one JVM parse per block instead
+    # of one py4j round trip per Column op (identical analyzed trees —
+    # see functions module note, r18)
+    f = fact.filter(f"`{end_col}` IS NOT NULL").selectExpr(
+        f"`{fact_key}` AS __fk",
+        f"unix_timestamp(`{end_col}`) AS __end",
     )
-    d = dim.filter(F.col(start_col).isNotNull())
     # same NULL-group-key semantics as cycle_time_stats: a NULL key is
     # an unattributable lot, not a group (no-op for the registered
     # mapping — o_orderpriority is never NULL — but generic callers
     # get the sibling's behavior, not a surprise NULL group)
-    for k in group_cols:
-        d = d.filter(F.col(k).isNotNull())
-    d = d.select(
-        F.col(dim_key).alias("__dk"),
-        F.unix_timestamp(F.col(start_col)).alias("__start"),
-        *group_cols,
+    d = dim.filter(
+        " AND ".join(
+            f"`{c}` IS NOT NULL" for c in (start_col, *group_cols)
+        )
+    ).selectExpr(
+        f"`{dim_key}` AS __dk",
+        f"unix_timestamp(`{start_col}`) AS __start",
+        *[f"`{k}`" for k in group_cols],
     )
-    j = f.join(d, F.col("__fk") == F.col("__dk"))
-    cyc = F.col("__end") - F.col("__start")
+    j = f.join(d, F.expr("__fk = __dk"))
+    cyc = "(`__end` - `__start`)"
     return j.groupBy(*group_cols).agg(
-        (F.sum(cyc).cast("double") / F.count(F.lit(1)) / F.lit(60.0)).alias(
+        F.expr(f"CAST(SUM({cyc}) AS DOUBLE) / COUNT(1) / 60.0D").alias(
             "avg_cycle_time"
         ),
-        (F.min(cyc) / F.lit(60.0)).alias("min_cycle_time"),
-        (F.max(cyc) / F.lit(60.0)).alias("max_cycle_time"),
-        F.count(F.lit(1)).alias("lot_count"),
+        F.expr(f"MIN({cyc}) / 60.0D").alias("min_cycle_time"),
+        F.expr(f"MAX({cyc}) / 60.0D").alias("max_cycle_time"),
+        F.expr("COUNT(1)").alias("lot_count"),
     )
 
 

@@ -250,10 +250,22 @@ def minhash_neardup_pairs(
     hashed = sh.selectExpr(
         id_col, f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs"
     )
-    sigs = hashed.selectExpr(
-        id_col, *minhash_signature_exprs("hs", x.SPARK, num_hashes)
-    )
-    banded = sigs.selectExpr(id_col, *band_exprs(x.SPARK, num_hashes, bands))
+    # sig/band/melt FUSED into one projection string (r18): the staged
+    # sigs->bands->posexplode selectExpr hops produced the identical
+    # post-CollapseProject tree (each sig is referenced exactly once, so
+    # inlining duplicates nothing) while paying two extra eager-analysis
+    # DataFrame hops per build — build cost only, plan unchanged.
+    sig_bodies = [
+        e.split(" AS ", 1)[0]
+        for e in minhash_signature_exprs("hs", x.SPARK, num_hashes)
+    ]
+    rows = num_hashes // bands
+    band_bodies = [
+        "md5(concat_ws(',', "
+        + ", ".join(sig_bodies[b * rows + r] for r in range(rows))
+        + "))"
+        for b in range(bands)
+    ]
 
     # slim candidate join: one row per (doc, band), ids only — shingle
     # arrays are NOT shuffled through the pair join/dedup.
@@ -263,9 +275,9 @@ def minhash_neardup_pairs(
     # magnitude faster than array columns through the columnar store,
     # which is why (id, band) rows are cached rather than (id, hs); the
     # verify stage recomputes the (cheap, let-bound) hash chain instead.
-    band_arr = "array(" + ", ".join(f"band{b}" for b in range(bands)) + ")"
+    band_arr = "array(" + ", ".join(band_bodies) + ")"
     melted = pin(
-        banded.selectExpr(id_col, f"posexplode({band_arr}) AS (band_idx, bh)")
+        hashed.selectExpr(id_col, f"posexplode({band_arr}) AS (band_idx, bh)")
     )
     # join strategy DEFERRED to AQE (r8): the previous build-time
     # melted.count() paid an eager job — with cold whole-stage-codegen
@@ -278,19 +290,17 @@ def minhash_neardup_pairs(
     cands = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            F.expr(
+                "a.band_idx = b.band_idx AND a.bh = b.bh"
+                f" AND a.`{id_col}` < b.`{id_col}`"
+            ),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        .selectExpr(f"a.`{id_col}` AS id_a", f"b.`{id_col}` AS id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # verify: re-attach hash sets for the (few) candidates only
-    ha = hashed.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"))
-    hb = hashed.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"))
+    ha = hashed.selectExpr(f"`{id_col}` AS id_a", "hs AS hs_a")
+    hb = hashed.selectExpr(f"`{id_col}` AS id_b", "hs AS hs_b")
     jac = (
         "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE) / "
         "size(array_distinct(concat(hs_a, hs_b)))"

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dagster_etl_spark.functions import scaled_long
+from dagster_etl_spark.functions import scaled_long_sql, sql_str_literal
 
 
 def equipment_utilization(
@@ -38,25 +38,40 @@ def equipment_utilization(
     rate_round: int | None = 2,
     snapshot_date: str | None = None,
 ) -> DataFrame:
-    """A4+A5+A6: duration sums pivoted wide + derived utilization rate."""
-    df = df.filter(F.col(equipment_col).isNotNull())
-    wide = (
-        df.groupBy(equipment_col)
-        .pivot(type_col, list(event_types))
-        .agg(F.sum(scaled_long(duration_col, 6)))
-    )
+    """A4+A5+A6: duration sums pivoted wide + derived utilization rate.
+
+    The pivot is FUSED into one grouped aggregate of per-type
+    conditional sums (r18): ``.pivot(col, values)`` plans a second
+    aggregate over the first's output — two Exchanges for a
+    fixed-value-list pivot whose cells ``SUM(CASE WHEN type = v ...)``
+    computes in the single group-key shuffle (guide §2.4: operations
+    keyed the same way share one exchange; plan: 2 Exchange -> 1,
+    values bit-identical — integer cell sums are order-independent and
+    an empty cell is NULL in both shapes before the 0-fill).
+    """
+    df = df.filter(f"`{equipment_col}` IS NOT NULL")
+    scaled = scaled_long_sql(f"`{duration_col}`", 6)
+    cells = [
+        f"SUM(CASE WHEN `{type_col}` = {sql_str_literal(t)}"
+        f" THEN {scaled} END)"
+        for t in event_types
+    ]
     # exact fixed-point cells -> double, 0-filled (pandas pivot fillna(0))
-    wide = wide.select(
-        equipment_col,
+    wide = df.groupBy(equipment_col).agg(
         *[
-            F.coalesce(F.col(t).cast("double") / F.lit(1000000.0), F.lit(0.0)).alias(t)
-            for t in event_types
-        ],
+            F.expr(
+                f"coalesce(CAST({cell} AS DOUBLE) / 1000000.0D, 0.0D)"
+            ).alias(t)
+            for cell, t in zip(cells, event_types)
+        ]
     )
     if rate_numerator in wide.columns:
-        rate = F.col(rate_numerator) / F.lit(rate_denominator_minutes) * F.lit(100.0)
+        rate_sql = (
+            f"`{rate_numerator}` / {float(rate_denominator_minutes)!r}D * 100.0D"
+        )
         if rate_round is not None:
-            rate = F.round(rate, rate_round)
+            rate_sql = f"round({rate_sql}, {int(rate_round)})"
+        rate = F.expr(rate_sql)
     else:  # RUN-absent guard (reference: transfer.py:164-169)
         rate = F.lit(0.0)
     wide = wide.withColumn(rate_col, rate)

@@ -39,8 +39,6 @@ def asof_join(
     sides the same way but Spark lacks the operator; the naive
     theta-join alternative is O(L×R) per key).
     """
-    from pyspark.sql.types import StructField, StructType
-
     keys = list(keys)
     right_vals = list(right_vals) or [
         c for c in right.columns if c not in keys and c != right_ts
@@ -51,29 +49,31 @@ def asof_join(
     # is non-null iff a right row exists, so NULL fields travel with
     # their row (DuckDB ASOF LEFT JOIN semantics: all columns from the
     # single matched row).
+    # (projections are single parsed strings — identical trees to the
+    # previous Column-composed form, one py4j round trip per hop; the
+    # CASTs use the engine's own type DDL from df.dtypes. r18)
+    l_types = dict(left.dtypes)
+    r_types = dict(right.dtypes)
     carry_fields = [*right_vals, right_ts]
-    r_struct_t = StructType(
-        [StructField(c, right.schema[c].dataType) for c in carry_fields]
+    r_struct_ddl = (
+        "struct<" + ",".join(f"{c}:{r_types[c]}" for c in carry_fields) + ">"
     )
-    l_tag = left.select(
-        *keys,
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_is_left"),
-        F.lit(None).cast(r_struct_t).alias("_r"),
-        *[F.col(c) for c in left.columns if c not in keys and c != left_ts],
-        F.col(left_ts),
+    l_rest = [c for c in left.columns if c not in keys and c != left_ts]
+    l_tag = left.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{left_ts}` AS _ts",
+        "1 AS _is_left",
+        f"CAST(NULL AS {r_struct_ddl}) AS _r",
+        *[f"`{c}`" for c in l_rest],
+        f"`{left_ts}`",
     )
-    r_tag = right.select(
-        *keys,
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_is_left"),
-        F.struct(*[F.col(c) for c in carry_fields]).alias("_r"),
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left.columns
-            if c not in keys and c != left_ts
-        ],
-        F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
+    r_tag = right.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"`{right_ts}` AS _ts",
+        "0 AS _is_left",
+        "struct(" + ", ".join(f"`{c}`" for c in carry_fields) + ") AS _r",
+        *[f"CAST(NULL AS {l_types[c]}) AS `{c}`" for c in l_rest],
+        f"CAST(NULL AS {l_types[left_ts]}) AS `{left_ts}`",
     )
     unioned = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal _ts -> `<=` tie semantics
@@ -86,12 +86,12 @@ def asof_join(
         "*", F.last("_r", ignorenulls=True).over(w).alias("_cr")
     )
     out_cols = (
-        keys
-        + [c for c in left.columns if c not in keys and c != left_ts]
-        + [left_ts]
-        + [F.col(f"_cr.{c}").alias(f"{c}{suffix}") for c in carry_fields]
+        [f"`{k}`" for k in keys]
+        + [f"`{c}`" for c in l_rest]
+        + [f"`{left_ts}`"]
+        + [f"_cr.`{c}` AS `{c}{suffix}`" for c in carry_fields]
     )
-    return carried.filter(F.col("_is_left") == 1).select(*out_cols)
+    return carried.filter("_is_left = 1").selectExpr(*out_cols)
 
 
 def range_join_bands(

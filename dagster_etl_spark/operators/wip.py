@@ -26,7 +26,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dagster_etl_spark.functions import exact_avg, flag, money_sum, scaled_long
+from dagster_etl_spark.functions import (
+    exact_avg,
+    flag_sql,
+    money_sum,
+    scaled_long_sql,
+    sql_in_list,
+)
 
 # rows sampled by the single_shuffle auto-probe; enough that any key
 # wide enough to feed a cluster shows ≥ cores distinct values in it
@@ -76,14 +82,23 @@ def wip_aggregate(
     partials still land in the sums.
 
     ``extra_sums`` are (per-row expression, alias) pairs aggregated as
-    sums — decomposable across both phases. Arbitrary ``extra_aggs``
-    Columns (or ``approx_distinct``) fall back to the single-pass
-    planned aggregate.
+    sums — decomposable across both phases; each expression may be a
+    Column or a SQL string (the string form builds in one py4j round
+    trip). Arbitrary ``extra_aggs`` Columns (or ``approx_distinct``)
+    fall back to the single-pass planned aggregate.
     """
+    # ONE parsed predicate string for the whole filter block (not one
+    # Column op per term): same analyzed tree, a fraction of the py4j
+    # round trips, and one DataFrame hop (analysis is eager per hop) —
+    # see functions module note (r18). CombineFilters merges stacked
+    # filters either way, so the physical plan is unchanged.
+    preds = []
     if status_col is not None:
-        df = df.filter(F.col(status_col).isin(list(active_statuses)))
-    for k in group_cols:  # pandas groupby drops null keys
-        df = df.filter(F.col(k).isNotNull())
+        preds.append(sql_in_list(f"`{status_col}`", active_statuses))
+    # pandas groupby drops null keys
+    preds.extend(f"`{k}` IS NOT NULL" for k in group_cols)
+    if preds:
+        df = df.filter(" AND ".join(preds))
 
     if approx_distinct or extra_aggs:
         lot_count = (
@@ -92,11 +107,14 @@ def wip_aggregate(
             else F.countDistinct(lot_col)
         ).alias("lot_count")
         out = df.groupBy(*group_cols).agg(
-            money_sum(qty_col, "wip_qty"),
+            money_sum(f"`{qty_col}`", "wip_qty"),
             lot_count,
-            exact_avg(qty_col, "avg_qty_per_lot"),
+            exact_avg(f"`{qty_col}`", "avg_qty_per_lot"),
             *extra_aggs,
-            *[F.sum(e).alias(name) for e, name in extra_sums],
+            *[
+                (F.expr(f"SUM({e})") if isinstance(e, str) else F.sum(e)).alias(name)
+                for e, name in extra_sums
+            ],
         )
     else:
         if single_shuffle is None:
@@ -115,31 +133,43 @@ def wip_aggregate(
             df = df.select(
                 *group_cols,
                 lot_col,
-                scaled_long(qty_col).alias("__q100r"),
-                *[e.alias(f"__e{i}") for i, (e, _) in enumerate(extra_sums)],
+                F.expr(scaled_long_sql(f"`{qty_col}`")).alias("__q100r"),
+                *[
+                    (F.expr(e) if isinstance(e, str) else e).alias(f"__e{i}")
+                    for i, (e, _) in enumerate(extra_sums)
+                ],
             ).repartition(*group_cols)
-            qty_scaled: Column = F.col("__q100r")
-            extra_cols: list[Column] = [
-                F.col(f"__e{i}") for i in range(len(extra_sums))
-            ]
+            qty_scaled = "`__q100r`"
+            extra_exprs = [f"`__e{i}`" for i in range(len(extra_sums))]
         else:
-            qty_scaled = scaled_long(qty_col)
-            extra_cols = [e for e, _ in extra_sums]
+            qty_scaled = scaled_long_sql(f"`{qty_col}`")
+            extra_exprs = [
+                e if isinstance(e, str) else e
+                for e, _ in extra_sums
+            ]
         pre = df.groupBy(*group_cols, lot_col).agg(
-            F.sum(qty_scaled).alias("__q100"),
+            F.expr(f"SUM({qty_scaled})").alias("__q100"),
             # scaled_long is null exactly when qty is null, so counting
             # the scaled column preserves count(qty_col) semantics
-            F.count(qty_scaled).alias("__qcnt"),
-            *[F.sum(e).alias(f"__x{i}") for i, e in enumerate(extra_cols)],
+            F.expr(f"COUNT({qty_scaled})").alias("__qcnt"),
+            *[
+                (F.expr(f"SUM({e})") if isinstance(e, str) else F.sum(e)).alias(
+                    f"__x{i}"
+                )
+                for i, e in enumerate(extra_exprs)
+            ],
         )
         # same IEEE sequence as money_sum/exact_avg: exact integer total,
         # one cast to double, one divide
-        total = F.sum("__q100").cast("double") / 100.0
+        total_sql = "CAST(SUM(`__q100`) AS DOUBLE) / 100.0D"
         out = pre.groupBy(*group_cols).agg(
-            total.alias("wip_qty"),
-            F.count(lot_col).alias("lot_count"),
-            (total / F.sum("__qcnt")).alias("avg_qty_per_lot"),
-            *[F.sum(f"__x{i}").alias(name) for i, (_, name) in enumerate(extra_sums)],
+            F.expr(total_sql).alias("wip_qty"),
+            F.expr(f"COUNT(`{lot_col}`)").alias("lot_count"),
+            F.expr(f"({total_sql}) / SUM(`__qcnt`)").alias("avg_qty_per_lot"),
+            *[
+                F.expr(f"SUM(`__x{i}`)").alias(name)
+                for i, (_, name) in enumerate(extra_sums)
+            ],
         )
     if snapshot_date is not None:
         out = out.withColumn("snapshot_date", F.lit(snapshot_date))
@@ -160,10 +190,12 @@ def priority_wip_aggregate(
     If the optional priority column is absent the count is constant 0 —
     the schema-flex pattern from SURVEY §1.3.
     """
+    from dagster_etl_spark.functions import sql_str_literal
+
     cond = (
-        flag(F.col(priority_col) == high_value)
+        flag_sql(f"`{priority_col}` = {sql_str_literal(high_value)}")
         if priority_col in df.columns
-        else F.lit(0)
+        else "0"
     )
     return wip_aggregate(
         df, extra_sums=((cond, "high_priority_count"),), **kwargs
@@ -208,23 +240,34 @@ def priority_wip_preagg(
     one Exchange plus one BroadcastExchange, and the final aggregate
     reuses the pre-shuffle partitioning, so it is exchange-free.
     """
+    from dagster_etl_spark.functions import sql_str_literal
+
+    preds = []
     if status_col is not None:
-        df = df.filter(F.col(status_col).isin(list(active_statuses)))
-    for k in group_cols:
-        df = df.filter(F.col(k).isNotNull())
+        preds.append(sql_in_list(f"`{status_col}`", active_statuses))
+    preds.extend(f"`{k}` IS NOT NULL" for k in group_cols)
+    if preds:
+        df = df.filter(" AND ".join(preds))
     pre = (
-        df.select(*group_cols, lot_col, scaled_long(qty_col).alias("__q100r"))
+        df.select(
+            *group_cols,
+            lot_col,
+            F.expr(scaled_long_sql(f"`{qty_col}`")).alias("__q100r"),
+        )
         .repartition(*group_cols)
         .groupBy(*group_cols, lot_col)
         .agg(
-            F.sum("__q100r").alias("__q100"),
-            F.count("__q100r").alias("__qcnt"),
-            F.count(F.lit(1)).alias("__n"),
+            F.expr("SUM(`__q100r`)").alias("__q100"),
+            F.expr("COUNT(`__q100r`)").alias("__qcnt"),
+            F.expr("COUNT(1)").alias("__n"),
         )
     )
     dim = priority_dim.select(
         dim_key,
-        flag(F.col(priority_col) == high_value).cast("tinyint").alias("__urgent"),
+        F.expr(
+            f"CAST({flag_sql(f'`{priority_col}` = {sql_str_literal(high_value)}')}"
+            " AS TINYINT)"
+        ).alias("__urgent"),
     )
     # no broadcast hint: the priority dim is lot-keyed, so it GROWS
     # with the fact — forcing a broadcast turned into a scale bug at
@@ -232,12 +275,12 @@ def priority_wip_preagg(
     # auto-broadcasts while the reduced (key, tinyint) dim fits the
     # threshold and shifts to a shuffle join beyond it.
     joined = pre.join(dim, pre[lot_col] == dim[dim_key])
-    total = F.sum("__q100").cast("double") / 100.0
+    total_sql = "CAST(SUM(`__q100`) AS DOUBLE) / 100.0D"
     return joined.groupBy(*group_cols).agg(
-        total.alias("wip_qty"),
-        F.count(lot_col).alias("lot_count"),
-        (total / F.sum("__qcnt")).alias("avg_qty_per_lot"),
-        F.sum(F.col("__n") * F.col("__urgent")).cast("long").alias("high_priority_count"),
+        F.expr(total_sql).alias("wip_qty"),
+        F.expr(f"COUNT(`{lot_col}`)").alias("lot_count"),
+        F.expr(f"({total_sql}) / SUM(`__qcnt`)").alias("avg_qty_per_lot"),
+        F.expr("CAST(SUM(`__n` * `__urgent`) AS BIGINT)").alias("high_priority_count"),
     )
 
 
@@ -290,15 +333,16 @@ def priority_wip_split(
     single-process DuckDB at x10/x50/x100 (SCALETREND_r9.json),
     monotone and under the bar at 60 M rows.
     """
+    preds = []
     if status_col is not None:
-        df = df.filter(F.col(status_col).isin(list(active_statuses)))
-    for k in group_cols:
-        df = df.filter(F.col(k).isNotNull())
+        preds.append(sql_in_list(f"`{status_col}`", active_statuses))
+    preds.extend(f"`{k}` IS NOT NULL" for k in group_cols)
     # NULL lot keys would diverge from the inner-join forms (they drop
     # such rows at the join; the split base aggregate would keep them in
     # wip_qty) — filter them up front so all three A7 shapes agree. RI
     # plus this filter makes the split exactly equal to the joins.
-    df = df.filter(F.col(lot_col).isNotNull())
+    preds.append(f"`{lot_col}` IS NOT NULL")
+    df = df.filter(" AND ".join(preds))
     base = wip_aggregate(
         df,
         group_cols=group_cols,
@@ -308,7 +352,11 @@ def priority_wip_split(
         approx_distinct=approx_distinct,
         single_shuffle=None if approx_distinct else True,
     )
-    urgent = priority_dim.filter(F.col(priority_col) == high_value).select(dim_key)
+    from dagster_etl_spark.functions import sql_str_literal
+
+    urgent = priority_dim.filter(
+        f"`{priority_col}` = {sql_str_literal(high_value)}"
+    ).select(dim_key)
     proj = df.select(*group_cols, lot_col)
     # qualify via the parent frames: an unqualified F.col comparison is
     # ambiguous when the caller's dim key shares the fact's lot column
@@ -316,11 +364,11 @@ def priority_wip_split(
     cnt = (
         proj.join(urgent, proj[lot_col] == urgent[dim_key])
         .groupBy(*group_cols)
-        .agg(F.count(F.lit(1)).alias("high_priority_count"))
+        .agg(F.expr("COUNT(1)").alias("high_priority_count"))
     )
     return base.join(cnt, on=list(group_cols), how="left").withColumn(
         "high_priority_count",
-        F.coalesce(F.col("high_priority_count"), F.lit(0)).cast("long"),
+        F.expr("CAST(coalesce(`high_priority_count`, 0) AS BIGINT)"),
     )
 
 

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dagster_etl_spark.functions import money_sum
-from dagster_etl_spark.functions import scaled_long
+from dagster_etl_spark.functions import scaled_long, scaled_long_sql
 from dagster_etl_spark.operators.windows import rank_topk, sessionize, with_lag_gap
 from dagster_etl_spark.registry import register
 from dagster_etl_spark.sources.fixtures import load_table
@@ -249,15 +249,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.functions import twostage_money_sums
 
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
+    disc = "(l_extendedprice * (1 - l_discount))"
+    charge = f"({disc} * (1 + l_tax))"
     # whole-table rollup with ~6 groups: the few-group shape where a
     # single group's int64 fixed-point sum could overflow at extreme
     # scale — so this goes through the two-stage (keys, partition)
     # BIGINT -> DECIMAL(38,0) merge, which is bit-identical (exact
     # integer addition) and keeps the decimal path off the data
     base = twostage_money_sums(
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")),
+        li.filter("l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'"),
         keys=["l_returnflag", "l_linestatus"],
         money={
             "sum_qty": ("l_quantity", 2),
@@ -267,14 +267,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         count_alias="count_order",
     )
-    return base.select(
+    return base.selectExpr(
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
         "sum_base_price",
         "sum_disc_price",
         "sum_charge",
-        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        "sum_qty / count_order AS avg_qty",
         "count_order",
     )
 
@@ -308,21 +308,24 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    region = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
 
     dims = F.broadcast(
-        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        customer.join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .select("c_custkey", "n_name")
     )
-    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    revenue = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    fact = li.join(orders, F.expr("l_orderkey = o_orderkey"))
     return (
-        fact.join(dims, fact.o_custkey == dims.c_custkey)
+        fact.join(dims, F.expr("o_custkey = c_custkey"))
         .groupBy("n_name")
         .agg(
-            (F.sum(revenue).cast("double") / 1e6).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.expr(
+                "CAST(SUM("
+                + scaled_long_sql("(l_extendedprice * (1 - l_discount))", 6)
+                + ") AS DOUBLE) / 1000000.0D"
+            ).alias("revenue"),
+            F.expr("COUNT(1)").alias("n_items"),
         )
     )
 

@@ -40,22 +40,22 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
-    views = ev.filter("event_type = 'view'").select(
-        F.col("event_id").alias("view_event_id"),
+    views = ev.filter("event_type = 'view'").selectExpr(
+        "event_id AS view_event_id",
         "user_id",
-        F.col("value").alias("view_value"),
+        "value AS view_value",
         "ts",
     )
     out = asof_join(
         purchases, views, keys=["user_id"],
         right_vals=["view_event_id", "view_value"],
     )
-    return out.select(
+    return out.selectExpr(
         "event_id",
         "user_id",
-        F.col("view_event_id_asof").alias("view_event_id"),
-        F.col("view_value_asof").alias("view_value"),
-        F.unix_timestamp("ts_asof").cast("long").alias("view_ts_sec"),
+        "view_event_id_asof AS view_event_id",
+        "view_value_asof AS view_value",
+        "CAST(unix_timestamp(ts_asof) AS BIGINT) AS view_ts_sec",
     )
 
 

@@ -88,6 +88,13 @@ def test_multigrain_rollup_consistency(spark):
         for r in roll.groupBy("grain").agg(F.count(F.lit(1)).alias("b")).collect()
     }
     assert counts["1h"] >= counts["1d"]
+    # release: the cached plan is over the SHARED sf0.001 fixture frame,
+    # and a live cache entry substitutes an InMemoryRelation into any
+    # later identical plan — test_plans' exchange-budget audit of
+    # event_rollup_multigrain then counts the relation's internal
+    # exchange and fails ORDER-DEPENDENTLY (pre-existing; surfaced in
+    # the r18 optimization round's subset runs)
+    roll.unpersist()
 
 
 def test_asof_join_null_right_value_travels_with_its_row(spark):
