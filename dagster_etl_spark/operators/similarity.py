@@ -504,11 +504,12 @@ def _pq_code_expr(vec_col: str, book: list[list[float]], j: int, ds: int) -> str
     return f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
 
 
-def _pq_dist_array_expr(
+def _pq_dist_chain_exprs(
     vec_col: str, book: list[list[float]], j: int, ds: int
-) -> str:
-    """The ksub-element squared-distance array for subspace ``j`` —
-    the shared first stage of the staged encode below."""
+) -> list[str]:
+    """The ksub squared-distance chains for subspace ``j`` (one SQL
+    expression per codeword) — the shared first stage of the staged
+    encode below."""
     base = j * ds
     chains = []
     for w in book:
@@ -520,7 +521,7 @@ def _pq_dist_array_expr(
             for t in range(ds)
         )
         chains.append(f"({terms})")
-    return f"array({', '.join(chains)})"
+    return chains
 
 
 def pq_codes_staged(
@@ -530,10 +531,11 @@ def pq_codes_staged(
     vec_col: str,
     carry: list[tuple[str, str]],
 ) -> DataFrame:
-    """Two-projection PQ encode (r17): stage 1 evaluates each
-    subspace's ksub-chain distance array ONCE into a column (plus the
-    ``carry`` (expr, name) passthroughs); stage 2 reads the code off
-    each array column with primitive array_position/array_min.
+    """Two-projection PQ encode (r17, re-staged r18): stage 1 evaluates
+    each (subspace, codeword) squared-distance chain ONCE into its own
+    scalar column (plus the ``carry`` (expr, name) passthroughs); stage
+    2 assembles each subspace's ksub columns into an array and reads
+    the code off it with primitive array_position/array_min.
 
     Why two stages instead of one expression per code: the single
     expression ``array_position(arr, array_min(arr))`` embeds the
@@ -545,24 +547,41 @@ def pq_codes_staged(
     RUNTIME — measured 3.7x single-process at x100, worse than the 3.0x
     it replaced (the same 66 us/row alloc-churn lesson as the struct
     sort this docstring's sibling already records). The staged split
-    gets both: the array appears once in the tree (compile), is
-    materialized once per row as a plain column (runtime), and the
-    argmin runs primitive array ops over the column ref. Catalyst's
-    CollapseProject keeps the two projections separate because the
-    array columns are non-cheap and referenced twice (SPARK-36718),
-    and both stages still fuse into one WholeStageCodegen.
+    gets both: each chain appears once in the tree (compile), is
+    materialized once per row (runtime), and the argmin runs primitive
+    array ops over column refs. Catalyst's CollapseProject keeps the
+    two projections separate because the distance columns are
+    non-cheap and referenced twice (SPARK-36718).
+
+    Why SCALAR distance columns instead of r17's per-subspace ARRAY
+    columns (r18): with arrays, both stages fused into one
+    WholeStageCodegen whose generated processNext() exceeded janino's
+    64 KB method limit at the registered geometries (m=8/ksub=16
+    already fails; sized_for's m=16/ksub=64 is 4x bigger). The compile
+    FAILURE is not cached, so every execution re-parsed and re-failed a
+    ~23k-line class on the driver (~1-2 s) before falling back to
+    non-codegen operators. m*ksub scalar columns put the stage past
+    spark.sql.codegen.maxFields (100), so Spark skips whole-stage
+    fusion for it UP FRONT — no doomed compile, and each projection
+    gets its own (method-splittable) expression codegen. Measured on
+    the x10 fixture corpus (20k vectors): encode 2.2s -> 1.4s at
+    m=8/ksub=16, 20-27s -> 8-11s at m=16/ksub=64; codes verified
+    identical vector-for-vector.
 
     Values are identical to the single-expression form: same chains,
     same array_position first-match tie rule — every oracle unchanged."""
     dist_exprs = [
-        f"{_pq_dist_array_expr(vec_col, book, j, ds)} AS _d{j}"
+        f"{chain} AS _d{j}_{c}"
         for j, book in enumerate(books)
+        for c, chain in enumerate(_pq_dist_chain_exprs(vec_col, book, j, ds))
     ]
     s1 = df.selectExpr(*[f"{e} AS {n}" for e, n in carry], *dist_exprs)
-    code_exprs = [
-        f"CAST(array_position(_d{j}, array_min(_d{j})) - 1 AS INT) AS code_{j}"
-        for j in range(len(books))
-    ]
+    code_exprs = []
+    for j, book in enumerate(books):
+        arr = "array(" + ", ".join(f"_d{j}_{c}" for c in range(len(book))) + ")"
+        code_exprs.append(
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT) AS code_{j}"
+        )
     return s1.selectExpr(*[n for _, n in carry], *code_exprs)
 
 
