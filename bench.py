@@ -41,6 +41,14 @@ def main() -> None:
 
     specs = all_queries()
     bench_names = [n for n, s in specs.items() if "bench" in s.tags] or list(specs)
+    # PINNED timed order (r18 verdict task 2): the registry fronts a
+    # rotating 50-query correctness window, so registration order
+    # changes every round — in r18 that silently reordered the timed
+    # sequence and redistributed the cold-JVM ramp onto different
+    # queries, manufacturing per-query "regressions" with zero code
+    # change. Sorting pins the sequence forever: rotation can never
+    # again move a query's run position.
+    bench_names = sorted(bench_names)
 
     from dagster_etl_spark.plans.cache import release_pinned
 
@@ -59,21 +67,28 @@ def main() -> None:
             print(f"bench warm-up error in {name}: {exc}", file=sys.stderr)
         release_pinned()
 
-    # best-of-2 timed runs: the DuckDB baseline numbers are warm
-    # best-of-runs on a live process (BASELINE.md), and this box's
-    # background load can steal a core mid-sample — min over two
-    # samples measures the plan's steady state the same way.
+    # best-of-3 timed runs (r18 verdict task 2 — was best-of-2 through
+    # r18): the DuckDB baseline numbers are warm best-of-runs on a live
+    # process (BASELINE.md), and this box's background load can steal a
+    # core mid-sample — min over samples measures the plan's steady
+    # state the same way, and the third sample plus the recorded
+    # per-query spread and 1-min loadavg make a steal window READABLE
+    # in the artifact (spread/load high -> drift, not regression)
+    # instead of indistinguishable from a plan change.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    load1: dict[str, float] = {}
     for name in bench_names:
-        best = -1.0
+        samples: list[float] = []
+        load1[name] = round(os.getloadavg()[0], 2)
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 run_one(name)
-                sample = time.time() - t0
-                best = sample if best < 0 else min(best, sample)
+                samples.append(time.time() - t0)
                 release_pinned()
-            timings[name] = round(best, 3)
+            timings[name] = round(min(samples), 3)
+            spread[name] = round(max(samples) - min(samples), 3)
         except Exception as exc:  # never break the bench line
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
@@ -96,7 +111,7 @@ def main() -> None:
             run_one(name)  # warm
             release_pinned()
             samples = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 run_one(name)
                 samples.append(time.time() - t0)
@@ -114,12 +129,31 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # self-defense context (r18 verdict task 2, additions
+                # only): per-query best-vs-worst sample spread and the
+                # 1-min loadavg read immediately before each query's
+                # samples. A "regression" whose spread/load context is
+                # elevated is host steal, not a plan change (r18's
+                # geomean-0.68 window was exactly this, adjudicated
+                # from BENCH_r18_c8 + extra_spread).
+                "spread": spread,
+                "load1": load1,
+                # timed order is sorted(bench_names), pinned since r19
+                # so registry rotation can never reorder the sequence
+                "order": "sorted",
                 "extra": extra,
                 "extra_spread": extra_spread,
                 "sf": sf_of(SF_DIR),
                 # sampling mode, for round-over-round comparability:
-                # r1-r3 were single warm samples, r4+ best-of-2
-                "samples": 2,
+                # r1-r3 single warm samples, r4-r18 best-of-2, r19+
+                # best-of-3
+                "samples": 3,
+                # context for scaling comparisons: every fixture table
+                # is a single-row-group parquet file, so each scan is
+                # ONE task regardless of core count (r18 verdict §3) —
+                # sf0.1 numbers measure a fixed driver+scan floor, not
+                # parallel execution
+                "note": "single-row-group fixture: one task per scan",
             }
         )
     )

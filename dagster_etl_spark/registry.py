@@ -76,94 +76,25 @@ _LOADED = False
 # sessionize, priority_wip_join). Round-4 additions append below and
 # must stay within the 50-slot window.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # round 18: generated FROM the artifacts, not memory. Fronts the
-    # first 50 of the 60 pre-declared r18 heads from _NEXT_ROTATION_HEADS
-    # as checked at the r17 boundary (the 8 r17 overflow names, then the
-    # registered names with no row in CORRECTNESS_r16.json and outside
-    # the r17 window, in artifact order). Includes all six queries the
-    # r17 staleness tripwire named (zorder_span_stats,
-    # wip_aggregate_approx, priority_wip_approx, dedup_lines,
-    # dedup_survivors, self_repetition_removal). The 10 overflow names
-    # front the r19 rotation: see _NEXT_ROTATION_HEADS below, which
+    # round 19: generated FROM the artifacts, not memory — exactly the
+    # first 50 of the 60 pre-declared r19 heads in _NEXT_ROTATION_HEADS
+    # as checked at the r18 boundary (the 10 r18 overflow names, then
+    # the registered names with no row in CORRECTNESS_r17.json and
+    # outside the r18 window, in registry order). Includes both queries
+    # still awaiting their first driver row (ivf_pq_ann_rebucket,
+    # streaming_dsir_ingest). The 10 overflow names front the r20
+    # rotation: see _NEXT_ROTATION_HEADS below, which
     # tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
     # derives from the artifacts instead of trusting a comment.
-    # Disjointness vs CORRECTNESS_r17.json (the newest artifact) is
-    # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round.
-    # Invariant that keeps perfect disjointness provable as the registry
-    # grows: len(registry) - 50 >= 50 (pinned by
-    # tests/test_plans.py::test_registry_keeps_rotation_headroom).
-    "zorder_span_stats",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "ivf_ann_recall",
-    "containment_neardup",
-    "hybrid_rrf_retrieval",
-    "hybrid_rrf_ivf",
-    "media_metadata",
-    "media_frame_sample",
-    "media_features",
-    "wip_aggregate",
-    "wip_aggregate_approx",
-    "priority_wip_approx",
-    "priority_wip_join",
-    "cycle_time_stats",
-    "equipment_pivot",
-    "item_master_enrich",
-    "order_rank_window",
-    "events_lag",
-    "sessionize",
-    "customers_without_urgent_orders",
-    "validation_report",
-    "pricing_summary",
-    "regional_revenue",
-    "customer_segment_setops",
-    "rolling_customer_spend",
-    "events_json_percentiles",
-    "shipping_priority",
-    "returned_item_customers",
-    "late_shipment_priority",
-    "priority_shipping_mix",
-    "promo_revenue_share",
-    "revenue_cube",
-    "approx_distinct_gate",
-    "approx_quantile_gate",
-    "latest_order_per_customer",
-    "scd2_user_event_type",
-    "salted_join_revenue",
-    "top_revenue_suppliers",
-    "sole_failed_supplier",
-    "streaming_bm25_ingest",
-    "streaming_drift_monitor",
-    "dedup_lines",
-    "dedup_survivors",
-    "url_dedup",
-    "self_repetition_removal",
-    "bm25_topk_docs",
-    "dedup_substrings",
-    "bm25_incremental",
-    "ccnet_surprisal_buckets",
-)
-
-# Pre-declared rotation heads for the NEXT round (r14), in
-# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
-# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
-# most recent driver row (r11) will be the oldest in the fleet. This
-# tuple is CHECKED, not advisory:
-# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
-# recomputes it as registry - (newest CORRECTNESS file UNION the
-# current 50-slot window) -- any query registered mid-round without
-# being appended here fails the suite, turning the manual
-# pre-declaration discipline into an invariant. Mid-round registrations
-# must be APPENDED here (and swept via ALLCHECK) so they front the next
-# rotation too.
-_NEXT_ROTATION_HEADS: tuple[str, ...] = (
-    # r19 heads: the 10 r18 overflow names that did not fit the 50-slot
-    # r18 window above (including the two mid-r17 registrations
-    # ivf_pq_ann_rebucket / streaming_dsir_ingest, still awaiting their
-    # first driver row), then the remaining registered names with no row
-    # in CORRECTNESS_r17.json and not in the current window, in registry
-    # order. Mid-r18 registrations must be APPENDED here (and swept via
-    # ALLCHECK) so they front the next rotation too.
+    # Disjointness vs CORRECTNESS_r18.json (the newest artifact) is
+    # enforced by tests/test_plans.py::test_driver_window_rotates_vs_last_round
+    # (verified: intersection empty). Invariant that keeps perfect
+    # disjointness provable as the registry grows: len(registry) - 50
+    # >= 50 (pinned by tests/test_plans.py::test_registry_keeps_rotation_headroom).
+    # NOTE: since r19 the bench's timed order is PINNED (bench.py sorts
+    # its query names), so this rotation no longer reorders the timed
+    # sequence — the r18 false-regression mechanism (VERDICT r18 §perf)
+    # cannot recur.
     "dsir_select",
     "corpus_drift_tv",
     "surprisal_incremental",
@@ -214,6 +145,26 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "doc_stats",
     "exact_dedup",
     "clean_corpus",
+)
+
+# Pre-declared rotation heads for the NEXT round (r14), in
+# CORRECTNESS_r11.json artifact order: the 23 r11 names that did not
+# fit the 50-slot r13 window above, so once CORRECTNESS_r13 lands their
+# most recent driver row (r11) will be the oldest in the fleet. This
+# tuple is CHECKED, not advisory:
+# tests/test_plans.py::test_next_rotation_heads_derive_from_artifacts
+# recomputes it as registry - (newest CORRECTNESS file UNION the
+# current 50-slot window) -- any query registered mid-round without
+# being appended here fails the suite, turning the manual
+# pre-declaration discipline into an invariant. Mid-round registrations
+# must be APPENDED here (and swept via ALLCHECK) so they front the next
+# rotation too.
+_NEXT_ROTATION_HEADS: tuple[str, ...] = (
+    # r20 heads: the 10 r19 overflow names that did not fit the 50-slot
+    # r19 window above, then the remaining registered names with no row
+    # in CORRECTNESS_r18.json and not in the current window, in registry
+    # order. Mid-r19 registrations must be APPENDED here (and swept via
+    # ALLCHECK) so they front the next rotation too.
     "contamination_score",
     "decontaminate_bloom_gate",
     "epoch_shuffle_order",
@@ -224,6 +175,56 @@ _NEXT_ROTATION_HEADS: tuple[str, ...] = (
     "quality_classifier_score",
     "subword_segment",
     "token_budget_mixture_subword",
+    "minhash_neardup_incremental",
+    "filtered_ann_topk",
+    "minhash_estimate_gate",
+    "cross_corpus_neardup",
+    "cross_corpus_neardup_incremental",
+    "filtered_ivf_ann_topk",
+    "ivf_ann_incremental",
+    "scrub_benchmark_spans",
+    "audio_fingerprint_groups",
+    "cycle_time_stats_incremental",
+    "user_event_type_map",
+    "fuzzy_part_pairs",
+    "major_suppliers",
+    "order_price_window_stats",
+    "lineitem_moment_stats",
+    "streaming_error_bursts",
+    "streaming_media_decode",
+    "streaming_neardup_ingest",
+    "streaming_weighted_sample",
+    "streaming_quality_score",
+    "value_band_range_join",
+    "event_rollup_multigrain",
+    "incremental_event_rollup",
+    "gap_filled_user_timeline",
+    "lang_id",
+    "doc_fingerprints",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "null_profile_orders",
+    "redact_pii",
+    "decontaminate_vs_benchmark",
+    "train_val_test_split",
+    "corpus_mixture",
+    "quality_deciles",
+    "corpus_bigram_counts",
+    "gopher_quality_flags",
+    "doc_chunks",
+    "stratified_event_sample",
+    "bigram_novelty",
+    "vocab_oov",
+    "winnow_fingerprints",
+    "weighted_corpus_sample",
+    "training_order_pipeline",
+    "token_budget_mixture",
+    "cm_heavy_hitters",
+    "temperature_mixture",
+    "kn_bigram_surprisal",
+    "quality_gate_composite",
+    "packed_sequences_subword",
+    "lang_classifier_scores",
 )
 
 
