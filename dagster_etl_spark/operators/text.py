@@ -2651,25 +2651,15 @@ def subword_doc_expr(text_col: str, d: str) -> str:
     return x.let(x.tokens(text_col, d), "_ws", inner, d)
 
 
-def subword_segment(
+def subword_segment_expr_form(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Greedy subword segmentation stats per document over the frozen
-    broadcast vocabulary — the real-tokenizer replacement for the
-    whitespace/regex token-count proxy in doc_stats: training budgets
-    are set in TOKENIZER tokens, and this is the engine-side way to
-    count them without a Python UDF. Empty docs report zero counts
-    (kept — a budget pipeline needs their zero, not their absence).
-
-    Scale shape: pure per-row expression tree — zero shuffles, whole
-    plan inside codegen, linear in corpus characters; the vocabulary
-    is a plan constant (or a broadcast array frame at production
-    vocab sizes). The oracle twin proves the walk with a recursive
-    CTE, one recursion row per emitted piece.
-
-    Returns (doc_id, n_words, n_pieces, n_unk_words, seg_fp,
-    pieces_per_word_x1000 — the fixed-point compression diagnostic).
-    """
+    """The r15–r18 pure-expression-tree form of :func:`subword_segment`
+    (one ``aggregate`` fold per word inside the scan). Kept as the
+    reference twin: higher-order-function folds execute INTERPRETED per
+    element, so the Arrow-batched form below replaced it on the hot
+    path (r19); tests/test_properties.py pins both forms equal on the
+    fixture corpus."""
     s = x.SPARK
     return df.selectExpr(
         id_col, f"{subword_doc_expr(text_col, s)} AS _sw"
@@ -2681,6 +2671,35 @@ def subword_segment(
         "_sw.seg_fp AS seg_fp",
         "CASE WHEN _sw.n_words > 0 THEN (CAST(1000 AS BIGINT) * _sw.n_pieces)"
         " DIV _sw.n_words ELSE CAST(0 AS BIGINT) END AS pieces_per_word_x1000",
+    )
+
+
+def subword_segment(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Greedy subword segmentation stats per document over the frozen
+    vocabulary — the real-tokenizer replacement for the
+    whitespace/regex token-count proxy in doc_stats: training budgets
+    are set in TOKENIZER tokens. Empty docs report zero counts
+    (kept — a budget pipeline needs their zero, not their absence).
+
+    Execution (r19, guide §4.2/§4.5): Arrow-batched ``mapInPandas``
+    running the identical recurrence in Python — see
+    :func:`_segment_map_in_pandas` for why this beats the interpreted
+    SQL ``aggregate`` fold it replaced (:func:`subword_segment_expr_form`,
+    kept as the equivalence twin). Still zero shuffles and scan-local;
+    only (id, text) cross the Python boundary. The oracle twin proves
+    the walk with a recursive CTE, one recursion row per emitted piece.
+
+    Returns (doc_id, n_words, n_pieces, n_unk_words, seg_fp,
+    pieces_per_word_x1000 — the fixed-point compression diagnostic).
+    """
+    return _segment_map_in_pandas(
+        df,
+        text_col,
+        (id_col,),
+        ("n_words", "n_pieces", "n_unk_words", "seg_fp", "pieces_per_word_x1000"),
+        _subword_doc_fn,
     )
 
 
@@ -2894,21 +2913,13 @@ def bpe_doc_expr(text_col: str, d: str) -> str:
     return x.let(x.tokens(text_col, d), "_ws", inner, d)
 
 
-def bpe_segment(
+def bpe_segment_expr_form(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """BPE merge-rank segmentation stats per document — the GPT-family
-    third budget basis next to whitespace counts (doc_stats) and the
-    WordPiece-style greedy walk (:func:`subword_segment`). Empty docs
-    report zero counts.
-
-    Scale shape: identical to subword_segment — pure per-row
-    expression tree, zero shuffles, whole plan inside codegen; the
-    merge table is a plan constant (a broadcast table at production
-    merge counts).
-
-    Returns (doc_id, n_words, n_pieces, seg_fp,
-    pieces_per_word_x1000)."""
+    """The r15–r18 pure-expression-tree form of :func:`bpe_segment`
+    (an O(L²) ``aggregate`` fold per word). Kept as the reference twin
+    for the Arrow-batched hot path (r19); tests/test_properties.py pins
+    both forms equal on the fixture corpus."""
     s = x.SPARK
     return df.selectExpr(
         id_col, f"{bpe_doc_expr(text_col, s)} AS _bw"
@@ -2919,6 +2930,34 @@ def bpe_segment(
         "_bw.seg_fp AS seg_fp",
         "CASE WHEN _bw.n_words > 0 THEN (CAST(1000 AS BIGINT) * _bw.n_pieces)"
         " DIV _bw.n_words ELSE CAST(0 AS BIGINT) END AS pieces_per_word_x1000",
+    )
+
+
+def bpe_segment(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE merge-rank segmentation stats per document — the GPT-family
+    third budget basis next to whitespace counts (doc_stats) and the
+    WordPiece-style greedy walk (:func:`subword_segment`). Empty docs
+    report zero counts.
+
+    Execution (r19, guide §4.2/§4.5): Arrow-batched ``mapInPandas``
+    running the identical leftmost-lowest-rank merge recurrence in
+    Python (see :func:`_segment_map_in_pandas`) — the SQL ``aggregate``
+    fold it replaced (:func:`bpe_segment_expr_form`, kept as the
+    equivalence twin) executed O(L²) interpreted lambda steps per word
+    and was the registry's single largest per-task-work item (9.7 s
+    Spark-only at sf0.1, r18 verdict task 1). Still zero shuffles and
+    scan-local; only (id, text) cross the Python boundary.
+
+    Returns (doc_id, n_words, n_pieces, seg_fp,
+    pieces_per_word_x1000)."""
+    return _segment_map_in_pandas(
+        df,
+        text_col,
+        (id_col,),
+        ("n_words", "n_pieces", "seg_fp", "pieces_per_word_x1000"),
+        _bpe_doc_fn,
     )
 
 
@@ -3016,6 +3055,242 @@ WITH RECURSIVE {_bpe_walk_ctes(table, text_col, id_col)}, per_doc AS (
 SELECT t.{id_col}, {ec}COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
 FROM {table} t LEFT JOIN per_doc p USING ({id_col})
 ) bp"""
+
+
+# -- Arrow-batched tokenizer execution (r19, guide §4.2/§4.5) -------------------
+#
+# The subword/BPE walks above are pure per-word recurrences. r15–r18
+# executed them as Spark SQL ``aggregate`` folds: scan-local and
+# shuffle-free, but higher-order-function lambdas run INTERPRETED per
+# element (no codegen inside the fold), so the BPE walk paid O(L²)
+# interpreted steps per word — 9.7 s Spark-only at sf0.1, the largest
+# per-task-work item in the registry (r18 verdict task 1, guide §4.2:
+# do the heavy lifting batch-native). The functions below run the
+# IDENTICAL recurrences in Python behind an Arrow-batched
+# ``mapInPandas``: one interpreter entry per record batch (no per-row
+# pickling), the vocab set / merge-rank dict plus a per-task
+# word→stats memo built once per task (§4.5 — every walk is a pure
+# function of the word, so memoizing within a task is just CSE, not
+# cross-run caching), and only the columns the walk needs cross the
+# boundary (§4.1). Equivalence is pinned three ways: the recursive-CTE
+# DuckDB oracles (unchanged), the pure-Python property models
+# (tests/test_properties.py), and the retained expression-tree twins
+# (`subword_segment_expr_form` / `bpe_segment_expr_form`) which
+# tests compare row-for-row on the fixture corpus.
+
+#: Python mirror of the Spark/Java ``\\s`` class used by
+#: :func:`xdialect.tokens` — Java's default (non-UNICODE) ``\\s`` is
+#: exactly [ \\t\\n\\x0B\\f\\r]; Python's ``\\s`` would additionally
+#: split on Unicode spaces and silently change tokenization.
+_JAVA_WS_RE = __import__("re").compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_tokens(text: str | None) -> list[str] | None:
+    """Python mirror of ``x.tokens(col, SPARK)`` = ``filter(split(
+    trim(lower(col)), '\\\\s+'), t -> t != '')``: lowercase, split on
+    Java whitespace runs, drop empty tokens (the trim only ever
+    removes tokens the empty-filter drops anyway). ``None`` propagates
+    like SQL NULL."""
+    if text is None:
+        return None
+    return [t for t in _JAVA_WS_RE.split(text.lower()) if t]
+
+
+def _subword_word_stats():
+    """Per-task word→(cnt, unk, fp) walker for the greedy longest-match
+    recurrence of :func:`subword_walk_expr` (same states, same
+    fingerprint fold)."""
+    vocab = frozenset(SUBWORD_VOCAB)
+    maxp = SUBWORD_MAX_PIECE
+    mod = SUBWORD_FP_MOD
+    memo: dict[str, tuple[int, int, int]] = {}
+
+    def stats(wd: str) -> tuple[int, int, int]:
+        st = memo.get(wd)
+        if st is None:
+            pos, cnt, unk, fp = 1, 0, 0, 0
+            L = len(wd)
+            while pos <= L:
+                for n in range(min(maxp, L - pos + 1), 0, -1):
+                    if wd[pos - 1 : pos - 1 + n] in vocab:
+                        pos += n
+                        cnt += 1
+                        fp = (fp * 31 + pos) % mod
+                        break
+                else:
+                    # out-of-vocab char: the whole remainder is one [UNK]
+                    cnt, unk, pos = cnt + 1, unk + 1, L + 1
+                    fp = (fp * 31 + L + 1) % mod
+            st = memo[wd] = (cnt, unk, fp)
+        return st
+
+    return stats
+
+
+def _bpe_word_stats():
+    """Per-task word→(n_pieces, fp) walker for the leftmost-lowest-rank
+    merge recurrence of :func:`bpe_walk_expr` (same tie rule: scanning
+    ascending with strict less keeps the LEFTMOST occurrence of the
+    minimum rank; fp = h60 of the space-joined pieces % mod, exactly
+    ``x.h60`` = int(md5 hex prefix 15, 16))."""
+    import hashlib
+
+    ranks = {(a, b): i + 1 for i, (a, b) in enumerate(BPE_MERGES)}
+    rank_max = BPE_RANK_MAX
+    mod = SUBWORD_FP_MOD
+    memo: dict[str, tuple[int, int]] = {}
+
+    def stats(wd: str) -> tuple[int, int]:
+        st = memo.get(wd)
+        if st is None:
+            p = list(wd)
+            while len(p) >= 2:
+                best, j = rank_max, -1
+                for i in range(len(p) - 1):
+                    r = ranks.get((p[i], p[i + 1]), rank_max)
+                    if r < best:
+                        best, j = r, i
+                if best >= rank_max:
+                    break
+                p[j : j + 2] = [p[j] + p[j + 1]]
+            fp = (
+                int(hashlib.md5(" ".join(p).encode()).hexdigest()[:15], 16)
+                % mod
+            )
+            st = memo[wd] = (len(p), fp)
+        return st
+
+    return stats
+
+
+def _subword_doc_fn():
+    """text → (n_words, n_pieces, n_unk_words, seg_fp,
+    pieces_per_word_x1000), mirroring :func:`subword_doc_expr` + the
+    final projection of :func:`subword_segment` including NULL
+    semantics (NULL text → NULL stats, ppw 0 — the CASE's ELSE)."""
+    word_stats = _subword_word_stats()
+
+    def doc(text):
+        ws = _py_tokens(text)
+        if ws is None:
+            return (None, None, None, None, 0)
+        cnt = unk = fp = 0
+        for w in ws:
+            c, u, f = word_stats(w)
+            cnt += c
+            unk += u
+            fp += f
+        n = len(ws)
+        return (n, cnt, unk, fp, (1000 * cnt) // n if n else 0)
+
+    return doc
+
+
+def _bpe_doc_fn():
+    """text → (n_words, n_pieces, seg_fp, pieces_per_word_x1000),
+    mirroring :func:`bpe_doc_expr` + :func:`bpe_segment`'s projection
+    including NULL semantics."""
+    word_stats = _bpe_word_stats()
+
+    def doc(text):
+        ws = _py_tokens(text)
+        if ws is None:
+            return (None, None, None, 0)
+        cnt = fp = 0
+        for w in ws:
+            c, f = word_stats(w)
+            cnt += c
+            fp += f
+        n = len(ws)
+        return (n, cnt, fp, (1000 * cnt) // n if n else 0)
+
+    return doc
+
+
+def _segment_map_in_pandas(
+    df: DataFrame,
+    text_col: str,
+    keep_cols: tuple[str, ...],
+    out_cols: tuple[str, ...],
+    make_doc_fn,
+) -> DataFrame:
+    """Shared Arrow-batched walk driver: select ONLY keep_cols +
+    text_col before the opaque function (guide §4.1 — mapInPandas
+    defeats column pruning, so prune explicitly), build the walker
+    once per task (§4.5), emit keep_cols + bigint stat columns. Row
+    order and partitioning are preserved (narrow, no exchange), so the
+    plan stays zero-shuffle like the expression form it replaced."""
+    dtypes = dict(df.dtypes)
+    schema = ", ".join(
+        [f"`{c}` {dtypes[c]}" for c in keep_cols]
+        + [f"{c} bigint" for c in out_cols]
+    )
+
+    def run(batches):
+        doc_fn = make_doc_fn()
+        for pdf in batches:
+            out = pdf[list(keep_cols)].copy()
+            stats = [doc_fn(t) for t in pdf[text_col]]
+            for i, c in enumerate(out_cols):
+                out[c] = [s[i] for s in stats]
+            yield out
+
+    return df.select(*keep_cols, text_col).mapInPandas(run, schema)
+
+
+def subword_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+    out_col: str = "n_subword_tokens",
+) -> DataFrame:
+    """(keep_cols, out_col = greedy-subword piece count) per document —
+    the Arrow-batched twin of ``subword_doc_expr(...).n_pieces``.
+    NULL text → NULL count, like the struct field access it mirrors.
+
+    Registered queries do NOT use this form (r19 measured: on the
+    fixture's short texts the O(L·max_piece) greedy walk is cheaper in
+    the expression tree than the Python boundary round trip — 0.58 s vs
+    0.68–0.84 s for token_budget_mixture_subword). It exists as the
+    documented crossover option for long-document corpora, pinned
+    equal to the expression form by tests."""
+
+    def make():
+        word_stats = _subword_word_stats()
+
+        def doc(text):
+            ws = _py_tokens(text)
+            if ws is None:
+                return (None,)
+            return (sum(word_stats(w)[0] for w in ws),)
+
+        return doc
+
+    return _segment_map_in_pandas(df, text_col, keep_cols, (out_col,), make)
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id", "source"),
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """(keep_cols, out_col = BPE piece count) per document — the
+    Arrow-batched budget basis for token_budget_mixture_bpe (was
+    ``bpe_doc_expr(...).n_pieces``)."""
+
+    def make():
+        word_stats = _bpe_word_stats()
+
+        def doc(text):
+            ws = _py_tokens(text)
+            if ws is None:
+                return (None,)
+            return (sum(word_stats(w)[0] for w in ws),)
+
+        return doc
+
+    return _segment_map_in_pandas(df, text_col, keep_cols, (out_col,), make)
 
 
 # -- interpolated Kneser-Ney bigram LM -----------------------------------------

@@ -1715,6 +1715,12 @@ def q_token_budget_mixture_subword(spark: SparkSession, sf_dir: str) -> DataFram
     from dagster_etl_spark.operators.sampling import token_budget_mixture
     from dagster_etl_spark.operators.text import subword_doc_expr
 
+    # r19 measured (guide §1): the Arrow-batched walk
+    # (subword_token_counts) read 0.68–0.84 s here vs 0.58 s for this
+    # expression form — the greedy subword walk is O(L·max_piece),
+    # cheap enough that the Python-boundary round trip costs more than
+    # it saves at this text length. The BPE twin (O(L²) folds) keeps
+    # the Arrow path; re-measure the crossover if document lengths grow.
     docs = load_table(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         "source",
@@ -1782,12 +1788,14 @@ def _budget_bpe_oracle() -> str:
 )
 def q_token_budget_mixture_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dagster_etl_spark.operators.sampling import token_budget_mixture
-    from dagster_etl_spark.operators.text import bpe_doc_expr
+    from dagster_etl_spark.operators.text import bpe_token_counts
 
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id",
-        "source",
-        f"{bpe_doc_expr('text', x.SPARK)}.n_pieces AS n_bpe_tokens",
+    # r19: Arrow-batched BPE piece counts (see subword twin above)
+    docs = bpe_token_counts(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        ("doc_id", "source"),
+        "n_bpe_tokens",
     )
     return token_budget_mixture(
         docs, _MIX_BUDGETS_BPE, token_col="n_bpe_tokens", seed=13
@@ -1895,6 +1903,10 @@ def q_packed_sequences_subword(spark: SparkSession, sf_dir: str) -> DataFrame:
         subword_doc_expr,
     )
 
+    # r19 measured (guide §1): Arrow-batched chunk counts read
+    # 0.83–0.92 s vs 0.63 s for this expression form — chunk texts are
+    # short, so the greedy walk is cheaper than the Python boundary
+    # here (same verdict as token_budget_mixture_subword above)
     chunks = chunk_docs(load_table(spark, sf_dir, "documents"))
     sw = chunks.selectExpr(
         "doc_id",

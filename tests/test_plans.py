@@ -276,14 +276,36 @@ def test_bnlj_only_on_allowlist(plans):
             assert n > 0, f"BNLJ_ALLOWED entry for {name} is stale"
 
 
+# Queries sanctioned to plan an Arrow-batched MapInPandas node (guide
+# §4.2: heavy per-row custom logic batch-native in Python), each with
+# the measured reason. Row-wise Python (BatchEvalPython) stays banned
+# everywhere; MapInPandas anywhere else is still a failure.
+MAPINPANDAS_ALLOWED = {
+    # r19: the tokenizer walks moved from interpreted SQL `aggregate`
+    # folds to one Arrow batch entry per task — bpe_segment 5.6->0.55s,
+    # subword_segment 1.5->0.41s Spark-only at sf0.1 (r18 verdict task
+    # 1); results pinned identical to the retained expression twins
+    # and the recursive-CTE oracles
+    "subword_segment": 1,
+}
+
+
 def test_no_rowwise_python(plans):
     """BatchEvalPython = row-at-a-time Python UDF — banned everywhere.
     Arrow-batched Python (mapInPandas) is allowed only in multimodal
-    decode, which is not in this audit set."""
+    decode (not in this audit set) and the MAPINPANDAS_ALLOWED
+    tokenizer walks."""
     for name, (plan, _) in plans.items():
         assert "BatchEvalPython" not in plan, f"{name} runs row-wise Python"
         assert "ArrowEvalPython" not in plan, f"{name} runs Python in an expression"
-        assert "MapInPandas" not in plan, f"{name} unexpectedly uses mapInPandas"
+        cap = MAPINPANDAS_ALLOWED.get(name, 0)
+        n = plan.count("MapInPandas")
+        assert n <= cap, f"{name} plans {n} MapInPandas node(s), cap {cap}"
+    for name, cap in MAPINPANDAS_ALLOWED.items():
+        if name in plans:
+            assert plans[name][0].count("MapInPandas") > 0, (
+                f"MAPINPANDAS_ALLOWED entry for {name} is stale"
+            )
 
 
 def test_filter_pushdown_reaches_scan(plans):
