@@ -1710,8 +1710,11 @@ class IncrementalNearDupIndex:
 
     # -- encoding (same expression chain as minhash_neardup_pairs) --
 
-    def _encode(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """(bands_df, hashes_df) for a batch: one md5 pass per doc."""
+    def _hashes(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, hs) for a batch — THE tokenize+shingle+md5 pass,
+        the heaviest per-row work in the encode. Split out (r19) so
+        the bands side can be derived from it instead of re-running
+        the whole chain (guide §1.2: don't compute things twice)."""
         tok_n = x.xsize(x.tokens(self.text_col, x.SPARK), x.SPARK)
         sh = shingled(
             spread(docs).filter(F.expr(f"{tok_n} >= {self.k}")),
@@ -1719,11 +1722,19 @@ class IncrementalNearDupIndex:
             self.id_col,
             self.k,
         )
-        hashed = sh.selectExpr(
+        return sh.selectExpr(
             self.id_col,
             f"{x.xform('shingles', 's', x.h60('s', x.SPARK), x.SPARK)} AS hs",
         )
-        sigs = hashed.selectExpr(
+
+    def _bands_from_hashes(self, hashed: DataFrame) -> DataFrame:
+        """Banded (doc_id, bkey) rows from an (doc_id, hs) frame — the
+        signature/band/melt tail of the encode, usable over the live
+        hash frame (batch ingest) or the STAGED hashes slice
+        (ingest_slice), which is how the chain now runs once per slice
+        instead of twice. ``spread`` no-ops when the input is already
+        wide."""
+        sigs = spread(hashed).selectExpr(
             self.id_col, *minhash_signature_exprs("hs", x.SPARK, self.num_hashes)
         )
         banded = sigs.selectExpr(
@@ -1744,14 +1755,30 @@ class IncrementalNearDupIndex:
         ).selectExpr(
             self.id_col, "concat(band_idx, ':', bh) AS bkey"
         )
-        return melted, hashed
+        return melted
+
+    def _encode(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(bands_df, hashes_df) for a batch (one LAZY plan each; see
+        the split halves above for how the eager paths avoid executing
+        the shared md5 chain twice)."""
+        hashed = self._hashes(docs)
+        return self._bands_from_hashes(hashed), hashed
 
     def ingest(self, docs: DataFrame, threshold: float = 0.2) -> None:
         """One day's slice: append its bands/hashes to the index, then
         probe the slice against the (now-complete) index and append
         the verified new pairs. Eager — each step materializes, the
         realistic shape of a daily job (and what makes the pairs table
-        a stable record rather than a lazily-shifting view)."""
+        a stable record rather than a lazily-shifting view).
+
+        The bands and hashes writes each execute the shared
+        tokenize+shingle+md5 chain (no cross-action CSE). r19 measured
+        the alternative and kept this shape: pinning the hashes frame
+        so both writes read the cache was net SLOWER in interleaved
+        A/B pairs (persisting the wide hs arrays costs more than
+        recomputing the chain), and the staged-derivation trick that
+        fixed the same double-execute in ingest_slice needs the slice
+        store, which this batch-grain path deliberately does not use."""
         from dagster_etl_spark.sources.bucketed import (
             append_bucketed,
             write_bucketed,
@@ -1840,16 +1867,27 @@ class IncrementalNearDupIndex:
         tests/test_streaming_recovery.py kills and restarts for real.
 
         ``fault_hook(label)`` is a test-only injection point."""
+        from dagster_etl_spark.streaming.slicestore import slice_file_budget
+
         store = self._slice_store()
         if store.is_committed(slice_id):
             return False
         hook = fault_hook or (lambda _label: None)
         spark = docs.sparkSession
-        new_bands, new_hashes = self._encode(docs)
-        store.write("bands", slice_id, new_bands)
-        hook("staged_bands")
-        store.write("hashes", slice_id, new_hashes)
+        n_files = slice_file_budget(docs)
+        # r19 (guide §1.2): stage hashes FIRST — the tokenize+shingle+
+        # md5 pass — then derive bands from the STAGED hashes file, so
+        # the heavy chain executes once per slice instead of once for
+        # each of the two component writes. Replay-identical: a replay
+        # rewrites the same deterministic hashes, and the band tail is
+        # a pure function of them.
+        store.write("hashes", slice_id, self._hashes(docs), files=n_files)
         hook("staged_hashes")
+        new_bands = self._bands_from_hashes(
+            store.read_slice(spark, "hashes", slice_id)
+        )
+        store.write("bands", slice_id, new_bands, files=n_files)
+        hook("staged_bands")
         slice_bands = store.read_slice(spark, "bands", slice_id)
         index_bands = self._merged(
             spark, "bands", self.bands_table, extra=slice_bands
@@ -1866,6 +1904,8 @@ class IncrementalNearDupIndex:
             index_bands=index_bands,
             index_hashes=index_hashes,
         )
+        # pairs is a shuffle (dropDuplicates/join) output — AQE already
+        # coalesces its write to slice-sized files, no budget needed
         store.write("pairs", slice_id, pairs)
         hook("staged_pairs")
         store.commit(slice_id)

@@ -945,6 +945,8 @@ class IncrementalANNIndex:
         if store.is_committed(slice_id):
             return False
         hook = fault_hook or (lambda _label: None)
+        # _assign is scan-local with no spread: partitioning = the
+        # micro-batch's own splits, already slice-sized — no budget
         assigned = self._assign(vectors, self._centroids())
         store.write("vectors", slice_id, assigned)
         hook("staged_vectors")
@@ -1251,9 +1253,11 @@ class IncrementalIVFPQIndex:
         store = self._slice_store()
         if store.is_committed(slice_id):
             return False
+        from dagster_etl_spark.streaming.slicestore import slice_file_budget
+
         hook = fault_hook or (lambda _label: None)
         coded = self._encode(vectors, self._centroids(), self._books())
-        store.write("codes", slice_id, coded)
+        store.write("codes", slice_id, coded, files=slice_file_budget(vectors))
         hook("staged_codes")
         store.commit(slice_id)
         hook("post_commit")

@@ -874,6 +874,11 @@ class IncrementalBM25Index:
         if store.is_committed(slice_id):
             return False
         hook = fault_hook or (lambda _label: None)
+        # no explicit file budget here: all three components are
+        # aggregate outputs, whose trailing shuffle AQE already
+        # coalesces to slice-sized files (measured: 1 part-file as-is;
+        # a repartition would only add a shuffle). The budget is for
+        # spread()-wide scan-local chains — see slice_file_budget.
         postings, partial_df, totals = self._encode(docs)
         store.write("postings", slice_id, postings)
         hook("staged_postings")
@@ -1669,6 +1674,8 @@ class IncrementalUnigramLM:
         if store.is_committed(slice_id):
             return False
         hook = fault_hook or (lambda _label: None)
+        # aggregate outputs: AQE already coalesces their writes (see
+        # the BM25 ingest_slice note) — no explicit file budget
         counts, totals = self._encode(docs)
         store.write("counts", slice_id, counts)
         hook("staged_counts")
@@ -2149,6 +2156,8 @@ class IncrementalDSIRModel:
         if store.is_committed(slice_id):
             return False
         hook = fault_hook or (lambda _label: None)
+        # aggregate outputs: AQE already coalesces their writes (see
+        # the BM25 ingest_slice note) — no explicit file budget
         counts, totals = self._encode(docs)
         store.write("counts", slice_id, counts)
         hook("staged_counts")

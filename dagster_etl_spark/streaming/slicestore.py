@@ -62,6 +62,32 @@ def _local(path: str) -> str:
     return path
 
 
+def slice_file_budget(batch_df: DataFrame) -> int:
+    """Output-file budget for a staged slice component whose plan ends
+    in a ``spread()``-wide SCAN-LOCAL chain (r19, guide §6 small files):
+    an explicit repartition is exempt from AQE coalescing, so writing
+    such a chain unrepartitioned committed cores× kilobyte part-files
+    per component per micro-batch (32 files for ~1250 rows at sf0.1),
+    and the committed-slice union pays the per-file open cost again on
+    EVERY subsequent probe. Budget = the number of input splits feeding
+    the micro-batch (scales with batch bytes — a file-sourced trigger
+    splits by size), clamped to [1, defaultParallelism]; non-file
+    sources fall back to the batch's partition count. Measured at
+    sf0.1: 0.7–0.9 s -> 0.5–0.6 s per staged write with identical rows.
+
+    Do NOT use it for aggregate/join outputs: their trailing shuffle is
+    AQE-coalesced already (measured 1 part-file as-is) and the
+    repartition would only add a shuffle."""
+    try:
+        n = len(batch_df.inputFiles())
+    except Exception:
+        n = 0
+    if n <= 0:
+        n = batch_df.rdd.getNumPartitions()
+    par = batch_df.sparkSession.sparkContext.defaultParallelism
+    return max(1, min(n, par))
+
+
 class SliceStore:
     """Per-index slice region with an atomically replaced manifest.
 
@@ -127,10 +153,23 @@ class SliceStore:
     def slice_path(self, component: str, slice_id: int) -> str:
         return f"{self.root}/{component}/slice={int(slice_id)}"
 
-    def write(self, component: str, slice_id: int, df: DataFrame) -> None:
+    def write(
+        self, component: str, slice_id: int, df: DataFrame, files: int | None = None
+    ) -> None:
         """Stage one component of one slice. ``overwrite`` is what makes
         a replay safe: the crashed attempt's partial files are replaced
-        wholesale by the (deterministic) recomputation."""
+        wholesale by the (deterministic) recomputation.
+
+        ``files`` bounds the part-file count (see
+        :func:`slice_file_budget`): the repartition keeps the upstream
+        encode chain at full parallelism while the tiny delta lands in
+        slice-sized files instead of cores× kilobyte ones. Replay-safe:
+        the round-robin repartition sorts its input first
+        (SPARK-23207, on by default), and the overwrite replaces the
+        directory wholesale anyway — only the ROW SET must be
+        deterministic, and it is."""
+        if files is not None:
+            df = df.repartition(files)
         df.write.mode("overwrite").parquet(self.slice_path(component, slice_id))
 
     def read_slice(
