@@ -144,7 +144,10 @@ def lsh_bucket_expr(
     for p in range(planes):
         hp = _hyperplane(table * planes + p, dim)
         if d == x.SPARK:
-            arr = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in hp) + ")"
+            # {v!r}D — Spark's typed double literal: bit-identical to
+            # CAST({v!r} AS DOUBLE) (probed r19) at ~40% of the string,
+            # so the plane-literal parse is off the build path's floor
+            arr = "array(" + ", ".join(f"{v!r}D" for v in hp) + ")"
             # fold form keeps the expression tree O(1) deep per plane so
             # the 32-plane bucket array stays inside whole-stage codegen
             dot = (
@@ -197,7 +200,7 @@ def _topn_centroid_buckets_expr(vec_col: str, centroids: list[list[float]], npro
     packing (score, idx) into sortable structs, all JVM-side."""
     scored = ", ".join(
         "named_struct('score', "
-        + f"aggregate(zip_with({vec_col}, array({', '.join(f'CAST({v!r} AS DOUBLE)' for v in c)}), "
+        + f"aggregate(zip_with({vec_col}, array({', '.join(f'{v!r}D' for v in c)}), "
         + "(e, w) -> CAST(e AS DOUBLE) * w), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         + f", 'idx', {i})"
         for i, c in enumerate(centroids)
@@ -494,9 +497,9 @@ def _pq_code_expr(vec_col: str, book: list[list[float]], j: int, ds: int) -> str
     for w in book:
         terms = " + ".join(
             f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
-            f"CAST({w[t]!r} AS DOUBLE)) * "
+            f"{w[t]!r}D) * "
             f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
-            f"CAST({w[t]!r} AS DOUBLE))"
+            f"{w[t]!r}D)"
             for t in range(ds)
         )
         chains.append(f"({terms})")
@@ -509,15 +512,20 @@ def _pq_dist_chain_exprs(
 ) -> list[str]:
     """The ksub squared-distance chains for subspace ``j`` (one SQL
     expression per codeword) — the shared first stage of the staged
-    encode below."""
+    encode below. Codeword literals use the typed ``{v!r}D`` form:
+    bit-identical to ``CAST({v!r} AS DOUBLE)`` (probed r19) at ~40% of
+    the string, which matters because these chains are the largest
+    generated SQL in the repo (m·ksub·ds literals — ~130 KB at
+    m=8/ksub=16, 4× that at the sized_for geometry) and their parse is
+    a pure scale-independent build constant."""
     base = j * ds
     chains = []
     for w in book:
         terms = " + ".join(
             f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
-            f"CAST({w[t]!r} AS DOUBLE)) * "
+            f"{w[t]!r}D) * "
             f"(CAST(element_at({vec_col}, {base + t + 1}) AS DOUBLE) - "
-            f"CAST({w[t]!r} AS DOUBLE))"
+            f"{w[t]!r}D)"
             for t in range(ds)
         )
         chains.append(f"({terms})")
@@ -591,8 +599,12 @@ def pq_reconstruct_expr(code_cols: list[str], books: list[list[list[float]]]) ->
     scan-local, no join (the codebooks are plan constants)."""
     parts = []
     for j, (col, book) in enumerate(zip(code_cols, books)):
+        # CAST({v!r}D AS FLOAT): double literal -> float cast is
+        # bit-identical to the decimal-literal cast it replaces (the
+        # codebook values ARE float32s, both roundings recover them
+        # exactly — probed r19) at a fraction of the parse
         lits = ", ".join(
-            "array(" + ", ".join(f"CAST({v!r} AS FLOAT)" for v in w) + ")"
+            "array(" + ", ".join(f"CAST({v!r}D AS FLOAT)" for v in w) + ")"
             for w in book
         )
         parts.append(f"element_at(array({lits}), {col} + 1)")
