@@ -181,32 +181,39 @@ def fill_time_gaps(
     can't flip the carried value.
 
     Scale shape: everything expensive happens at OBSERVATION
-    cardinality — one (keys, bucket) aggregate, one keys-partitioned
-    window computing each observation's run end (``lead``) and carry
-    value (cumulative last non-null; same window spec, one
-    exchange+sort) — and the dense grid is exploded from each
-    observation's run AFTER the window, streaming straight to the
-    consumer. The earlier grid-join formulation shuffled the exploded
-    grid itself twice (join + window), which went superlinear in the
-    scale smoke (grid rows ≫ observations when gaps are long); this
-    form shuffles only observations, and grid rows never hit an
-    exchange.
+    cardinality, behind ONE keys-partitioned exchange and ONE sort
+    (r19; guide §2.4 "two operations keyed the same way share one
+    exchange"). The per-bucket representative — the lexicographic max
+    of (ts, tiebreak, value) — is picked by a window ordered on
+    exactly that total order within (keys): the LAST row of each
+    bucket run is the max, so a ``lead(bucket)`` boundary test
+    replaces the ``max(struct(...))`` aggregate the r18 form used.
+    That aggregate planned as a SortAggregate (struct agg buffers are
+    not hash-aggregatable), costing two extra observation-cardinality
+    sorts plus its own (keys, bucket) exchange before the window's
+    (keys) exchange. The fill window then runs over the filtered
+    representatives in the SAME partitioning and a compatible sort
+    prefix — no second exchange, no re-sort. The dense grid is
+    exploded from each observation's run AFTER the windows, streaming
+    straight to the consumer (grid rows never hit an exchange — the
+    r17 lesson; the grid-join formulation before it shuffled the
+    exploded grid twice and went superlinear).
     """
     keys = list(keys)
     bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / grain_sec) * grain_sec).cast("long")
+    # total order within (keys): bucket, then the representative order
+    # (ts, tiebreak, value) — identical to the struct max the oracle's
+    # MAX({'ts':…}) computes, including NULLS FIRST (both treat a null
+    # field as smallest)
+    w_all = Window.partitionBy(*keys).orderBy(
+        "_bucket", F.col(ts_col).asc(), F.col(tiebreak_col).asc(), F.col(value_col).asc()
+    )
     per_bucket = (
         df.withColumn("_bucket", bucket)
-        .groupBy(*keys, "_bucket")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col(ts_col).alias("ts"),
-                    F.col(tiebreak_col).alias("tb"),
-                    F.col(value_col).alias("v"),
-                )
-            ).alias("_m")
-        )
-        .select(*keys, "_bucket", F.col("_m.v").alias("_v"))
+        .withColumn("_nxt", F.lead("_bucket").over(w_all))
+        # last row of a bucket run == lexicographic (ts, tb, v) max
+        .filter(F.col("_nxt").isNull() | (F.col("_nxt") != F.col("_bucket")))
+        .select(*keys, "_bucket", F.col(value_col).alias("_v"))
     )
     w = Window.partitionBy(*keys).orderBy("_bucket")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
