@@ -49,15 +49,30 @@ def flag_sql(cond_sql: str) -> str:
 
 
 def sql_str_literal(value: str) -> str:
-    """Escape a Python string as a SQL single-quoted literal
-    (quote-doubling: valid in both Spark SQL and ANSI engines)."""
-    return "'" + str(value).replace("'", "''") + "'"
+    """Escape a Python string as a SQL single-quoted literal via
+    quote-doubling. Backslash-containing values are REJECTED (r18
+    ADVICE): Spark SQL's default parser (escapedStringLiterals=false)
+    treats ``\\`` as an escape inside literals while ANSI engines do
+    not, so no single quoting renders such a value identically in
+    both dialects — a silent corruption if allowed through. Callers
+    with backslash data should bind it as a Column literal
+    (``F.lit``) instead."""
+    s = str(value)
+    if "\\" in s:
+        raise ValueError(
+            "sql_str_literal cannot represent backslashes portably "
+            f"(Spark parses them as escapes): {s!r} — use F.lit()"
+        )
+    return "'" + s.replace("'", "''") + "'"
 
 
 def sql_in_list(col_sql: str, values) -> str:
-    """``col IN (...)`` predicate with escaped string literals."""
+    """``col IN (...)`` predicate with escaped string literals. An
+    empty ``values`` yields the FALSE predicate (r18 ADVICE: ``IN ()``
+    is a parse error, while the ``isin([])`` form this helper replaced
+    planned fine and matched nothing)."""
     items = ", ".join(sql_str_literal(v) for v in values)
-    return f"{col_sql} IN ({items})"
+    return f"{col_sql} IN ({items})" if items else "(1 = 0)"
 
 
 def scaled_long(col: Column | str, scale: int = 2) -> Column:

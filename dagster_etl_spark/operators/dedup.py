@@ -193,6 +193,21 @@ def shingle_hashes_expr(shingle_col: str, d: str) -> str:
     return x.xform(shingle_col, "s", x.h60("s", d), d)
 
 
+def minhash_signature_bodies(
+    hash_col: str, d: str, num_hashes: int = 16
+) -> list[str]:
+    """The alias-free signature expression bodies (r18 ADVICE: callers
+    that compose these into larger expressions used to strip the
+    ``AS sigN`` suffix by string-splitting on ' AS ', which would
+    silently truncate any future body containing its own ``AS`` — e.g.
+    a CAST(x AS BIGINT))."""
+    out = []
+    for i, (a, b) in enumerate(_affine_constants(num_hashes)):
+        body = f"(({a} * (h & 4294967295) + {b}) & 4294967295)"
+        out.append(x.xmin(x.xform(hash_col, "h", body, d), d))
+    return out
+
+
 def minhash_signature_exprs(
     hash_col: str, d: str, num_hashes: int = 16
 ) -> list[str]:
@@ -200,11 +215,12 @@ def minhash_signature_exprs(
     (a_i*h32 + b_i) & 0xFFFFFFFF. One md5 pass total instead of
     ``num_hashes`` — at 5k docs x 52 shingles this is the difference
     between 0.3M and 4M md5 evaluations per side."""
-    out = []
-    for i, (a, b) in enumerate(_affine_constants(num_hashes)):
-        body = f"(({a} * (h & 4294967295) + {b}) & 4294967295)"
-        out.append(f"{x.xmin(x.xform(hash_col, 'h', body, d), d)} AS sig{i}")
-    return out
+    return [
+        f"{body} AS sig{i}"
+        for i, body in enumerate(
+            minhash_signature_bodies(hash_col, d, num_hashes)
+        )
+    ]
 
 
 def band_exprs(d: str, num_hashes: int = 16, bands: int = 4) -> list[str]:
@@ -255,10 +271,7 @@ def minhash_neardup_pairs(
     # post-CollapseProject tree (each sig is referenced exactly once, so
     # inlining duplicates nothing) while paying two extra eager-analysis
     # DataFrame hops per build — build cost only, plan unchanged.
-    sig_bodies = [
-        e.split(" AS ", 1)[0]
-        for e in minhash_signature_exprs("hs", x.SPARK, num_hashes)
-    ]
+    sig_bodies = minhash_signature_bodies("hs", x.SPARK, num_hashes)
     rows = num_hashes // bands
     band_bodies = [
         "md5(concat_ws(',', "

@@ -55,8 +55,11 @@ def asof_join(
     l_types = dict(left.dtypes)
     r_types = dict(right.dtypes)
     carry_fields = [*right_vals, right_ts]
+    # field names backtick-quoted in the DDL (r18 ADVICE: unquoted
+    # names with spaces/colons/commas fail the struct-DDL parse that
+    # the StructType construction this replaced handled fine)
     r_struct_ddl = (
-        "struct<" + ",".join(f"{c}:{r_types[c]}" for c in carry_fields) + ">"
+        "struct<" + ",".join(f"`{c}`:{r_types[c]}" for c in carry_fields) + ">"
     )
     l_rest = [c for c in left.columns if c not in keys and c != left_ts]
     l_tag = left.selectExpr(

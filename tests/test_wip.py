@@ -78,6 +78,23 @@ def test_wip_aggregate_empty_input(spark):
     assert wip_aggregate(df).count() == 0
 
 
+def test_sql_literal_helpers_guard_edges(spark):
+    """r18 ADVICE: sql_in_list with no values must plan (and match
+    nothing) like the isin([]) form it replaced, not emit the parse
+    error 'IN ()'; sql_str_literal must refuse backslash values it
+    cannot render portably (Spark parses \\ as an escape, ANSI engines
+    do not)."""
+    import pytest
+
+    from dagster_etl_spark.functions import sql_in_list, sql_str_literal
+
+    assert wip_aggregate(lots(spark, BASE), active_statuses=()).count() == 0
+    assert sql_in_list("`s`", ()) == "(1 = 0)"
+    assert sql_str_literal("it's") == "'it''s'"
+    with pytest.raises(ValueError, match="backslash"):
+        sql_str_literal("A\\nB")
+
+
 def test_snapshot_date_literal(spark):
     out = wip_aggregate(lots(spark, BASE), snapshot_date="2026-08-13")
     assert out.select("snapshot_date").distinct().collect()[0][0] == "2026-08-13"
