@@ -1784,20 +1784,26 @@ class IncrementalNearDupIndex:
         realistic shape of a daily job (and what makes the pairs table
         a stable record rather than a lazily-shifting view).
 
-        The bands and hashes writes each execute the shared
+        The hashes write and the bands side each execute the shared
         tokenize+shingle+md5 chain (no cross-action CSE). r19 measured
-        the alternative and kept this shape: pinning the hashes frame
-        so both writes read the cache was net SLOWER in interleaved
-        A/B pairs (persisting the wide hs arrays costs more than
-        recomputing the chain), and the staged-derivation trick that
-        fixed the same double-execute in ingest_slice needs the slice
-        store, which this batch-grain path deliberately does not use."""
+        pinning the HASHES frame so every consumer reads one cache:
+        net SLOWER in interleaved A/B pairs (persisting the wide hs
+        arrays costs more than recomputing the chain), and the
+        staged-derivation trick that fixed the same double-execute in
+        ingest_slice needs the slice store, which this batch-grain
+        path deliberately does not use. What IS pinned (r19) is the
+        melted BANDS frame — narrow (id, bkey) rows, the same idiom as
+        minhash_neardup_pairs' self-join pin — because two actions
+        consume it (the index append and the probe): the probe then
+        reads ~4 cached rows/doc instead of re-running the whole
+        chain, cutting the per-ingest chain executions from 3 to 2."""
         from dagster_etl_spark.sources.bucketed import (
             append_bucketed,
             write_bucketed,
         )
 
         new_bands, new_hashes = self._encode(docs)
+        new_bands = pin(new_bands)
         first = not self.spark.catalog.tableExists(self.bands_table)
         if first:
             # fresh index: clear any previous-session leftovers for

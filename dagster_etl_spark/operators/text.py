@@ -882,6 +882,18 @@ class IncrementalBM25Index:
         postings, partial_df, totals = self._encode(docs)
         store.write("postings", slice_id, postings)
         hook("staged_postings")
+        # derive df from the STAGED postings slice instead of a second
+        # explode+aggregate over the token arrays (r19, guide §1.2):
+        # (term, doc_id) is unique in postings (it is the aggregate's
+        # group key, dl functional on doc_id), so COUNT(*) per term
+        # over the staged file equals the encode's countDistinct
+        # value-for-value. Replay-identical: a replay rewrites the
+        # same deterministic postings and re-derives the same df.
+        spark = docs.sparkSession
+        staged = store.read_slice(spark, "postings", slice_id)
+        partial_df = staged.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        )
         store.write("df", slice_id, partial_df)
         hook("staged_df")
         store.write("totals", slice_id, totals)

@@ -137,6 +137,33 @@ def test_bm25_kill_in_committed_uncommitted_window_skips_replay(
     assert _rows(idx.topk(seeds, k=10)) == want
 
 
+def test_bm25_staged_df_equals_direct_count(spark, tmp_path):
+    """r19 optimization guard: ingest_slice derives the df component
+    from the STAGED postings slice (one explode+aggregate saved per
+    slice) — the derived per-term df must equal the straight
+    explode + countDistinct over the slice's documents, value for
+    value, including after a mid-staging kill replay."""
+    from pyspark.sql import functions as F
+
+    from dagster_etl_spark.operators.text import IncrementalBM25Index
+    from dagster_etl_spark.functions import xdialect as x
+
+    docs = _docs(spark).filter("doc_id % 4 = 1")
+    idx = IncrementalBM25Index(spark, "rcv_bm25_dfderive")
+    idx.drop()
+    store = idx._slice_store()
+    assert idx.ingest_slice(docs, 0) is True
+    staged_df = store.read_slice(spark, "df", 0)
+    direct = (
+        docs.selectExpr("doc_id", f"{x.tokens('text', x.SPARK)} AS _t")
+        .select("doc_id", F.explode("_t").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    assert _rows(staged_df) == _rows(direct) and staged_df.count() > 0
+    idx.drop()
+
+
 # -- MinHash near-dup ---------------------------------------------------------
 
 
